@@ -1,0 +1,450 @@
+"""Typed configuration for the TPU-native LongCat-Video TTA framework.
+
+One frozen dataclass per subsystem, replacing the reference's 3-tier
+argparse/env/YAML stack (reference: sweep_experiment/scripts/run_sweep.py:51-136,
+delta_experiment/scripts/common.py add_*_args groups). A single `RunConfig`
+serializes into each run directory as `config.json`.
+
+Model geometry matches the interface contract enumerated in SURVEY.md §2.8:
+- 48 blocks, hidden 4096, adaln_tembed_dim 512, out_channels 16,
+  patch (1, 2, 2)   (reference: run_delta_b.py:14,464-465; run_delta_a.py:5-8;
+  run_delta_c.py:95)
+- WAN VAE: z_dim 16, temporal x4 / spatial x8 factors
+  (reference: common.py:177-206, 1488-1490)
+- UMT5 text encoder, max_length 512 (reference: common.py:228-246)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+
+# ---------------------------------------------------------------------------
+# dtype registry (dataclasses stay JSON-serializable: dtypes stored by name)
+# ---------------------------------------------------------------------------
+
+_DTYPES = {
+    "float32": jnp.float32,
+    "bfloat16": jnp.bfloat16,
+    "float16": jnp.float16,
+}
+
+
+def resolve_dtype(name: str):
+    return _DTYPES[name]
+
+
+# ---------------------------------------------------------------------------
+# Model configs
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class DiTConfig:
+    """LongCat-style video diffusion transformer.
+
+    Interface contract: SURVEY.md §2.8 / run_delta_a.py:134-217 (embed
+    pipeline), run_norm_tune_tta.py:74-98 (norm modules), run_lora_tta.py
+    :142-168 (linear layout: fused qkv(3), fused kv(2), proj, ffn w1/w2/w3).
+    """
+
+    hidden_size: int = 4096
+    depth: int = 48
+    num_heads: int = 32
+    in_channels: int = 16
+    out_channels: int = 16
+    patch_size: Tuple[int, int, int] = (1, 2, 2)  # (p_t, p_h, p_w)
+    adaln_tembed_dim: int = 512
+    ffn_dim: int = 11008  # SwiGLU inner dim (w1/w3 out, w2 in)
+    text_dim: int = 4096  # UMT5-XXL hidden size
+    text_len: int = 512
+    qk_norm: bool = True
+    cross_qk_norm: bool = True
+    text_tokens_zero_pad: bool = True
+    # 3D RoPE per-axis channel split; must sum to head_dim and be even.
+    rope_dims: Tuple[int, int, int] = (32, 48, 48)
+    rope_theta: float = 10000.0
+    t_embed_freq_dim: int = 256
+    param_dtype: str = "bfloat16"
+    compute_dtype: str = "bfloat16"
+    # remat ("gradient checkpointing") per block for training
+    # (reference: run_delta_a.py:469-473 non-reentrant torch checkpoint)
+    remat: bool = True
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+    def __post_init__(self):
+        assert self.hidden_size % self.num_heads == 0
+        assert sum(self.rope_dims) == self.head_dim, (
+            f"rope_dims {self.rope_dims} must sum to head_dim {self.head_dim}"
+        )
+
+
+@dataclass(frozen=True)
+class VAEConfig:
+    """Causal WAN-style 3D VAE (reference: AutoencoderKLWan usage,
+    common.py:158-221; 4x temporal / 8x spatial factors, z_dim-channel
+    latents with per-channel latents_mean/latents_std)."""
+
+    z_dim: int = 16
+    base_dim: int = 96
+    dim_mults: Tuple[int, ...] = (1, 2, 4, 4)
+    num_res_blocks: int = 2
+    # spatial downsample happens between scales 0-1, 1-2, 2-3 (8x total);
+    # temporal downsample between scales 1-2 and 2-3 (4x total)
+    temporal_downsample: Tuple[bool, ...] = (False, True, True)
+    attn_mid_block: bool = True
+    latents_mean: Tuple[float, ...] = (
+        -0.7571, -0.7089, -0.9113, 0.1075, -0.1745, 0.9653, -0.1517, 1.5508,
+        0.4134, -0.0715, 0.5517, -0.3632, -0.1922, -0.9497, 0.2503, -0.2921,
+    )
+    latents_std: Tuple[float, ...] = (
+        2.8184, 1.4541, 2.3275, 2.6558, 1.2196, 1.7708, 2.6052, 2.0743,
+        3.2687, 2.1526, 2.8652, 1.5579, 1.6382, 1.1253, 2.8251, 1.9160,
+    )
+    param_dtype: str = "float32"
+    compute_dtype: str = "float32"
+
+    @property
+    def temporal_factor(self) -> int:
+        return 2 ** sum(self.temporal_downsample)
+
+    @property
+    def spatial_factor(self) -> int:
+        return 2 ** (len(self.dim_mults) - 1)
+
+
+@dataclass(frozen=True)
+class TextEncoderConfig:
+    """UMT5 encoder (reference: transformers UMT5EncoderModel,
+    common.py:228-255; padded to max_length 512)."""
+
+    vocab_size: int = 256384
+    d_model: int = 4096
+    d_kv: int = 64
+    num_heads: int = 64
+    d_ff: int = 10240
+    num_layers: int = 24
+    relative_attention_num_buckets: int = 32
+    relative_attention_max_distance: int = 128
+    layer_norm_eps: float = 1e-6
+    max_length: int = 512
+    param_dtype: str = "bfloat16"
+    compute_dtype: str = "bfloat16"
+
+
+@dataclass(frozen=True)
+class SchedulerConfig:
+    """Flow-match Euler discrete scheduler
+    (reference: FlowMatchEulerDiscreteScheduler, common.py:68-70)."""
+
+    num_train_timesteps: int = 1000
+    shift: float = 5.0  # resolution-dependent timestep shift
+    sigma_min: float = 0.001
+    sigma_max: float = 1.0
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    dit: DiTConfig = field(default_factory=DiTConfig)
+    vae: VAEConfig = field(default_factory=VAEConfig)
+    text: TextEncoderConfig = field(default_factory=TextEncoderConfig)
+    scheduler: SchedulerConfig = field(default_factory=SchedulerConfig)
+
+
+# ---------------------------------------------------------------------------
+# Presets
+# ---------------------------------------------------------------------------
+
+
+def longcat_13b() -> ModelConfig:
+    """Flagship config: the 13.6B-param LongCat-Video DiT geometry
+    (SURVEY.md §2.8: 48 blocks, hidden 4096, t-embed 512, out 16)."""
+    return ModelConfig()
+
+
+def longcat_tiny() -> ModelConfig:
+    """Tiny config for unit tests and CPU-mesh dry runs."""
+    return ModelConfig(
+        dit=DiTConfig(
+            hidden_size=64,
+            depth=2,
+            num_heads=2,
+            ffn_dim=128,
+            adaln_tembed_dim=32,
+            text_dim=48,
+            text_len=16,
+            rope_dims=(8, 12, 12),
+            t_embed_freq_dim=32,
+            param_dtype="float32",
+            compute_dtype="float32",
+            remat=False,
+        ),
+        vae=VAEConfig(
+            z_dim=16,
+            base_dim=8,
+            dim_mults=(1, 2, 4, 4),
+            num_res_blocks=1,
+        ),
+        text=TextEncoderConfig(
+            vocab_size=512,
+            d_model=48,
+            d_kv=8,
+            num_heads=2,
+            d_ff=64,
+            num_layers=2,
+            max_length=16,
+            param_dtype="float32",
+            compute_dtype="float32",
+        ),
+    )
+
+
+def longcat_bench() -> ModelConfig:
+    """Single-chip bench config: full 480p token geometry with a model
+    scaled to fit one v5e chip (16 GB HBM) in bf16."""
+    return ModelConfig(
+        dit=DiTConfig(
+            hidden_size=2048,
+            depth=16,
+            num_heads=16,
+            ffn_dim=5504,
+            adaln_tembed_dim=512,
+            text_dim=2048,
+            text_len=512,
+            rope_dims=(32, 48, 48),
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Run / TTA configs (the reference's ~70 sweep-exposed knobs, typed)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class EarlyStoppingConfig:
+    """reference: early_stopping.py:33-51."""
+
+    enabled: bool = True
+    check_every: int = 5
+    patience: int = 3
+    anchor_sigmas: Tuple[float, ...] = (0.25, 0.5, 0.75)
+    noise_draws: int = 2
+    strategy: str = "patience"  # "patience" | "first_rise"
+    holdout_fraction: float = 0.25
+
+
+@dataclass(frozen=True)
+class AugmentationConfig:
+    """reference: common.py:1164-1362."""
+
+    enabled: bool = False
+    hflip: bool = False
+    rotate_degrees: Tuple[float, ...] = ()
+    random_rotate: bool = False
+    random_rotate_max_deg: float = 15.0
+    num_random_rotations: int = 0
+    speed_factors: Tuple[float, ...] = ()
+    latent_space: bool = True  # re-encode variants through the VAE
+
+
+@dataclass(frozen=True)
+class ClipGateConfig:
+    """reference: common.py:1709-2012."""
+
+    enabled: bool = False
+    backend: str = "clip"  # "clip" | "xclip"
+    threshold: float = 0.2
+    sample_frames: int = 4
+    sampling_mode: str = "full_window"  # "full_window" | "late_only"
+    late_fraction: float = 0.4
+    aggregate: str = "mean"  # "mean" | "min" | "max"
+    log_only: bool = False
+    fail_open: bool = True
+
+
+@dataclass(frozen=True)
+class CaptionGuardConfig:
+    """reference: common.py:1022-1157."""
+
+    mode: str = "fail"  # "fail" | "warn" | "off"
+    min_nonempty_ratio: float = 0.95
+    min_unique_ratio: float = 0.10
+    max_top1_ratio: float = 0.50
+    max_generic_top1_ratio: float = 0.20
+    topk: int = 5
+
+
+@dataclass(frozen=True)
+class AdapterConfig:
+    """One config covering all seven TTA methods (SURVEY.md §2.3).
+
+    method: full | lora | delta_a | delta_b | delta_c | norm_tune | film
+    """
+
+    method: str = "delta_a"
+    # lora
+    lora_rank: int = 8
+    lora_alpha: float = 16.0
+    lora_target_modules: Tuple[str, ...] = ("qkv", "proj")
+    lora_target_ffn: bool = False
+    # delta_b ("AdaSteer")
+    num_groups: int = 4
+    delta_target: str = "timestep"  # "timestep" | "hidden"
+    delta_dim: Optional[int] = None  # partial dim, zero-padded
+    # delta_b / lora / film block scoping: "all" | "last_N" | "i,j,k"
+    target_blocks: str = "all"
+    # norm_tune
+    norm_target: str = "cross_attn_norm"  # cross_attn_norm | qk_norm | all_norm
+    # film
+    film_mode: str = "full"  # full | shift_scale | scale_only
+
+
+@dataclass(frozen=True)
+class OptimConfig:
+    optimizer: str = "adamw"  # "adamw" | "sgd"
+    lr: float = 1e-3
+    betas: Tuple[float, float] = (0.9, 0.999)
+    eps: float = 1e-15
+    momentum: float = 0.0  # sgd (reference default: momentum-free)
+    grad_clip_norm: float = 1.0
+    steps: int = 20
+
+
+@dataclass(frozen=True)
+class FrameConfig:
+    """Anchor-based frame layout (reference: run_delta_a.py:378-428,
+    run_baseline.py:275-300)."""
+
+    num_cond_frames: int = 14
+    num_frames: int = 28  # generated frames (rounded up to 4k+1)
+    gen_start_frame: int = 32  # anchor
+    tta_total_frames: Optional[int] = None  # default: num_cond_frames
+    tta_context_frames: Optional[int] = None  # default: num_cond_frames
+    height: int = 480
+    width: int = 832
+    fps: int = 24
+
+
+@dataclass(frozen=True)
+class GenerationConfig:
+    num_inference_steps: int = 50
+    guidance_scale: float = 4.0
+    use_kv_cache: bool = True
+    negative_prompt: str = ""
+
+
+@dataclass(frozen=True)
+class BatchTTAConfig:
+    """Retrieval-augmented batch TTA (reference: run_delta_a.py:308-363,
+    493-523)."""
+
+    batch_videos: int = 1
+    retrieval_pool_dir: Optional[str] = None
+
+
+@dataclass(frozen=True)
+class OnlineEvalConfig:
+    """reference: common.py:2141-2431, 2453-2522."""
+
+    fvd_enabled: bool = False
+    fid_enabled: bool = False
+    vbench_enabled: bool = False
+    min_videos: int = 256
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh: data x context x tensor axes (SURVEY.md §2.10)."""
+
+    data: int = 1
+    context: int = 1
+    tensor: int = 1
+
+    @property
+    def num_devices(self) -> int:
+        return self.data * self.context * self.tensor
+
+
+@dataclass(frozen=True)
+class RunConfig:
+    """Top-level config serialized into each run directory."""
+
+    checkpoint_dir: str = ""
+    data_dir: str = ""
+    output_dir: str = ""
+    max_videos: int = 100
+    seed: int = 42
+    save_videos: bool = True
+    skip_generation: bool = False
+    fixed_caption: Optional[str] = None
+    feature_frame_guard_mode: str = "fail"
+
+    model_preset: str = "longcat_13b"
+    adapter: AdapterConfig = field(default_factory=AdapterConfig)
+    optim: OptimConfig = field(default_factory=OptimConfig)
+    frames: FrameConfig = field(default_factory=FrameConfig)
+    generation: GenerationConfig = field(default_factory=GenerationConfig)
+    early_stopping: EarlyStoppingConfig = field(default_factory=EarlyStoppingConfig)
+    augmentation: AugmentationConfig = field(default_factory=AugmentationConfig)
+    clip_gate: ClipGateConfig = field(default_factory=ClipGateConfig)
+    caption_guard: CaptionGuardConfig = field(default_factory=CaptionGuardConfig)
+    batch_tta: BatchTTAConfig = field(default_factory=BatchTTAConfig)
+    online_eval: OnlineEvalConfig = field(default_factory=OnlineEvalConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+
+    # ------------------------------------------------------------------
+    # serialization
+    # ------------------------------------------------------------------
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    def to_json(self, **kw) -> str:
+        return json.dumps(self.to_dict(), indent=2, **kw)
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "RunConfig":
+        return _dataclass_from_dict(cls, d)
+
+    @classmethod
+    def from_json(cls, s: str) -> "RunConfig":
+        return cls.from_dict(json.loads(s))
+
+
+def _dataclass_from_dict(cls, d):
+    if not dataclasses.is_dataclass(cls):
+        return d
+    import typing
+
+    hints = typing.get_type_hints(cls)
+    kwargs = {}
+    for f in dataclasses.fields(cls):
+        if f.name not in d:
+            continue
+        v = d[f.name]
+        ftype = hints.get(f.name, None)
+        if isinstance(ftype, type) and dataclasses.is_dataclass(ftype):
+            kwargs[f.name] = _dataclass_from_dict(ftype, v)
+        elif isinstance(v, list):
+            kwargs[f.name] = tuple(v)
+        else:
+            kwargs[f.name] = v
+    return cls(**kwargs)
+
+
+MODEL_PRESETS = {
+    "longcat_13b": longcat_13b,
+    "longcat_tiny": longcat_tiny,
+    "longcat_bench": longcat_bench,
+}
+
+
+def get_model_config(preset: str) -> ModelConfig:
+    return MODEL_PRESETS[preset]()

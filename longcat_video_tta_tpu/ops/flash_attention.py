@@ -1,0 +1,387 @@
+"""Pallas TPU flash attention with LongCat conditioning-prefix semantics.
+
+Replaces the reference's flash-attn-2 CUDA kernels (SURVEY.md §2.9;
+enabled at common.py:71-74). Forward + backward (custom VJP), online
+softmax, fp32 accumulation, bf16-friendly 128x128 tiles feeding the MXU.
+
+Masking rule (see ops/attention.py): with a conditioning prefix of
+``num_cond_tokens``, queries in the noise region attend to all keys;
+queries in the conditioning prefix attend only within the prefix. The
+mask is only materialized for (q-block, k-block) tiles that straddle the
+boundary — everything is static-specialized on ``num_cond_tokens`` so the
+common cases (cross-attn, KV-cache decode) carry zero masking overhead.
+
+Layout inside kernels: [B*H, S, D]. Public API: [B, S, H, D].
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _mask_tile(q_off, k_off, bq: int, bk: int, ncond: int, kvlen: int,
+               sk_pad: int):
+    """Boolean allowed-mask [bq, bk] for one tile, or None if all-allowed.
+
+    ``q_off``/``k_off`` are dynamic tile offsets; ``ncond``/``kvlen`` are
+    static. Returns None (python-level) only when statically all-allowed.
+    """
+    need_cond = ncond > 0
+    need_pad = kvlen < sk_pad
+    if not need_cond and not need_pad:
+        return None
+    q_idx = q_off + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+    k_idx = k_off + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+    allowed = jnp.ones((bq, bk), dtype=jnp.bool_)
+    if need_cond:
+        allowed = (q_idx >= ncond) | (k_idx < ncond)
+    if need_pad:
+        allowed = allowed & (k_idx < kvlen)
+    return allowed
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
+                m_scr, l_scr, acc_scr,
+                *, scale: float, ncond: int, kvlen: int, sk_pad: int,
+                bq: int, bk: int):
+    qi = pl.program_id(1)
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]  # [bq, D]
+    k = k_ref[0]  # [bk, D]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+    ) * scale  # [bq, bk]
+
+    allowed = _mask_tile(qi * bq, ki * bk, bq, bk, ncond, kvlen, sk_pad)
+    if allowed is not None:
+        s = jnp.where(allowed, s, NEG_INF)
+
+    m_prev = m_scr[:, :1]  # [bq, 1]
+    l_prev = l_scr[:, :1]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp(s - m_new)
+    if allowed is not None:
+        p = jnp.where(allowed, p, 0.0)
+    alpha = jnp.exp(m_prev - m_new)  # [bq, 1]
+    l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+
+    acc = acc_scr[...]
+    acc = acc * alpha + jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc_scr[...] = acc
+    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    @pl.when(ki == nk - 1)
+    def _finalize():
+        l = l_scr[:, :1]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = (acc_scr[...] / l_safe).astype(o_ref.dtype)
+        lse = m_scr[:, :1] + jnp.log(l_safe)  # [bq, 1]
+        lse_ref[0] = lse.reshape(1, -1)  # column -> row relayout
+
+
+def _flash_fwd_impl(q, k, v, ncond: int, kvlen: int, scale: float,
+                    bq: int, bk: int, interpret: bool):
+    """q: [BH, Sq, D] (padded); k, v: [BH, Sk, D] (padded). Returns (o, lse)."""
+    BH, Sq, D = q.shape
+    Sk = k.shape[1]
+    grid = (BH, Sq // bq, Sk // bk)
+
+    kernel = functools.partial(
+        _fwd_kernel, scale=scale, ncond=ncond, kvlen=kvlen, sk_pad=Sk,
+        bq=bq, bk=bk,
+    )
+    o, lse = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, D), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, bk, D), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, bk, D), lambda b, i, j: (b, j, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bq, D), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, 1, bq), lambda b, i, j: (b, 0, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((BH, Sq, D), q.dtype),
+            jax.ShapeDtypeStruct((BH, 1, Sq), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, D), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q, k, v)
+    return o, lse
+
+
+# ---------------------------------------------------------------------------
+# Backward
+# ---------------------------------------------------------------------------
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                    dk_ref, dv_ref, dk_scr, dv_scr,
+                    *, scale: float, ncond: int, kvlen: int, sk_pad: int,
+                    bq: int, bk: int):
+    ki = pl.program_id(1)
+    qi = pl.program_id(2)
+    nq = pl.num_programs(2)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    q = q_ref[0]        # [bq, D]
+    k = k_ref[0]        # [bk, D]
+    v = v_ref[0]
+    do = do_ref[0]      # [bq, D]
+    lse = lse_ref[0].reshape(-1, 1)    # row -> column relayout
+    delta = delta_ref[0].reshape(-1, 1)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+    ) * scale
+    allowed = _mask_tile(qi * bq, ki * bk, bq, bk, ncond, kvlen, sk_pad)
+    p = jnp.exp(s - lse)
+    if allowed is not None:
+        p = jnp.where(allowed, p, 0.0)
+
+    # dv += P^T dO
+    dv_scr[...] += jax.lax.dot_general(
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    # dP = dO V^T ; dS = P * (dP - delta)
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - delta)
+    # dk += dS^T q * scale
+    dk_scr[...] += jax.lax.dot_general(
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+
+    @pl.when(qi == nq - 1)
+    def _finalize():
+        dk_ref[0] = dk_scr[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
+
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                   dq_ref, dq_scr,
+                   *, scale: float, ncond: int, kvlen: int, sk_pad: int,
+                   bq: int, bk: int):
+    qi = pl.program_id(1)
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    lse = lse_ref[0].reshape(-1, 1)
+    delta = delta_ref[0].reshape(-1, 1)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+    ) * scale
+    allowed = _mask_tile(qi * bq, ki * bk, bq, bk, ncond, kvlen, sk_pad)
+    p = jnp.exp(s - lse)
+    if allowed is not None:
+        p = jnp.where(allowed, p, 0.0)
+
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - delta)
+    dq_scr[...] += jax.lax.dot_general(
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+
+    @pl.when(ki == nk - 1)
+    def _finalize():
+        dq_ref[0] = dq_scr[...].astype(dq_ref.dtype)
+
+
+def _flash_bwd_impl(q, k, v, o, lse, do, ncond: int, kvlen: int, scale: float,
+                    bq: int, bk: int, interpret: bool):
+    BH, Sq, D = q.shape
+    Sk = k.shape[1]
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
+                    axis=-1)[:, None, :]  # [BH, 1, Sq]
+
+    common = dict(scale=scale, ncond=ncond, kvlen=kvlen, sk_pad=Sk, bq=bq, bk=bk)
+    in_specs_base = [
+        pl.BlockSpec((1, bq, D), lambda b, i, j: (b, j, 0)),  # q by inner qi
+        pl.BlockSpec((1, bk, D), lambda b, i, j: (b, i, 0)),  # k by outer ki
+        pl.BlockSpec((1, bk, D), lambda b, i, j: (b, i, 0)),
+        pl.BlockSpec((1, bq, D), lambda b, i, j: (b, j, 0)),  # do
+        pl.BlockSpec((1, 1, bq), lambda b, i, j: (b, 0, j)),  # lse
+        pl.BlockSpec((1, 1, bq), lambda b, i, j: (b, 0, j)),  # delta
+    ]
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, **common),
+        grid=(BH, Sk // bk, Sq // bq),
+        in_specs=in_specs_base,
+        out_specs=[
+            pl.BlockSpec((1, bk, D), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, bk, D), lambda b, i, j: (b, i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((BH, Sk, D), k.dtype),
+            jax.ShapeDtypeStruct((BH, Sk, D), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bk, D), jnp.float32),
+            pltpu.VMEM((bk, D), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q, k, v, do, lse, delta)
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, **common),
+        grid=(BH, Sq // bq, Sk // bk),
+        in_specs=[
+            pl.BlockSpec((1, bq, D), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, bk, D), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, bk, D), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, bq, D), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, 1, bq), lambda b, i, j: (b, 0, i)),
+            pl.BlockSpec((1, 1, bq), lambda b, i, j: (b, 0, i)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, D), lambda b, i, j: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((BH, Sq, D), q.dtype),
+        scratch_shapes=[pltpu.VMEM((bq, D), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q, k, v, do, lse, delta)
+
+    return dq, dk, dv
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp wiring
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def _flash_core(q, k, v, ncond, kvlen, scale, bq, bk, interpret):
+    o, _ = _flash_fwd_impl(q, k, v, ncond, kvlen, scale, bq, bk, interpret)
+    return o
+
+
+def _flash_core_fwd(q, k, v, ncond, kvlen, scale, bq, bk, interpret):
+    o, lse = _flash_fwd_impl(q, k, v, ncond, kvlen, scale, bq, bk, interpret)
+    return o, (q, k, v, o, lse)
+
+
+def _flash_core_bwd(ncond, kvlen, scale, bq, bk, interpret, res, do):
+    q, k, v, o, lse = res
+    dq, dk, dv = _flash_bwd_impl(
+        q, k, v, o, lse, do, ncond, kvlen, scale, bq, bk, interpret
+    )
+    return dq, dk, dv
+
+
+_flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
+
+
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    num_cond_tokens: int = 0,
+    kv_valid_len: Optional[int] = None,
+    scale: Optional[float] = None,
+    block_q: int = 512,
+    block_k: int = 1024,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Flash attention with conditioning-prefix masking.
+
+    q: [B, Sq, H, D]; k, v: [B, Sk, H, D] → [B, Sq, H, D].
+    ``num_cond_tokens`` and ``kv_valid_len`` are static ints (frame
+    geometry is bucketed per run, so specialization cost is bounded).
+    """
+    B, Sq, H, D = q.shape
+    Sk = k.shape[1]
+    if scale is None:
+        scale = D ** -0.5
+    kvlen = Sk if kv_valid_len is None else int(kv_valid_len)
+    # Conditioning queries only exist in the no-cache (Sq == Sk) path.
+    ncond = int(num_cond_tokens) if Sq == Sk else 0
+
+    bq = min(block_q, _round_up(Sq, 8))
+    bk = min(block_k, _round_up(Sk, 8))
+    sq_pad = _round_up(Sq, bq)
+    sk_pad = _round_up(Sk, bk)
+    # Padded keys must be masked out.
+    if sk_pad > Sk:
+        kvlen = min(kvlen, Sk)
+
+    def to_bhsd(x, s_pad):
+        x = jnp.swapaxes(x, 1, 2).reshape(B * H, x.shape[1], D)
+        if s_pad > x.shape[1]:
+            x = jnp.pad(x, ((0, 0), (0, s_pad - x.shape[1]), (0, 0)))
+        return x
+
+    q3 = to_bhsd(q, sq_pad)
+    k3 = to_bhsd(k, sk_pad)
+    v3 = to_bhsd(v, sk_pad)
+
+    o = _flash_core(q3, k3, v3, ncond, kvlen, float(scale), bq, bk, interpret)
+    o = o[:, :Sq].reshape(B, H, Sq, D)
+    return jnp.swapaxes(o, 1, 2)

@@ -1,0 +1,22 @@
+"""Test harness: force an 8-device virtual CPU mesh before jax imports.
+
+SURVEY.md §4: multi-chip paths are validated on CPU via
+``--xla_force_host_platform_device_count`` (the reference had no test
+suite at all; this one follows its runtime-guard philosophy plus real
+unit tests)."""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+# The axon TPU tunnel exports JAX_PLATFORMS=axon; the config update (not the
+# env var) is what reliably pins tests to the virtual 8-device CPU mesh.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", False)

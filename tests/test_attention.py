@@ -1,0 +1,97 @@
+"""Flash-attention kernel vs jnp reference: fwd, bwd, cond-prefix mask,
+KV-cache decode consistency."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from longcat_video_tta_tpu.ops.attention import attention_xla
+from longcat_video_tta_tpu.ops.flash_attention import flash_attention
+
+
+def _rand_qkv(key, B=2, S=256, H=2, D=64, Sk=None, dtype=jnp.float32):
+    Sk = S if Sk is None else Sk
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (B, S, H, D), dtype)
+    k = jax.random.normal(kk, (B, Sk, H, D), dtype)
+    v = jax.random.normal(kv, (B, Sk, H, D), dtype)
+    return q, k, v
+
+
+@pytest.mark.parametrize("ncond", [0, 64, 100])
+def test_flash_fwd_matches_reference(ncond):
+    q, k, v = _rand_qkv(jax.random.PRNGKey(0))
+    ref = attention_xla(q, k, v, num_cond_tokens=ncond)
+    out = flash_attention(q, k, v, num_cond_tokens=ncond, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_flash_fwd_unaligned_seq_and_padding():
+    # S not a multiple of the block size; kernel must mask padded keys.
+    q, k, v = _rand_qkv(jax.random.PRNGKey(1), S=200, Sk=200)
+    ref = attention_xla(q, k, v, num_cond_tokens=37)
+    out = flash_attention(q, k, v, num_cond_tokens=37, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_flash_cross_attention_kv_valid_len():
+    # Cross-attn: Sq != Sk, with trailing key padding masked via kv_valid_len.
+    q, k, v = _rand_qkv(jax.random.PRNGKey(2), S=128, Sk=256)
+    ref = attention_xla(q, k, v, kv_valid_len=180)
+    out = flash_attention(q, k, v, kv_valid_len=180, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("ncond", [0, 64])
+def test_flash_bwd_matches_reference(ncond):
+    q, k, v = _rand_qkv(jax.random.PRNGKey(3), B=1, S=128, H=2, D=32)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(attention_xla(q, k, v, num_cond_tokens=ncond) ** 2)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(
+            flash_attention(q, k, v, num_cond_tokens=ncond, interpret=True) ** 2
+        )
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_flash, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4, rtol=5e-4)
+
+
+def test_cond_prefix_enables_exact_kv_cache():
+    """The conditioning prefix must be independent of noise tokens: attention
+    output on cond rows is unchanged when noise tokens change, and the decode
+    path (noise-only queries vs full [cond|noise] keys) matches the full
+    no-cache forward on the noise rows. This is the property that makes
+    generate_vc's use_kv_cache exact (reference: common.py:606-608)."""
+    key = jax.random.PRNGKey(4)
+    B, S, H, D = 1, 128, 2, 32
+    ncond = 48
+    q, k, v = _rand_qkv(key, B=B, S=S, H=H, D=D)
+
+    full = attention_xla(q, k, v, num_cond_tokens=ncond)
+
+    # Perturb noise-region tokens: cond rows must not change.
+    q2 = q.at[:, ncond:].add(1.0)
+    k2 = k.at[:, ncond:].add(1.0)
+    v2 = v.at[:, ncond:].add(1.0)
+    full2 = attention_xla(q2, k2, v2, num_cond_tokens=ncond)
+    np.testing.assert_allclose(
+        np.asarray(full[:, :ncond]), np.asarray(full2[:, :ncond]), atol=1e-6
+    )
+
+    # Decode path: noise queries against all keys == full forward noise rows.
+    dec = attention_xla(q[:, ncond:], k, v, num_cond_tokens=ncond)
+    np.testing.assert_allclose(
+        np.asarray(full[:, ncond:]), np.asarray(dec), atol=1e-6
+    )
+
+    # Same property through the pallas kernel.
+    dec_flash = flash_attention(q[:, ncond:], k, v, num_cond_tokens=ncond,
+                                interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(dec_flash), np.asarray(dec), atol=2e-5, rtol=2e-5
+    )
