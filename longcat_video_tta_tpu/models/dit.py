@@ -1,0 +1,521 @@
+"""LongCat-style video diffusion transformer, TPU-native.
+
+Re-implements the interface contract of ``LongCatVideoTransformer3DModel``
+(SURVEY.md §2.8; exercised by the reference's wrapper forwards at
+run_delta_a.py:134-217 and run_delta_b.py:220-330): x/t/y embedders, 48
+blocks of {adaLN-modulated self-attn with fused qkv + per-head RMS
+qk-norm + 3D RoPE, affine pre-norm cross-attn over packed text, SwiGLU
+ffn w1/w2/w3}, per-latent-frame timesteps, ``num_cond_latents``
+conditioning semantics, final adaLN layer, unpatchify.
+
+Design departures from the torch reference (TPU-first):
+- Pure functions over an explicit param pytree; blocks are *stacked*
+  along a leading depth axis and driven by one ``lax.scan`` (fast
+  compiles, natural remat, scan-friendly adapter injection).
+- All seven TTA methods inject through the ``adapters`` dict argument —
+  the reference's wrapper-vs-hook duality (train wrappers vs generation
+  forward-hooks) collapses into one code path used by both training and
+  sampling, which makes delta_a ≡ delta_b(G=1) true by construction.
+- Attention is the Pallas flash kernel with a conditioning-prefix mask
+  (ops/flash_attention.py) instead of flash-attn-2 CUDA.
+- KV-cache generation (``generate_vc`` use_kv_cache, common.py:606-608)
+  is a two-phase forward: conditioning tokens run once per video
+  producing per-block K/V; denoise steps run noise tokens only.
+
+Adapter dict convention (all keys optional; missing key = feature off):
+    delta_t        [C_t]          delta_a: added to t-embed before blocks
+                                  (run_delta_a.py:168)
+    delta_t_blocks [depth, C_t]   delta_b timestep mode, per-block
+                                  (run_delta_b.py:288-291); zero rows for
+                                  untargeted blocks
+    delta_h_blocks [depth, D]     delta_b hidden mode: post-block residual
+                                  (run_delta_b.py:318-319)
+    delta_h_final  [D]            delta_b hidden mode final residual
+                                  (run_delta_b.py:322-324)
+    film_blocks    [depth, 6D]    FiLM: additive correction to adaLN output
+                                  (run_film_tta.py:146-163)
+    delta_out      [C_out]        delta_c: per-channel output residual
+                                  (run_delta_c.py:122-141)
+    lora           {site: {'a': [depth, in, r], 'b': [depth, r, out]}}
+                   sites: qkv, attn_proj, xattn_q, xattn_kv, xattn_proj,
+                   ffn_w1, ffn_w2, ffn_w3 (run_lora_tta.py:142-168)
+    lora_scale     scalar         alpha / rank
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import DiTConfig, resolve_dtype
+from ..ops.attention import attention
+from ..ops.layers import (
+    apply_rope,
+    layer_norm,
+    linear,
+    mlp_embedder,
+    modulate,
+    rms_norm,
+    rope_3d_angles,
+    timestep_embedding,
+)
+
+AdapterDict = Optional[Dict[str, Any]]
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+
+def _dense_init(key, shape, dtype, scale=0.02):
+    return (jax.random.normal(key, shape) * scale).astype(dtype)
+
+
+def init_dit(rng: jax.Array, cfg: DiTConfig, zero_init: bool = True) -> Dict[str, Any]:
+    """Initialize the full parameter pytree (blocks stacked over depth).
+
+    ``zero_init=True`` (training-from-scratch convention) zeroes the adaLN
+    modulation and final projection so blocks start as identity; tests use
+    ``zero_init=False`` to get a non-degenerate random function."""
+    pdtype = resolve_dtype(cfg.param_dtype)
+    D, Ct, F = cfg.hidden_size, cfg.adaln_tembed_dim, cfg.ffn_dim
+    dh = cfg.head_dim
+    pt, ph, pw = cfg.patch_size
+    pdim = pt * ph * pw * cfg.in_channels
+    out_dim = pt * ph * pw * cfg.out_channels
+    L = cfg.depth
+
+    keys = iter(jax.random.split(rng, 64))
+
+    def dense(shape, scale=0.02, bias_shape=None, dtype=pdtype):
+        p = {"kernel": _dense_init(next(keys), shape, dtype, scale)}
+        if bias_shape is not None:
+            p["bias"] = jnp.zeros(bias_shape, dtype)
+        return p
+
+    params = {
+        "x_embed": dense((pdim, D), bias_shape=(D,)),
+        # t_embedder stays fp32 end-to-end (run_delta_a.py:161-165)
+        "t_embed": {
+            "w1": _dense_init(next(keys), (cfg.t_embed_freq_dim, Ct), jnp.float32),
+            "b1": jnp.zeros((Ct,), jnp.float32),
+            "w2": _dense_init(next(keys), (Ct, Ct), jnp.float32),
+            "b2": jnp.zeros((Ct,), jnp.float32),
+        },
+        "y_embed": {
+            "in": dense((cfg.text_dim, D), bias_shape=(D,)),
+            "out": dense((D, D), bias_shape=(D,)),
+        },
+        "blocks": {
+            "adaln": {
+                "kernel": (jnp.zeros((L, Ct, 6 * D), pdtype) if zero_init
+                           else _dense_init(next(keys), (L, Ct, 6 * D), pdtype)),
+                "bias": jnp.zeros((L, 6 * D), pdtype),
+            },
+            "attn": {
+                "qkv": dense((L, D, 3 * D), bias_shape=(L, 3 * D)),
+                "proj": dense((L, D, D), bias_shape=(L, D)),
+                "q_norm": jnp.ones((L, dh), pdtype),
+                "k_norm": jnp.ones((L, dh), pdtype),
+            },
+            "cross_attn": {
+                "q": dense((L, D, D), bias_shape=(L, D)),
+                "kv": dense((L, D, 2 * D), bias_shape=(L, 2 * D)),
+                "proj": dense((L, D, D), bias_shape=(L, D)),
+                "q_norm": jnp.ones((L, dh), pdtype),
+                "k_norm": jnp.ones((L, dh), pdtype),
+            },
+            "pre_crs_norm": {
+                "weight": jnp.ones((L, D), pdtype),
+                "bias": jnp.zeros((L, D), pdtype),
+            },
+            "ffn": {
+                "w1": dense((L, D, F)),
+                "w3": dense((L, D, F)),
+                "w2": dense((L, F, D)),
+            },
+        },
+        "final": {
+            "adaln": {
+                "kernel": jnp.zeros((Ct, 2 * D), pdtype),
+                "bias": jnp.zeros((2 * D,), pdtype),
+            },
+            "proj": {
+                "kernel": (jnp.zeros((D, out_dim), pdtype) if zero_init
+                           else _dense_init(next(keys), (D, out_dim), pdtype)),
+                "bias": jnp.zeros((out_dim,), pdtype),
+            },
+        },
+    }
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Patchify helpers
+# ---------------------------------------------------------------------------
+
+
+def patchify(x: jnp.ndarray, patch: Tuple[int, int, int]) -> jnp.ndarray:
+    """[B, C, T, H, W] -> [B, N_t, N_h*N_w, pt*ph*pw*C] (matmul-friendly)."""
+    B, C, T, H, W = x.shape
+    pt, ph, pw = patch
+    nt, nh, nw = T // pt, H // ph, W // pw
+    x = x.transpose(0, 2, 3, 4, 1)  # [B, T, H, W, C]
+    x = x.reshape(B, nt, pt, nh, ph, nw, pw, C)
+    x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)  # [B, nt, nh, nw, pt, ph, pw, C]
+    return x.reshape(B, nt, nh * nw, pt * ph * pw * C)
+
+
+def unpatchify(x: jnp.ndarray, patch: Tuple[int, int, int],
+               nt: int, nh: int, nw: int, out_channels: int) -> jnp.ndarray:
+    """[B, N_t, N_h*N_w, pt*ph*pw*C] -> [B, C, T, H, W]."""
+    B = x.shape[0]
+    pt, ph, pw = patch
+    x = x.reshape(B, nt, nh, nw, pt, ph, pw, out_channels)
+    x = x.transpose(0, 7, 1, 4, 2, 5, 3, 6)  # [B, C, nt, pt, nh, ph, nw, pw]
+    return x.reshape(B, out_channels, nt * pt, nh * ph, nw * pw)
+
+
+# ---------------------------------------------------------------------------
+# Embedding pipeline (shared by all forward modes)
+# ---------------------------------------------------------------------------
+
+
+def _embed_inputs(params, cfg: DiTConfig, latents, timesteps, text_emb,
+                  text_mask, adapters: AdapterDict):
+    """Returns (x [B,nt,nhw,D], t_emb fp32 [B,nt,Ct], y [B,L,D], dims)."""
+    cdtype = resolve_dtype(cfg.compute_dtype)
+    B, C, T, H, W = latents.shape
+    pt, ph, pw = cfg.patch_size
+    nt, nh, nw = T // pt, H // ph, W // pw
+
+    x = patchify(latents.astype(cdtype), cfg.patch_size)
+    x = linear(params["x_embed"], x)  # [B, nt, nhw, D]
+
+    if timesteps.ndim == 1:
+        timesteps = jnp.broadcast_to(timesteps[:, None], (B, nt))
+    feats = timestep_embedding(timesteps, cfg.t_embed_freq_dim)
+    t_emb = mlp_embedder(params["t_embed"], feats)  # fp32 [B, nt, Ct]
+
+    if adapters and "delta_t" in adapters:
+        t_emb = t_emb + adapters["delta_t"].astype(jnp.float32)[None, None, :]
+
+    # y_embedder then zero-pad masking (text_tokens_zero_pad semantics:
+    # run_delta_a.py:172-178 — zero padded token embeddings, attend to all)
+    if text_emb.ndim == 4:  # accept the reference's [B, 1, L, C] layout
+        text_emb = text_emb[:, 0]
+    y = linear(params["y_embed"]["in"], text_emb.astype(cdtype))
+    y = jax.nn.gelu(y, approximate=True)
+    y = linear(params["y_embed"]["out"], y)  # [B, L, D]
+    if cfg.text_tokens_zero_pad and text_mask is not None:
+        y = y * text_mask.astype(y.dtype)[:, :, None]
+
+    return x, t_emb, y, (nt, nh, nw)
+
+
+# ---------------------------------------------------------------------------
+# One transformer block (pure function; scanned over depth)
+# ---------------------------------------------------------------------------
+
+
+def _self_attention(bp, x, rope_cos, rope_sin, cfg: DiTConfig,
+                    num_cond_tokens: int, lora, lora_scale, attn_impl,
+                    kv_cache=None, return_kv: bool = False):
+    """x: [B, nt, nhw, D]. kv_cache: optional (k, v) [B, S_c, nH, dh] to
+    prepend (decode path). Returns (out, (k, v) or None)."""
+    B, nt, nhw, D = x.shape
+    nH, dh = cfg.num_heads, cfg.head_dim
+
+    qkv = linear(bp["attn"]["qkv"], x,
+                 lora=(lora or {}).get("qkv"), lora_scale=lora_scale)
+    qkv = qkv.reshape(B, nt, nhw, 3, nH, dh)
+    q, k, v = qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]
+    if cfg.qk_norm:
+        q = rms_norm(q, bp["attn"]["q_norm"])
+        k = rms_norm(k, bp["attn"]["k_norm"])
+    q = apply_rope(q, rope_cos, rope_sin)
+    k = apply_rope(k, rope_cos, rope_sin)
+
+    S = nt * nhw
+    q = q.reshape(B, S, nH, dh)
+    k = k.reshape(B, S, nH, dh)
+    v = v.reshape(B, S, nH, dh)
+
+    kv_out = (k, v) if return_kv else None
+    if kv_cache is not None:
+        k = jnp.concatenate([kv_cache[0].astype(k.dtype), k], axis=1)
+        v = jnp.concatenate([kv_cache[1].astype(v.dtype), v], axis=1)
+
+    o = attention(q, k, v, num_cond_tokens=num_cond_tokens, impl=attn_impl)
+    o = o.reshape(B, nt, nhw, D)
+    o = linear(bp["attn"]["proj"], o,
+               lora=(lora or {}).get("attn_proj"), lora_scale=lora_scale)
+    return o, kv_out
+
+
+def _cross_attention(bp, x, y, cfg: DiTConfig, lora, lora_scale, attn_impl):
+    """x: [B, nt, nhw, D]; y: [B, L, D]."""
+    B, nt, nhw, D = x.shape
+    nH, dh = cfg.num_heads, cfg.head_dim
+    L = y.shape[1]
+
+    q = linear(bp["cross_attn"]["q"], x,
+               lora=(lora or {}).get("xattn_q"), lora_scale=lora_scale)
+    kv = linear(bp["cross_attn"]["kv"], y,
+                lora=(lora or {}).get("xattn_kv"), lora_scale=lora_scale)
+    q = q.reshape(B, nt * nhw, nH, dh)
+    kv = kv.reshape(B, L, 2, nH, dh)
+    k, v = kv[:, :, 0], kv[:, :, 1]
+    if cfg.cross_qk_norm:
+        q = rms_norm(q, bp["cross_attn"]["q_norm"])
+        k = rms_norm(k, bp["cross_attn"]["k_norm"])
+
+    o = attention(q, k, v, impl=attn_impl)
+    o = o.reshape(B, nt, nhw, D)
+    o = linear(bp["cross_attn"]["proj"], o,
+               lora=(lora or {}).get("xattn_proj"), lora_scale=lora_scale)
+    return o
+
+
+def _ffn(bp, x, lora, lora_scale):
+    h1 = linear(bp["ffn"]["w1"], x,
+                lora=(lora or {}).get("ffn_w1"), lora_scale=lora_scale)
+    h3 = linear(bp["ffn"]["w3"], x,
+                lora=(lora or {}).get("ffn_w3"), lora_scale=lora_scale)
+    h = jax.nn.silu(h1) * h3
+    return linear(bp["ffn"]["w2"], h,
+                  lora=(lora or {}).get("ffn_w2"), lora_scale=lora_scale)
+
+
+def _block(bp, blk_adapters, x, t_emb, y, rope_cos, rope_sin,
+           cfg: DiTConfig, num_cond_tokens: int, attn_impl,
+           kv_cache=None, return_kv: bool = False):
+    """One DiT block. ``blk_adapters``: per-block slices of the adapter dict.
+
+    Returns (x_out, kv or None).
+    """
+    cdtype = x.dtype
+    t_blk = t_emb
+    if blk_adapters.get("delta_t_blocks") is not None:
+        t_blk = t_blk + blk_adapters["delta_t_blocks"].astype(jnp.float32)[None, None, :]
+
+    mod = linear(bp["adaln"], jax.nn.silu(t_blk).astype(cdtype))  # [B, nt, 6D]
+    if blk_adapters.get("film_blocks") is not None:
+        mod = mod + blk_adapters["film_blocks"].astype(mod.dtype)[None, None, :]
+    shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = jnp.split(
+        mod, 6, axis=-1
+    )
+    # per-latent-frame modulation broadcast over spatial tokens
+    expand = lambda m: m[:, :, None, :]
+
+    lora = blk_adapters.get("lora")
+    lora_scale = blk_adapters.get("lora_scale", 1.0)
+
+    h = modulate(layer_norm(x), expand(shift_msa), expand(scale_msa))
+    attn_out, kv = _self_attention(
+        bp, h, rope_cos, rope_sin, cfg, num_cond_tokens, lora, lora_scale,
+        attn_impl, kv_cache=kv_cache, return_kv=return_kv,
+    )
+    x = x + expand(gate_msa) * attn_out
+
+    h = layer_norm(x, bp["pre_crs_norm"]["weight"], bp["pre_crs_norm"]["bias"])
+    x = x + _cross_attention(bp, h, y, cfg, lora, lora_scale, attn_impl)
+
+    h = modulate(layer_norm(x), expand(shift_mlp), expand(scale_mlp))
+    x = x + expand(gate_mlp) * _ffn(bp, h, lora, lora_scale)
+
+    if blk_adapters.get("delta_h_blocks") is not None:
+        x = x + blk_adapters["delta_h_blocks"].astype(x.dtype)[None, None, None, :]
+    return x, kv
+
+
+# ---------------------------------------------------------------------------
+# Adapter slicing for scan
+# ---------------------------------------------------------------------------
+
+_PER_BLOCK_KEYS = ("delta_t_blocks", "delta_h_blocks", "film_blocks", "lora")
+
+
+def _split_adapters(adapters: AdapterDict):
+    """Split the adapter dict into (scan_xs, static_extras).
+
+    scan_xs: pytree whose leaves have leading depth axis (consumed by scan).
+    """
+    adapters = adapters or {}
+    scan_xs = {k: adapters[k] for k in _PER_BLOCK_KEYS if k in adapters}
+    lora_scale = adapters.get("lora_scale", 1.0)
+    return scan_xs, lora_scale
+
+
+def _blk_adapter_slice(scan_slice, lora_scale):
+    d = dict(scan_slice)
+    d["lora_scale"] = lora_scale
+    return d
+
+
+# ---------------------------------------------------------------------------
+# Main forward (training / no-cache sampling path)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "num_cond_latents", "attn_impl"),
+)
+def dit_forward(
+    params: Dict[str, Any],
+    cfg: DiTConfig,
+    latents: jnp.ndarray,          # [B, C, T_lat, H_lat, W_lat]
+    timesteps: jnp.ndarray,        # [B] or [B, N_t]  (units: sigma * 1000)
+    text_emb: jnp.ndarray,         # [B, L, C_text] or [B, 1, L, C_text]
+    text_mask: Optional[jnp.ndarray] = None,  # [B, L]
+    *,
+    num_cond_latents: int = 0,
+    adapters: AdapterDict = None,
+    attn_impl: Optional[str] = None,
+) -> jnp.ndarray:
+    """Full forward: returns predicted velocity [B, C_out, T, H, W] in fp32.
+
+    ``num_cond_latents`` counts conditioning latent frames; their tokens
+    get the prefix-attention treatment (see ops/attention.py) matching the
+    reference's ``num_cond_latents`` kwarg (common.py:476-482).
+    """
+    x, t_emb, y, (nt, nh, nw) = _embed_inputs(
+        params, cfg, latents, timesteps, text_emb, text_mask, adapters
+    )
+    rope_cos, rope_sin = rope_3d_angles(nt, nh, nw, cfg.rope_dims, cfg.rope_theta)
+    num_cond_tokens = (num_cond_latents // cfg.patch_size[0]) * nh * nw
+
+    scan_xs, lora_scale = _split_adapters(adapters)
+
+    def body(carry, inp):
+        bp, ad = inp
+        blk_ad = _blk_adapter_slice(ad, lora_scale)
+        out, _ = _block(
+            bp, blk_ad, carry, t_emb, y, rope_cos, rope_sin, cfg,
+            num_cond_tokens, attn_impl,
+        )
+        return out, None
+
+    body_fn = jax.checkpoint(body) if cfg.remat else body
+    x, _ = jax.lax.scan(body_fn, x, (params["blocks"], scan_xs))
+
+    if adapters and "delta_h_final" in adapters:
+        x = x + adapters["delta_h_final"].astype(x.dtype)[None, None, None, :]
+
+    out = _final_layer(params, cfg, x, t_emb, nt, nh, nw)
+    if adapters and "delta_out" in adapters:
+        out = out + adapters["delta_out"].astype(out.dtype)[None, :, None, None, None]
+    return out.astype(jnp.float32)
+
+
+def _final_layer(params, cfg: DiTConfig, x, t_emb, nt, nh, nw):
+    cdtype = x.dtype
+    mod = linear(params["final"]["adaln"], jax.nn.silu(t_emb).astype(cdtype))
+    shift, scale = jnp.split(mod, 2, axis=-1)  # [B, nt, D] each
+    h = modulate(layer_norm(x), shift[:, :, None, :], scale[:, :, None, :])
+    h = linear(params["final"]["proj"], h)
+    return unpatchify(h, cfg.patch_size, nt, nh, nw, cfg.out_channels)
+
+
+# ---------------------------------------------------------------------------
+# KV-cache two-phase forward (generate_vc use_kv_cache semantics)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "attn_impl"))
+def dit_precompute_cond_cache(
+    params: Dict[str, Any],
+    cfg: DiTConfig,
+    cond_latents: jnp.ndarray,     # [B, C, T_cond, H, W]
+    text_emb: jnp.ndarray,
+    text_mask: Optional[jnp.ndarray] = None,
+    *,
+    adapters: AdapterDict = None,
+    attn_impl: Optional[str] = None,
+):
+    """Run conditioning tokens (timestep 0) through all blocks once,
+    collecting per-block K/V: [depth, B, S_cond, heads, head_dim] x2.
+
+    Valid because conditioning-prefix attention makes cond activations
+    independent of noise tokens (test: test_attention.py /
+    test_dit.py::test_kv_cache_decode_matches_full_forward).
+    """
+    B = cond_latents.shape[0]
+    t0 = jnp.zeros((B,), jnp.float32)
+    x, t_emb, y, (nt, nh, nw) = _embed_inputs(
+        params, cfg, cond_latents, t0, text_emb, text_mask, adapters
+    )
+    rope_cos, rope_sin = rope_3d_angles(nt, nh, nw, cfg.rope_dims, cfg.rope_theta)
+    num_cond_tokens = nt * nh * nw  # all tokens are conditioning here
+
+    scan_xs, lora_scale = _split_adapters(adapters)
+
+    def body(carry, inp):
+        bp, ad = inp
+        blk_ad = _blk_adapter_slice(ad, lora_scale)
+        out, kv = _block(
+            bp, blk_ad, carry, t_emb, y, rope_cos, rope_sin, cfg,
+            num_cond_tokens, attn_impl, return_kv=True,
+        )
+        return out, kv
+
+    _, kv_stack = jax.lax.scan(body, x, (params["blocks"], scan_xs))
+    return kv_stack  # (k, v) each [depth, B, S_cond, nH, dh]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "num_cond_latents", "attn_impl")
+)
+def dit_forward_with_cache(
+    params: Dict[str, Any],
+    cfg: DiTConfig,
+    noise_latents: jnp.ndarray,    # [B, C, T_noise, H, W]
+    timesteps: jnp.ndarray,        # [B] or [B, N_t_noise]
+    text_emb: jnp.ndarray,
+    text_mask: Optional[jnp.ndarray],
+    kv_cache,                      # from dit_precompute_cond_cache
+    *,
+    num_cond_latents: int,
+    adapters: AdapterDict = None,
+    attn_impl: Optional[str] = None,
+) -> jnp.ndarray:
+    """Decode-phase forward: noise tokens only, self-attention against
+    [cached cond K/V ++ fresh noise K/V]. Returns velocity for the noise
+    region only: [B, C_out, T_noise, H, W] fp32."""
+    x, t_emb, y, (nt, nh, nw) = _embed_inputs(
+        params, cfg, noise_latents, timesteps, text_emb, text_mask, adapters
+    )
+    nt_cond = num_cond_latents // cfg.patch_size[0]
+    # noise-frame tokens sit after the conditioning frames in RoPE space
+    rope_cos, rope_sin = rope_3d_angles(
+        nt, nh, nw, cfg.rope_dims, cfg.rope_theta, t_offset=nt_cond
+    )
+
+    scan_xs, lora_scale = _split_adapters(adapters)
+
+    def body(carry, inp):
+        bp, ad, kv = inp
+        blk_ad = _blk_adapter_slice(ad, lora_scale)
+        out, _ = _block(
+            bp, blk_ad, carry, t_emb, y, rope_cos, rope_sin, cfg,
+            0, attn_impl, kv_cache=kv,
+        )
+        return out, None
+
+    x, _ = jax.lax.scan(body, x, (params["blocks"], scan_xs, kv_cache))
+
+    if adapters and "delta_h_final" in adapters:
+        x = x + adapters["delta_h_final"].astype(x.dtype)[None, None, None, :]
+    out = _final_layer(params, cfg, x, t_emb, nt, nh, nw)
+    if adapters and "delta_out" in adapters:
+        out = out + adapters["delta_out"].astype(out.dtype)[None, :, None, None, None]
+    return out.astype(jnp.float32)
+
+
+def count_params(params) -> int:
+    return sum(int(p.size) for p in jax.tree_util.tree_leaves(params))

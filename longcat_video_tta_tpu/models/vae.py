@@ -1,0 +1,375 @@
+"""Causal 3D VAE (WAN-style), TPU-native.
+
+Replaces the reference's ``AutoencoderKLWan`` (used at common.py:158-221):
+temporal x4 / spatial x8 compression, ``z_dim``-channel latents with
+per-channel ``latents_mean``/``latents_std`` normalization, causal
+temporal convolutions (first frame encodes independently, so
+``T_lat = 1 + (T-1)/4`` — common.py:1488-1490).
+
+TPU design notes:
+- NDHWC layout end-to-end (channels-last feeds XLA conv kernels and the
+  MXU without relayouts); the public API keeps the reference's NCTHW.
+- Causal time padding: every temporal conv pads (k_t - 1) on the left
+  only, so frame t never sees frames > t. The first pixel frame is
+  carried through a parallel stride-1 path (frame-1 "image latent"), and
+  temporal downsampling halves only frames 2..T — giving the 1+(T-1)/4
+  mapping without dynamic shapes.
+- GroupNorm + SiLU resnet blocks, spatial self-attention mid-block.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import VAEConfig, resolve_dtype
+
+
+# ---------------------------------------------------------------------------
+# Primitive ops (NDHWC)
+# ---------------------------------------------------------------------------
+
+_DN2 = ("NHWC", "HWIO", "NHWC")
+
+
+def _conv3d_via_2d(x, w, tpad: Tuple[int, int], tstride: int,
+                   spad, sstride: Tuple[int, int]):
+    """3D conv decomposed into kt 2D convs (T folded into the batch dim).
+
+    XLA:TPU's 3D convolution emitter is compile-pathological (~10-60 s per
+    op, measured on v5e via the axon tunnel); the 2D path compiles in
+    seconds and maps straight onto the MXU. Same math: out[t] =
+    sum_i conv2d(x[t*stride - (kt-1) + i], w[i]) with causal zero-padding.
+
+    x: [B, T, H, W, C]; w: [kt, kh, kw, Cin, Cout].
+    """
+    kt = w.shape[0]
+    B, T, H, W, C = x.shape
+    x = jnp.pad(x, ((0, 0), tpad, (0, 0), (0, 0), (0, 0)))
+    Tp = x.shape[1]
+    T_out = (Tp - kt) // tstride + 1
+    out = None
+    for i in range(kt):
+        xi = jax.lax.slice_in_dim(
+            x, i, i + tstride * (T_out - 1) + 1, stride=tstride, axis=1
+        )  # [B, T_out, H, W, C]
+        xi2 = xi.reshape(B * T_out, H, W, C)
+        yi = jax.lax.conv_general_dilated(
+            xi2, w[i], sstride, spad, dimension_numbers=_DN2,
+        )
+        out = yi if out is None else out + yi
+    return out.reshape(B, T_out, out.shape[1], out.shape[2], out.shape[3])
+
+
+def causal_conv3d(p, x, stride: Tuple[int, int, int] = (1, 1, 1)):
+    """3D conv with causal temporal padding and SAME spatial padding.
+
+    x: [B, T, H, W, C]; kernel: [kt, kh, kw, Cin, Cout].
+    """
+    kt, kh, kw = p["kernel"].shape[:3]
+    st, sh, sw = stride
+    pad_h = ((kh - 1) // 2, kh // 2)
+    pad_w = ((kw - 1) // 2, kw // 2)
+    y = _conv3d_via_2d(
+        x, p["kernel"].astype(x.dtype),
+        tpad=(kt - 1, 0), tstride=st, spad=(pad_h, pad_w), sstride=(sh, sw),
+    )
+    return y + p["bias"].astype(y.dtype)
+
+
+def group_norm(p, x, num_groups: int = 32, eps: float = 1e-6):
+    """GroupNorm with per-frame statistics (no reduction over T), so the
+    encoder/decoder stay temporally causal."""
+    B, T, H, W, C = x.shape
+    g = min(num_groups, C)
+    while C % g:
+        g -= 1
+    xf = x.astype(jnp.float32).reshape(B, T, H, W, g, C // g)
+    mean = jnp.mean(xf, axis=(2, 3, 5), keepdims=True)
+    var = jnp.var(xf, axis=(2, 3, 5), keepdims=True)
+    xf = (xf - mean) * jax.lax.rsqrt(var + eps)
+    xf = xf.reshape(B, T, H, W, C)
+    return (xf * p["weight"] + p["bias"]).astype(x.dtype)
+
+
+def _conv_init(key, kt, kh, kw, cin, cout, dtype):
+    fan_in = kt * kh * kw * cin
+    w = jax.random.normal(key, (kt, kh, kw, cin, cout)) * (fan_in ** -0.5)
+    return {"kernel": w.astype(dtype), "bias": jnp.zeros((cout,), dtype)}
+
+
+def _norm_init(c, dtype):
+    return {"weight": jnp.ones((c,), jnp.float32),
+            "bias": jnp.zeros((c,), jnp.float32)}
+
+
+# ---------------------------------------------------------------------------
+# Blocks
+# ---------------------------------------------------------------------------
+
+
+def _init_resblock(key, cin, cout, dtype):
+    k1, k2, k3 = jax.random.split(key, 3)
+    p = {
+        "norm1": _norm_init(cin, dtype),
+        "conv1": _conv_init(k1, 3, 3, 3, cin, cout, dtype),
+        "norm2": _norm_init(cout, dtype),
+        "conv2": _conv_init(k2, 3, 3, 3, cout, cout, dtype),
+    }
+    if cin != cout:
+        p["shortcut"] = _conv_init(k3, 1, 1, 1, cin, cout, dtype)
+    return p
+
+
+def _resblock(p, x):
+    h = causal_conv3d(p["conv1"], jax.nn.silu(group_norm(p["norm1"], x)))
+    h = causal_conv3d(p["conv2"], jax.nn.silu(group_norm(p["norm2"], h)))
+    if "shortcut" in p:
+        x = causal_conv3d(p["shortcut"], x)
+    return x + h
+
+
+def _init_attn(key, c, dtype):
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    mk = lambda k: {"kernel": (jax.random.normal(k, (c, c)) * c ** -0.5).astype(dtype),
+                    "bias": jnp.zeros((c,), dtype)}
+    return {"norm": _norm_init(c, dtype), "q": mk(k1), "k": mk(k2),
+            "v": mk(k3), "proj": mk(k4)}
+
+
+def _spatial_attn(p, x):
+    """Per-frame spatial self-attention (mid-block)."""
+    B, T, H, W, C = x.shape
+    h = group_norm(p["norm"], x).reshape(B * T, H * W, C)
+    q = h @ p["q"]["kernel"].astype(h.dtype) + p["q"]["bias"].astype(h.dtype)
+    k = h @ p["k"]["kernel"].astype(h.dtype) + p["k"]["bias"].astype(h.dtype)
+    v = h @ p["v"]["kernel"].astype(h.dtype) + p["v"]["bias"].astype(h.dtype)
+    logits = jnp.einsum("bqc,bkc->bqk", q.astype(jnp.float32),
+                        k.astype(jnp.float32)) * (C ** -0.5)
+    attn = jax.nn.softmax(logits, axis=-1)
+    o = jnp.einsum("bqk,bkc->bqc", attn, v.astype(jnp.float32)).astype(x.dtype)
+    o = o @ p["proj"]["kernel"].astype(o.dtype) + p["proj"]["bias"].astype(o.dtype)
+    return x + o.reshape(B, T, H, W, C)
+
+
+# ---------------------------------------------------------------------------
+# Temporal split helpers (first frame is its own causal chunk)
+# ---------------------------------------------------------------------------
+
+
+def _temporal_downsample(p, x):
+    """Stride-(2,1,1) causal conv on frames 2..T; frame 1 passes through a
+    1x1 conv. Keeps T -> 1 + (T-1)/2."""
+    first = causal_conv3d(p["first"], x[:, :1])
+    rest = x[:, 1:]
+    if rest.shape[1] == 0:
+        return first
+    y = _conv3d_via_2d(
+        rest, p["rest"]["kernel"].astype(x.dtype),
+        tpad=(1, 0), tstride=2, spad=((1, 1), (1, 1)), sstride=(1, 1),
+    ) + p["rest"]["bias"].astype(x.dtype)
+    return jnp.concatenate([first, y], axis=1)
+
+
+def _temporal_upsample(p, x):
+    """Inverse of _temporal_downsample: frame 1 kept, frames 2..T_lat each
+    expand to 2 frames. 1 + n -> 1 + 2n."""
+    first = causal_conv3d(p["first"], x[:, :1])
+    rest = x[:, 1:]
+    if rest.shape[1] == 0:
+        return first
+    B, T, H, W, C = rest.shape
+    y = causal_conv3d(p["rest"], rest)  # [B, T, H, W, 2C]
+    y = y.reshape(B, T, H, W, 2, y.shape[-1] // 2)
+    y = y.transpose(0, 1, 4, 2, 3, 5).reshape(B, 2 * T, H, W, y.shape[-1])
+    return jnp.concatenate([first, y], axis=1)
+
+
+def _spatial_downsample(p, x):
+    y = _conv3d_via_2d(
+        x, p["kernel"].astype(x.dtype),
+        tpad=(0, 0), tstride=1, spad=((0, 1), (0, 1)), sstride=(2, 2),
+    )
+    return y + p["bias"].astype(x.dtype)
+
+
+def _spatial_upsample(p, x):
+    B, T, H, W, C = x.shape
+    x = jnp.repeat(jnp.repeat(x, 2, axis=2), 2, axis=3)
+    return causal_conv3d(p, x)
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+
+def init_vae(rng: jax.Array, cfg: VAEConfig) -> Dict[str, Any]:
+    dtype = resolve_dtype(cfg.param_dtype)
+    dims = [cfg.base_dim * m for m in cfg.dim_mults]
+    keys = iter(jax.random.split(rng, 256))
+
+    def enc_scale(i):
+        cin = dims[i - 1] if i > 0 else dims[0]
+        cout = dims[i]
+        p = {"res": [
+            _init_resblock(next(keys), cin if j == 0 else cout, cout, dtype)
+            for j in range(cfg.num_res_blocks)
+        ]}
+        if i < len(dims) - 1:
+            p["sdown"] = _conv_init(next(keys), 1, 3, 3, cout, cout, dtype)
+            if cfg.temporal_downsample[i]:
+                p["tdown"] = {
+                    "first": _conv_init(next(keys), 1, 1, 1, cout, cout, dtype),
+                    "rest": _conv_init(next(keys), 3, 3, 3, cout, cout, dtype),
+                }
+        return p
+
+    def dec_scale(i):
+        cin = dims[i]
+        cout = dims[i - 1] if i > 0 else dims[0]
+        p = {"res": [
+            _init_resblock(next(keys), cin if j == 0 else cout, cout, dtype)
+            for j in range(cfg.num_res_blocks + 1)
+        ]}
+        if i > 0:
+            p["sup"] = _conv_init(next(keys), 1, 3, 3, cout, cout, dtype)
+            if cfg.temporal_downsample[i - 1]:
+                p["tup"] = {
+                    "first": _conv_init(next(keys), 1, 1, 1, cout, cout, dtype),
+                    "rest": _conv_init(next(keys), 3, 1, 1, cout, 2 * cout, dtype),
+                }
+        return p
+
+    mid_c = dims[-1]
+    params = {
+        "enc": {
+            "conv_in": _conv_init(next(keys), 3, 3, 3, 3, dims[0], dtype),
+            "scales": [enc_scale(i) for i in range(len(dims))],
+            "mid": {
+                "res1": _init_resblock(next(keys), mid_c, mid_c, dtype),
+                "attn": _init_attn(next(keys), mid_c, dtype),
+                "res2": _init_resblock(next(keys), mid_c, mid_c, dtype),
+            },
+            "norm_out": _norm_init(mid_c, dtype),
+            "conv_out": _conv_init(next(keys), 3, 3, 3, mid_c, 2 * cfg.z_dim, dtype),
+        },
+        "dec": {
+            "conv_in": _conv_init(next(keys), 3, 3, 3, cfg.z_dim, mid_c, dtype),
+            "mid": {
+                "res1": _init_resblock(next(keys), mid_c, mid_c, dtype),
+                "attn": _init_attn(next(keys), mid_c, dtype),
+                "res2": _init_resblock(next(keys), mid_c, mid_c, dtype),
+            },
+            "scales": [dec_scale(i) for i in range(len(dims) - 1, -1, -1)],
+            "norm_out": _norm_init(dims[0], dtype),
+            "conv_out": _conv_init(next(keys), 3, 3, 3, dims[0], 3, dtype),
+        },
+    }
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Encode / decode
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def vae_encode_moments(params, cfg: VAEConfig, video: jnp.ndarray):
+    """video [B, 3, T, H, W] in [-1, 1] -> (mean, logvar) each
+    [B, z_dim, T_lat, H/8, W/8] with T_lat = 1 + (T-1)//4."""
+    cdtype = resolve_dtype(cfg.compute_dtype)
+    x = video.transpose(0, 2, 3, 4, 1).astype(cdtype)  # NDHWC
+    e = params["enc"]
+    x = causal_conv3d(e["conv_in"], x)
+    n_scales = len(cfg.dim_mults)
+    for i in range(n_scales):
+        sp = e["scales"][i]
+        for rp in sp["res"]:
+            x = _resblock(rp, x)
+        if i < n_scales - 1:
+            x = _spatial_downsample(sp["sdown"], x)
+            if cfg.temporal_downsample[i]:
+                x = _temporal_downsample(sp["tdown"], x)
+    x = _resblock(e["mid"]["res1"], x)
+    x = _spatial_attn(e["mid"]["attn"], x)
+    x = _resblock(e["mid"]["res2"], x)
+    x = causal_conv3d(e["conv_out"], jax.nn.silu(group_norm(e["norm_out"], x)))
+    x = x.transpose(0, 4, 1, 2, 3)  # NCTHW
+    mean, logvar = jnp.split(x, 2, axis=1)
+    return mean.astype(jnp.float32), logvar.astype(jnp.float32)
+
+
+def vae_encode(params, cfg: VAEConfig, video: jnp.ndarray,
+               rng: Optional[jax.Array] = None,
+               sample: bool = False,
+               normalize: bool = True) -> jnp.ndarray:
+    """Encode to normalized latents (reference: encode_video +
+    normalize_latents, common.py:158-190). Deterministic (mode) unless
+    ``sample``."""
+    mean, logvar = vae_encode_moments(params, cfg, video)
+    z = mean
+    if sample:
+        std = jnp.exp(0.5 * jnp.clip(logvar, -30.0, 20.0))
+        z = mean + std * jax.random.normal(rng, mean.shape)
+    if normalize:
+        z = normalize_latents(cfg, z)
+    return z
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _vae_decode_core(params, cfg: VAEConfig, z: jnp.ndarray):
+    cdtype = resolve_dtype(cfg.compute_dtype)
+    x = z.transpose(0, 2, 3, 4, 1).astype(cdtype)  # NDHWC
+    d = params["dec"]
+    x = causal_conv3d(d["conv_in"], x)
+    x = _resblock(d["mid"]["res1"], x)
+    x = _spatial_attn(d["mid"]["attn"], x)
+    x = _resblock(d["mid"]["res2"], x)
+    n_scales = len(cfg.dim_mults)
+    for idx, i in enumerate(range(n_scales - 1, -1, -1)):
+        sp = d["scales"][idx]
+        for rp in sp["res"]:
+            x = _resblock(rp, x)
+        if i > 0:
+            x = _spatial_upsample(sp["sup"], x)
+            if cfg.temporal_downsample[i - 1]:
+                x = _temporal_upsample(sp["tup"], x)
+    x = causal_conv3d(d["conv_out"], jax.nn.silu(group_norm(d["norm_out"], x)))
+    return x.transpose(0, 4, 1, 2, 3).astype(jnp.float32)  # [B,3,T,H,W]
+
+
+def vae_decode(params, cfg: VAEConfig, latents: jnp.ndarray,
+               denormalize: bool = True) -> jnp.ndarray:
+    """Latents -> pixels in [0, 1] (reference: decode_latents,
+    common.py:209-221)."""
+    if denormalize:
+        latents = denormalize_latents(cfg, latents)
+    video = _vae_decode_core(params, cfg, latents)
+    return jnp.clip((video + 1.0) / 2.0, 0.0, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# Latent normalization (reference: common.py:177-206)
+# ---------------------------------------------------------------------------
+
+
+def normalize_latents(cfg: VAEConfig, z: jnp.ndarray) -> jnp.ndarray:
+    mean = jnp.asarray(cfg.latents_mean, z.dtype).reshape(1, -1, 1, 1, 1)
+    std = jnp.asarray(cfg.latents_std, z.dtype).reshape(1, -1, 1, 1, 1)
+    return (z - mean) / std
+
+
+def denormalize_latents(cfg: VAEConfig, z: jnp.ndarray) -> jnp.ndarray:
+    mean = jnp.asarray(cfg.latents_mean, z.dtype).reshape(1, -1, 1, 1, 1)
+    std = jnp.asarray(cfg.latents_std, z.dtype).reshape(1, -1, 1, 1, 1)
+    return z * std + mean
+
+
+def latent_len(num_pixel_frames: int, temporal_factor: int = 4) -> int:
+    """T_lat = 1 + (T-1)//factor (reference: common.py:1488-1490)."""
+    n = max(1, int(num_pixel_frames))
+    return 1 + (n - 1) // temporal_factor
