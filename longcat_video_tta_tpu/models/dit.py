@@ -191,6 +191,9 @@ def _embed_inputs(params, cfg: DiTConfig, latents, timesteps, text_emb,
     cdtype = resolve_dtype(cfg.compute_dtype)
     B, C, T, H, W = latents.shape
     pt, ph, pw = cfg.patch_size
+    assert T % pt == 0 and H % ph == 0 and W % pw == 0, (
+        f"latent dims {(T, H, W)} not divisible by patch {cfg.patch_size}"
+    )
     nt, nh, nw = T // pt, H // ph, W // pw
 
     x = patchify(latents.astype(cdtype), cfg.patch_size)

@@ -1,0 +1,226 @@
+"""High-level video pipeline: the TPU-native ``LongCatVideoPipeline``.
+
+Interface contract (SURVEY.md §2.8): ``generate_vc`` (video continuation
+from conditioning frames, KV-cached cond tokens, CFG, ``num_frames ≡ 1
+(mod 4)`` — common.py:566-611), ``generate_t2v``
+(t2v_experiment/scripts/run_longcat_t2v.py), prompt encoding
+(common.py:228-255: pad to 512, last_hidden_state).
+
+The ``ModelBundle`` groups params+configs for DiT / VAE / text encoder —
+the backbone-generic handle the TTA driver works against (the reference
+proves TTA is backbone-generic via backbone_experiment/, SURVEY.md §2.7).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ModelConfig
+from ..models import vae as vae_mod
+from ..models.umt5 import umt5_encode
+from ..models.vae import latent_len
+from .sampler import sample_latents
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer: HF when available, deterministic hash fallback for tests
+# ---------------------------------------------------------------------------
+
+
+class HashTokenizer:
+    """Deterministic whitespace+hash tokenizer used in tests and synthetic
+    runs (no checkpoint dir). Same contract as the HF tokenizer path:
+    (ids [1, L], mask [1, L]) padded to max_length."""
+
+    def __init__(self, vocab_size: int, max_length: int):
+        self.vocab_size = vocab_size
+        self.max_length = max_length
+
+    def __call__(self, text: str) -> Tuple[np.ndarray, np.ndarray]:
+        words = text.lower().split()[: self.max_length - 1]
+        ids = [(hash(w) % (self.vocab_size - 2)) + 2 for w in words]
+        ids.append(1)  # eos
+        n = len(ids)
+        ids = ids + [0] * (self.max_length - n)
+        mask = [1] * n + [0] * (self.max_length - n)
+        return (np.asarray(ids, np.int32)[None],
+                np.asarray(mask, np.int32)[None])
+
+
+def load_hf_tokenizer(checkpoint_dir: str, max_length: int):
+    from transformers import AutoTokenizer
+
+    tok = AutoTokenizer.from_pretrained(checkpoint_dir, subfolder="tokenizer")
+
+    def tokenize(text: str):
+        out = tok([text], padding="max_length", max_length=max_length,
+                  truncation=True, add_special_tokens=True,
+                  return_attention_mask=True, return_tensors="np")
+        return out["input_ids"].astype(np.int32), \
+            out["attention_mask"].astype(np.int32)
+
+    return tokenize
+
+
+# ---------------------------------------------------------------------------
+# ModelBundle
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class ModelBundle:
+    """All model state for one backbone (params are jax pytrees)."""
+
+    cfg: ModelConfig
+    dit_params: Dict[str, Any]
+    vae_params: Dict[str, Any]
+    text_params: Dict[str, Any]
+    tokenize: Callable[[str], Tuple[np.ndarray, np.ndarray]]
+
+    @classmethod
+    def init_random(cls, cfg: ModelConfig, seed: int = 0,
+                    zero_init_dit: bool = False) -> "ModelBundle":
+        """Random-weight bundle (tests / synthetic benchmarking)."""
+        from ..models.dit import init_dit
+        from ..models.umt5 import init_umt5
+        from ..models.vae import init_vae
+
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 3)
+        # jitted inits: eager per-leaf dispatch is pathologically slow
+        # through the TPU tunnel (see .claude/skills/verify/SKILL.md)
+        dit_params = jax.jit(
+            lambda k: init_dit(k, cfg.dit, zero_init=zero_init_dit)
+        )(k1)
+        vae_params = jax.jit(lambda k: init_vae(k, cfg.vae))(k2)
+        text_params = jax.jit(lambda k: init_umt5(k, cfg.text))(k3)
+        return cls(
+            cfg=cfg,
+            dit_params=dit_params,
+            vae_params=vae_params,
+            text_params=text_params,
+            tokenize=HashTokenizer(cfg.text.vocab_size, cfg.text.max_length),
+        )
+
+    # ------------------------------------------------------------------
+    # Prompt encoding (reference: encode_prompt, common.py:228-255)
+    # ------------------------------------------------------------------
+    def encode_prompt(self, prompt: str) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """-> (embeds [1, L, C], mask [1, L])."""
+        ids, mask = self.tokenize(prompt)
+        emb = umt5_encode(self.text_params, self.cfg.text,
+                          jnp.asarray(ids), jnp.asarray(mask))
+        return emb, jnp.asarray(mask)
+
+    # ------------------------------------------------------------------
+    # VAE helpers (reference: encode_video/decode_latents)
+    # ------------------------------------------------------------------
+    def encode_video(self, pixels: jnp.ndarray) -> jnp.ndarray:
+        """pixels [B, 3, T, H, W] in [-1, 1] -> normalized latents."""
+        return vae_mod.vae_encode(self.vae_params, self.cfg.vae, pixels)
+
+    def decode_latents(self, latents: jnp.ndarray) -> jnp.ndarray:
+        """normalized latents -> pixels [B, 3, T, H, W] in [0, 1]."""
+        return vae_mod.vae_decode(self.vae_params, self.cfg.vae, latents)
+
+
+# ---------------------------------------------------------------------------
+# Generation entry points
+# ---------------------------------------------------------------------------
+
+
+def round_frames_4k1(num_frames: int) -> int:
+    """Round generated-frame count up to 4k+1 (common.py:589-592)."""
+    f = 4
+    return ((num_frames - 1 + f - 1) // f) * f + 1
+
+
+def generate_vc(
+    bundle: ModelBundle,
+    cond_pixels: jnp.ndarray,     # [1, 3, T_cond, H, W] in [-1, 1]
+    prompt: str,
+    *,
+    num_frames: int = 93,
+    num_inference_steps: int = 50,
+    guidance_scale: float = 4.0,
+    seed: int = 42,
+    negative_prompt: str = "",
+    use_kv_cache: bool = True,
+    adapters=None,
+    attn_impl: Optional[str] = None,
+) -> np.ndarray:
+    """Video continuation. Returns generated frames [N, H, W, 3] in [0, 1]
+    (N = num_frames rounded to 4k+1), matching the contract of
+    ``generate_video_continuation`` (common.py:566-611)."""
+    cfg = bundle.cfg
+    nf = round_frames_4k1(num_frames)
+    n_gen_latents = (nf - 1) // 4 + 1
+
+    cond_latents = bundle.encode_video(cond_pixels)
+    emb, mask = bundle.encode_prompt(prompt)
+    nemb, nmask = bundle.encode_prompt(negative_prompt)
+
+    lat_h, lat_w = cond_latents.shape[3], cond_latents.shape[4]
+    gen_latents = sample_latents(
+        bundle.dit_params, cfg.dit, cfg.scheduler,
+        jax.random.PRNGKey(seed),
+        emb, mask, nemb, nmask, guidance_scale,
+        num_gen_latents=n_gen_latents,
+        num_steps=num_inference_steps,
+        lat_h=lat_h, lat_w=lat_w,
+        cond_latents=cond_latents,
+        adapters=adapters,
+        use_kv_cache=use_kv_cache,
+        attn_impl=attn_impl,
+    )
+
+    # Decode [cond | gen] together so the causal decoder sees the real
+    # temporal context, then return the generated tail.
+    full = jnp.concatenate([cond_latents, gen_latents], axis=2)
+    pixels = bundle.decode_latents(full)  # [1, 3, T_full, H, W] in [0,1]
+    gen_px = pixels[0, :, -nf:]
+    return np.asarray(gen_px.transpose(1, 2, 3, 0))  # [N, H, W, 3]
+
+
+def generate_t2v(
+    bundle: ModelBundle,
+    prompt: str,
+    *,
+    num_frames: int = 93,
+    height: int = 480,
+    width: int = 832,
+    num_inference_steps: int = 50,
+    guidance_scale: float = 4.0,
+    seed: int = 42,
+    negative_prompt: str = "",
+    adapters=None,
+    attn_impl: Optional[str] = None,
+) -> np.ndarray:
+    """Text-to-video (reference: run_longcat_t2v.py pipe.generate_t2v).
+    Returns [N, H, W, 3] in [0, 1]."""
+    cfg = bundle.cfg
+    nf = round_frames_4k1(num_frames)
+    n_lat = latent_len(nf, cfg.vae.temporal_factor)
+    sf = cfg.vae.spatial_factor
+
+    emb, mask = bundle.encode_prompt(prompt)
+    nemb, nmask = bundle.encode_prompt(negative_prompt)
+
+    latents = sample_latents(
+        bundle.dit_params, cfg.dit, cfg.scheduler,
+        jax.random.PRNGKey(seed),
+        emb, mask, nemb, nmask, guidance_scale,
+        num_gen_latents=n_lat,
+        num_steps=num_inference_steps,
+        lat_h=height // sf, lat_w=width // sf,
+        cond_latents=None,
+        adapters=adapters,
+        attn_impl=attn_impl,
+    )
+    pixels = bundle.decode_latents(latents)
+    return np.asarray(pixels[0].transpose(1, 2, 3, 0)[:nf])

@@ -1,0 +1,215 @@
+"""Flow-matching TTA losses as pure jitted functions.
+
+The four variants of the reference (SURVEY.md §2.1):
+- ``flow_matching_loss``              (common.py:274-343)
+- ``flow_matching_loss_fixed``        (common.py:346-407)
+- ``flow_matching_loss_conditioned``  (common.py:414-489, the workhorse)
+- ``flow_matching_loss_conditioned_fixed`` (common.py:492-559, early stop)
+
+Conventions (identical to the reference): x_t = (1-σ)x₀ + σε, target
+v = ε - x₀, σ ~ U[1e-3, 1], per-latent-frame timestep σ·1000, loss in
+fp32; the conditioned variants concatenate [cond_clean | noisy_target]
+with timesteps [0.., σ·1000..] and ``num_cond_latents``, MSE on the
+target slice only.
+
+Differences by design: noise comes from explicit jax PRNG keys (the
+fixed variants derive per-draw keys from a base seed) instead of torch
+global / Generator state.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import DiTConfig
+from ..models.dit import dit_forward
+
+NUM_TRAIN_TIMESTEPS = 1000.0
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "sigma_min", "sigma_max", "attn_impl")
+)
+def flow_matching_loss(
+    dit_params: Dict[str, Any],
+    cfg: DiTConfig,
+    latents: jnp.ndarray,           # [B, C, T, H, W] clean
+    text_emb: jnp.ndarray,
+    text_mask: Optional[jnp.ndarray],
+    rng: jax.Array,
+    *,
+    adapters=None,
+    sigma_min: float = 0.001,
+    sigma_max: float = 1.0,
+    attn_impl: Optional[str] = None,
+) -> jnp.ndarray:
+    """Unconditioned rectified-flow MSE (reference: common.py:274-343)."""
+    B = latents.shape[0]
+    k_sig, k_noise = jax.random.split(rng)
+    sigma = jax.random.uniform(k_sig, (B,), minval=sigma_min, maxval=sigma_max)
+    noise = jax.random.normal(k_noise, latents.shape, jnp.float32)
+    lat32 = latents.astype(jnp.float32)
+    noisy = (1.0 - sigma.reshape(B, 1, 1, 1, 1)) * lat32 \
+        + sigma.reshape(B, 1, 1, 1, 1) * noise
+    nt = latents.shape[2] // cfg.patch_size[0]
+    timestep = jnp.broadcast_to(
+        (sigma * NUM_TRAIN_TIMESTEPS)[:, None], (B, nt)
+    )
+    pred = dit_forward(
+        dit_params, cfg, noisy, timestep, text_emb, text_mask,
+        adapters=adapters, attn_impl=attn_impl,
+    )
+    target = noise - lat32
+    return jnp.mean((pred - target) ** 2)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "fixed_sigmas", "noise_draws", "attn_impl"),
+)
+def flow_matching_loss_fixed(
+    dit_params: Dict[str, Any],
+    cfg: DiTConfig,
+    latents: jnp.ndarray,
+    text_emb: jnp.ndarray,
+    text_mask: Optional[jnp.ndarray],
+    *,
+    fixed_sigmas: Tuple[float, ...],
+    noise_draws: int = 1,
+    noise_seed: int = 42,
+    adapters=None,
+    attn_impl: Optional[str] = None,
+) -> jnp.ndarray:
+    """Deterministic eval loss at fixed sigmas x seeded draws
+    (reference: common.py:346-407, seeds 42+i)."""
+    B = latents.shape[0]
+    nt = latents.shape[2] // cfg.patch_size[0]
+    lat32 = latents.astype(jnp.float32)
+    # one scanned forward instead of an unrolled sigmas x draws product
+    # (unrolling multiplies XLA compile cost by the grid size)
+    noises = jnp.stack([
+        jax.random.normal(jax.random.PRNGKey(noise_seed + d), latents.shape,
+                          jnp.float32)
+        for d in range(noise_draws)
+    ])
+    sig = jnp.repeat(jnp.asarray(fixed_sigmas, jnp.float32), noise_draws)
+    noi = jnp.concatenate([noises] * len(fixed_sigmas), axis=0)
+
+    def body(acc, sn):
+        sigma, noise = sn
+        noisy = (1.0 - sigma) * lat32 + sigma * noise
+        timestep = jnp.broadcast_to(sigma * NUM_TRAIN_TIMESTEPS, (B, nt))
+        pred = dit_forward(
+            dit_params, cfg, noisy, timestep, text_emb, text_mask,
+            adapters=adapters, attn_impl=attn_impl,
+        )
+        return acc + jnp.mean((pred - (noise - lat32)) ** 2), None
+
+    total, _ = jax.lax.scan(body, jnp.zeros(()), (sig, noi))
+    return total / sig.shape[0]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "sigma_min", "sigma_max", "attn_impl")
+)
+def flow_matching_loss_conditioned(
+    dit_params: Dict[str, Any],
+    cfg: DiTConfig,
+    cond_latents: jnp.ndarray,      # [B, C, T_cond, H, W] clean context
+    target_latents: jnp.ndarray,    # [B, C, T_target, H, W]
+    text_emb: jnp.ndarray,
+    text_mask: Optional[jnp.ndarray],
+    rng: jax.Array,
+    *,
+    adapters=None,
+    sigma_min: float = 0.001,
+    sigma_max: float = 1.0,
+    attn_impl: Optional[str] = None,
+) -> jnp.ndarray:
+    """Conditioning-aware loss replicating LongCat inference
+    (reference: common.py:414-489)."""
+    B = cond_latents.shape[0]
+    pt = cfg.patch_size[0]
+    t_cond = cond_latents.shape[2]
+    t_tgt = target_latents.shape[2]
+    n_cond, n_tgt = t_cond // pt, t_tgt // pt
+
+    k_sig, k_noise = jax.random.split(rng)
+    sigma = jax.random.uniform(k_sig, (B,), minval=sigma_min, maxval=sigma_max)
+    noise = jax.random.normal(k_noise, target_latents.shape, jnp.float32)
+    tgt32 = target_latents.astype(jnp.float32)
+    noisy_tgt = (1.0 - sigma.reshape(B, 1, 1, 1, 1)) * tgt32 \
+        + sigma.reshape(B, 1, 1, 1, 1) * noise
+
+    hidden = jnp.concatenate(
+        [cond_latents.astype(jnp.float32), noisy_tgt], axis=2
+    )
+    timestep = jnp.concatenate(
+        [
+            jnp.zeros((B, n_cond)),
+            jnp.broadcast_to((sigma * NUM_TRAIN_TIMESTEPS)[:, None],
+                             (B, n_tgt)),
+        ],
+        axis=1,
+    )
+    pred = dit_forward(
+        dit_params, cfg, hidden, timestep, text_emb, text_mask,
+        num_cond_latents=t_cond, adapters=adapters, attn_impl=attn_impl,
+    )
+    pred_tgt = pred[:, :, t_cond:]
+    return jnp.mean((pred_tgt - (noise - tgt32)) ** 2)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "fixed_sigmas", "attn_impl")
+)
+def flow_matching_loss_conditioned_fixed(
+    dit_params: Dict[str, Any],
+    cfg: DiTConfig,
+    cond_latents: jnp.ndarray,
+    target_latents: jnp.ndarray,
+    text_emb: jnp.ndarray,
+    text_mask: Optional[jnp.ndarray],
+    fixed_noises: jnp.ndarray,      # [n_draws, B, C, T_target, H, W]
+    *,
+    fixed_sigmas: Tuple[float, ...],
+    adapters=None,
+    attn_impl: Optional[str] = None,
+) -> jnp.ndarray:
+    """Deterministic conditioned anchor loss for the early stopper
+    (reference: common.py:492-559; caller supplies pre-drawn noises)."""
+    B = cond_latents.shape[0]
+    pt = cfg.patch_size[0]
+    t_cond = cond_latents.shape[2]
+    t_tgt = target_latents.shape[2]
+    n_cond, n_tgt = t_cond // pt, t_tgt // pt
+    tgt32 = target_latents.astype(jnp.float32)
+    cond32 = cond_latents.astype(jnp.float32)
+
+    n_draws = fixed_noises.shape[0]
+    # scan over the |sigmas| x |draws| grid with a single forward body
+    # (unrolling would multiply compile time by the grid size)
+    sig = jnp.repeat(jnp.asarray(fixed_sigmas, jnp.float32), n_draws)
+    noi = jnp.concatenate([fixed_noises] * len(fixed_sigmas), axis=0)
+
+    def body(acc, sn):
+        sigma, noise = sn
+        noisy = (1.0 - sigma) * tgt32 + sigma * noise
+        hidden = jnp.concatenate([cond32, noisy], axis=2)
+        timestep = jnp.concatenate(
+            [jnp.zeros((B, n_cond)),
+             jnp.broadcast_to(sigma * NUM_TRAIN_TIMESTEPS, (B, n_tgt))],
+            axis=1,
+        )
+        pred = dit_forward(
+            dit_params, cfg, hidden, timestep, text_emb, text_mask,
+            num_cond_latents=t_cond, adapters=adapters, attn_impl=attn_impl,
+        )
+        return acc + jnp.mean((pred[:, :, t_cond:] - (noise - tgt32)) ** 2), None
+
+    total, _ = jax.lax.scan(body, jnp.zeros(()), (sig, noi))
+    return total / sig.shape[0]

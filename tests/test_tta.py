@@ -1,0 +1,206 @@
+"""TTA engine: all 7 methods train, zero-init identity, the
+delta_a ≡ delta_b(G=1) equivalence (the reference validated this
+empirically as series delta_a_equiv_verify — SURVEY.md §4.4), latent
+split semantics, early stopping lifecycle."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from longcat_video_tta_tpu.config import (
+    AdapterConfig,
+    EarlyStoppingConfig,
+    FrameConfig,
+    OptimConfig,
+    longcat_tiny,
+)
+from longcat_video_tta_tpu.models.dit import dit_forward, init_dit
+from longcat_video_tta_tpu.tta import (
+    build_early_stopper,
+    build_optimizer,
+    build_scheme,
+    flow_matching_loss_conditioned,
+    make_train_step,
+    split_tta_latents,
+)
+from longcat_video_tta_tpu.tta.split import (
+    estimate_tta_split_budget,
+    resolve_frame_window,
+)
+
+CFG = longcat_tiny().dit
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = init_dit(jax.random.PRNGKey(0), CFG, zero_init=False)
+    B, C = 1, CFG.in_channels
+    latents = jax.random.normal(jax.random.PRNGKey(1), (B, C, 6, 8, 12))
+    text = jax.random.normal(jax.random.PRNGKey(2),
+                             (B, CFG.text_len, CFG.text_dim))
+    mask = jnp.ones((B, CFG.text_len), jnp.int32)
+    return params, latents, text, mask
+
+
+ALL_METHODS = [
+    AdapterConfig(method="delta_a"),
+    AdapterConfig(method="delta_b", num_groups=2, delta_target="timestep"),
+    AdapterConfig(method="delta_b", num_groups=2, delta_target="hidden",
+                  delta_dim=16),
+    AdapterConfig(method="delta_c"),
+    AdapterConfig(method="film", num_groups=2, film_mode="shift_scale"),
+    AdapterConfig(method="lora", lora_rank=2, lora_alpha=4.0,
+                  target_blocks="last_1"),
+    AdapterConfig(method="norm_tune", norm_target="all_norm"),
+    AdapterConfig(method="full"),
+]
+
+
+@pytest.mark.parametrize("acfg", ALL_METHODS,
+                         ids=lambda a: f"{a.method}-{a.delta_target}"
+                         if a.method == "delta_b" else a.method)
+def test_method_trains_and_loss_decreases_structure(acfg, setup):
+    """Every method: init -> zero-init identity vs base loss -> 3 train
+    steps run and change the trainable params."""
+    params, latents, text, mask = setup
+    cond, train, val = split_tta_latents(latents, 2, 0.25)
+
+    scheme = build_scheme(CFG, acfg)
+    tp = scheme.init(jax.random.PRNGKey(3), base_params=params)
+
+    # zero-init adapters must not change the loss vs no adapters
+    dit_params, adapters = scheme.to_forward(tp, params)
+    rng = jax.random.PRNGKey(7)
+    base_loss = flow_matching_loss_conditioned(
+        params, CFG, cond, train, text, mask, rng)
+    init_loss = flow_matching_loss_conditioned(
+        dit_params, CFG, cond, train, text, mask, rng, adapters=adapters)
+    np.testing.assert_allclose(float(init_loss), float(base_loss), rtol=1e-5)
+
+    tx = build_optimizer(OptimConfig(lr=1e-2, optimizer="adamw"))
+    step = make_train_step(scheme, CFG, tx)
+    opt_state = tx.init(tp)
+    losses = []
+    for i in range(3):
+        tp, opt_state, loss = step(tp, opt_state, params, cond, train,
+                                   text, mask, jax.random.PRNGKey(100 + i))
+        losses.append(float(loss))
+    assert all(np.isfinite(losses))
+    # params changed
+    from longcat_video_tta_tpu.utils.tree import global_norm
+    dit_params2, adapters2 = scheme.to_forward(tp, params)
+    if adapters2 is not None:
+        assert float(global_norm(jax.tree_util.tree_leaves(tp)[0])) > 0
+
+
+def test_delta_a_equiv_delta_b_group1(setup):
+    """delta_a ≡ delta_b(G=1, timestep, all blocks) at the block level:
+    with the final layer's adaLN kernel zeroed (so the only difference
+    — final-layer modulation — is removed), the two injections must
+    produce identical velocities for the same delta vector."""
+    params, latents, text, mask = setup
+    params = dict(params)
+    params["final"] = {
+        "adaln": {
+            "kernel": jnp.zeros_like(params["final"]["adaln"]["kernel"]),
+            "bias": params["final"]["adaln"]["bias"],
+        },
+        "proj": params["final"]["proj"],
+    }
+    delta = jax.random.normal(jax.random.PRNGKey(9),
+                              (CFG.adaln_tembed_dim,)) * 0.2
+    t = jnp.full((1,), 500.0)
+
+    sa = build_scheme(CFG, AdapterConfig(method="delta_a"))
+    sb = build_scheme(CFG, AdapterConfig(method="delta_b", num_groups=1,
+                                         delta_target="timestep"))
+    _, ad_a = sa.to_forward({"delta": delta}, params)
+    _, ad_b = sb.to_forward({"deltas": delta[None]}, params)
+
+    out_a = dit_forward(params, CFG, latents, t, text, mask, adapters=ad_a)
+    out_b = dit_forward(params, CFG, latents, t, text, mask, adapters=ad_b)
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b),
+                               atol=1e-5)
+
+
+def test_split_tta_latents_sizes(setup):
+    _, latents, _, _ = setup  # T=6
+    cond, train, val = split_tta_latents(latents, 2, 0.25)
+    assert cond.shape[2] == 2 and train.shape[2] == 3 and val.shape[2] == 1
+    # degenerate: cond takes all but one frame -> val absorbs remainder,
+    # then train falls back to remainder and val drops
+    cond, train, val = split_tta_latents(latents, 7, 0.25)
+    assert cond.shape[2] == 5 and train.shape[2] == 1 and val is None
+
+
+def test_estimate_budget_mirrors_split():
+    est = estimate_tta_split_budget(24, 8, 0.25)
+    # 24 frames -> 1+23//4 = 6 latents; ctx 8 -> 1+7//4 = 2
+    assert est == {"total_latents": 6, "cond_latents": 2,
+                   "train_latents": 3, "val_latents": 1}
+
+
+def test_resolve_frame_window_clamps_gt_leak():
+    f = FrameConfig(num_cond_frames=14, gen_start_frame=10,
+                    tta_total_frames=40)
+    r = resolve_frame_window(f)
+    assert r.tta_total_frames == 10
+    assert r.tta_context_frames == 10
+
+
+def test_early_stopper_lifecycle(setup):
+    params, latents, text, mask = setup
+    cond, train, val = split_tta_latents(latents, 2, 0.4)
+    scheme = build_scheme(CFG, AdapterConfig(method="delta_a"))
+    tp = scheme.init(jax.random.PRNGKey(0), base_params=params)
+
+    es = build_early_stopper(
+        EarlyStoppingConfig(check_every=1, patience=2, noise_draws=1,
+                            anchor_sigmas=(0.5,)),
+        scheme, CFG)
+    es.setup(params, cond, val, text, mask, "vid_001", tp)
+    assert len(es.loss_history) == 1
+
+    # script the anchor losses so the control logic is tested
+    # deterministically: initial was X; feed two non-improving values
+    seq = iter([es.best_loss + 1.0, es.best_loss + 2.0])
+    es._anchor_loss = lambda _tp: next(seq)
+    bad = {"delta": jnp.full_like(tp["delta"], 10.0)}
+    stop1, info1 = es.step(1, bad)
+    assert not stop1 and info1["checks_without_improvement"] == 1
+    stop2, info2 = es.step(2, bad)
+    assert stop2 and es.stopped_early
+    # restore returns the best (initial) state
+    best = es.restore()
+    np.testing.assert_allclose(np.asarray(best["delta"]),
+                               np.asarray(tp["delta"]))
+    st = es.state
+    assert st["total_checks"] == 3 and st["best_step"] == 0
+
+
+def test_early_stopper_noise_determinism():
+    from longcat_video_tta_tpu.tta.early_stopping import fixed_noise_seed
+    assert fixed_noise_seed("abc") == fixed_noise_seed("abc")
+    assert fixed_noise_seed("abc") != fixed_noise_seed("abd")
+
+
+def test_norm_tune_param_counts(setup):
+    """Partition selects exactly the norm affines (SURVEY §2.3: the three
+    scopes differ; qk_norm covers self+cross q/k RMS weights)."""
+    params, _, _, _ = setup
+    s_cross = build_scheme(CFG, AdapterConfig(method="norm_tune",
+                                              norm_target="cross_attn_norm"))
+    s_qk = build_scheme(CFG, AdapterConfig(method="norm_tune",
+                                           norm_target="qk_norm"))
+    s_all = build_scheme(CFG, AdapterConfig(method="norm_tune",
+                                            norm_target="all_norm"))
+    n_cross = s_cross.num_params(s_cross.init(None, params))
+    n_qk = s_qk.num_params(s_qk.init(None, params))
+    n_all = s_all.num_params(s_all.init(None, params))
+    L, D, dh = CFG.depth, CFG.hidden_size, CFG.head_dim
+    assert n_cross == L * D * 2
+    assert n_qk == L * dh * 4
+    assert n_all == n_cross + n_qk
