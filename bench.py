@@ -1,0 +1,115 @@
+"""Benchmark: per-video TTA cost on real TPU hardware.
+
+Measures the two hot loops of the reference workload (SURVEY.md §3.1)
+on the bench-scale flagship architecture (same 48-block geometry scaled
+to fit one v5e chip in bf16):
+
+  1. delta_a TTA train step (conditioned flow-matching fwd+bwd+AdamW)
+     at the canonical 480p cond14 window geometry
+  2. 50-step CFG video-continuation sampling with conditioning KV-cache
+
+Headline metric: mean seconds per TTA train step. vs_baseline is the
+speedup vs the reference's Delta-A wall time of 4.18 s/step
+(BASELINE.md: 20.9 s/video at 5 steps on 1x H200, 13.6 B params).
+
+Timing protocol: value-fetch based (`float()` / `np.asarray`) — through
+the axon tunnel `block_until_ready` returns at dispatch, and identical
+(executable, inputs) pairs are memoized, so every timed call uses a
+fresh rng (see .claude/skills/verify/SKILL.md).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from longcat_video_tta_tpu.config import (
+        AdapterConfig, EarlyStoppingConfig, OptimConfig, longcat_bench,
+    )
+    from longcat_video_tta_tpu.models import dit as M
+    from longcat_video_tta_tpu.pipeline.sampler import sample_latents
+    from longcat_video_tta_tpu.tta import (
+        build_optimizer, build_scheme, make_train_step, split_tta_latents,
+    )
+
+    cfg = longcat_bench()
+    dcfg = cfg.dit
+    params = jax.jit(lambda k: M.init_dit(k, dcfg, zero_init=False))(
+        jax.random.PRNGKey(0)
+    )
+    jax.block_until_ready(params)
+
+    B, lat_h, lat_w = 1, 60, 104  # 480p (832x480) latent grid
+    text = jax.random.normal(jax.random.PRNGKey(2),
+                             (B, dcfg.text_len, dcfg.text_dim), jnp.bfloat16)
+    mask = jnp.ones((B, dcfg.text_len), jnp.int32)
+
+    # canonical TTA window: cond14 pixel frames -> 4 latents,
+    # context 2 / train 1 / val 1 (es holdout 0.25 on the remainder)
+    win = jax.random.normal(jax.random.PRNGKey(4), (B, 16, 4, lat_h, lat_w))
+    c, tr, _val = split_tta_latents(win, 2, 0.25)
+
+    scheme = build_scheme(dcfg, AdapterConfig(method="delta_a"))
+    tp = scheme.init(jax.random.PRNGKey(5), base_params=params)
+    tx = build_optimizer(OptimConfig(lr=5e-3))
+    step = make_train_step(scheme, dcfg, tx)
+    opt_state = tx.init(tp)
+
+    # warmup/compile
+    tp, opt_state, loss = step(tp, opt_state, params, c, tr, text, mask,
+                               jax.random.PRNGKey(99))
+    float(loss)
+
+    n_steps = 5
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        tp, opt_state, loss = step(tp, opt_state, params, c, tr, text, mask,
+                                   jax.random.PRNGKey(100 + i))
+        float(loss)  # fetch = device sync
+    tta_step_s = (time.perf_counter() - t0) / n_steps
+
+    # 50-step CFG continuation: cond 4 latents + 8 gen latents (29 frames)
+    cond = jax.random.normal(jax.random.PRNGKey(3), (B, 16, 4, lat_h, lat_w))
+    out = sample_latents(
+        params, dcfg, cfg.scheduler, jax.random.PRNGKey(0),
+        text, mask, jnp.zeros_like(text), mask, 4.0,
+        num_gen_latents=8, num_steps=50, lat_h=lat_h, lat_w=lat_w,
+        cond_latents=cond, use_kv_cache=True,
+    )
+    np.asarray(out)  # compile+warm
+    t0 = time.perf_counter()
+    out = sample_latents(
+        params, dcfg, cfg.scheduler, jax.random.PRNGKey(1),
+        text, mask, jnp.zeros_like(text), mask, 4.0,
+        num_gen_latents=8, num_steps=50, lat_h=lat_h, lat_w=lat_w,
+        cond_latents=cond, use_kv_cache=True,
+    )
+    np.asarray(out)
+    gen_s = time.perf_counter() - t0
+    gen_fps = 29.0 / gen_s
+
+    baseline_step_s = 20.9 / 5.0  # Delta-A 5-step train_s on H200
+    print(json.dumps({
+        "metric": "delta_a_tta_step_seconds_480p",
+        "value": round(tta_step_s, 3),
+        "unit": "s/step",
+        "vs_baseline": round(baseline_step_s / tta_step_s, 3),
+        "detail": {
+            "gen_50step_cfg_29frames_s": round(gen_s, 2),
+            "gen_frames_per_s": round(gen_fps, 3),
+            "model": "longcat_bench (48-block geometry @ 2048 width, "
+                     "1.19B params, bf16, v5e-1)",
+            "baseline": "Delta-A lr5e-3 5 steps: 20.9 s/video on 1xH200 "
+                        "13.6B (summary_printout.txt:134)",
+        },
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

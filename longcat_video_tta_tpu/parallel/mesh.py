@@ -1,0 +1,57 @@
+"""Device mesh construction.
+
+SURVEY.md §2.10: the reference's NCCL process-group + LongCat context
+parallel (``init_context_parallel``, run_baseline.py:63-79; always run
+degenerate at size 1) becomes a first-class ``jax.sharding.Mesh`` with
+axes:
+
+  data     - across videos / batch (the reference's SLURM-array DP)
+  context  - across video tokens (the reference's cp_split_hw H/W split)
+  tensor   - megatron-style qkv/ffn sharding (absent in the reference;
+             needed on smaller-HBM TPUs)
+
+Collectives are inserted by XLA (GSPMD) from sharding annotations; there
+is no user-visible communication backend.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import MeshConfig
+
+AXES = ("data", "context", "tensor")
+
+
+def build_mesh(cfg: MeshConfig, devices: Optional[Sequence] = None) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    n = cfg.num_devices
+    if len(devices) < n:
+        raise ValueError(
+            f"mesh {cfg} needs {n} devices, have {len(devices)}"
+        )
+    dev = np.asarray(devices[:n]).reshape(cfg.data, cfg.context, cfg.tensor)
+    return Mesh(dev, AXES)
+
+
+def factorize_devices(n: int) -> MeshConfig:
+    """Heuristic (data, context, tensor) factorization for n devices:
+    prefer context (sequence) parallelism, then tensor, then data —
+    matching the workload (single video per step, long token axis)."""
+    import math
+
+    best = MeshConfig(data=1, context=n, tensor=1)
+    # prefer near-square context x tensor when n has factors
+    for tensor in (4, 2, 1):
+        if n % tensor == 0:
+            ctx = n // tensor
+            return MeshConfig(data=1, context=ctx, tensor=tensor)
+    return best
+
+
+def single_device_mesh() -> Mesh:
+    return Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1, 1), AXES)
