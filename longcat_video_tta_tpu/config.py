@@ -166,7 +166,9 @@ class ModelConfig:
 def longcat_13b() -> ModelConfig:
     """Flagship config: the 13.6B-param LongCat-Video DiT geometry
     (SURVEY.md §2.8: 48 blocks, hidden 4096, t-embed 512, out 16)."""
-    return ModelConfig()
+    return ModelConfig(
+        vae=VAEConfig(param_dtype="bfloat16", compute_dtype="bfloat16"),
+    )
 
 
 def longcat_tiny() -> ModelConfig:
@@ -219,6 +221,15 @@ def longcat_bench() -> ModelConfig:
             text_dim=2048,
             text_len=512,
             rope_dims=(32, 48, 48),
+        ),
+        vae=VAEConfig(param_dtype="bfloat16", compute_dtype="bfloat16"),
+        text=TextEncoderConfig(
+            vocab_size=32128,
+            d_model=2048,
+            d_kv=64,
+            num_heads=32,
+            d_ff=5120,
+            num_layers=8,
         ),
     )
 

@@ -1,0 +1,16 @@
+from .frechet import (  # noqa: F401
+    OnlineFrechetAccumulator,
+    center_crop,
+    frechet_distance,
+    load_i3d_model,
+    pad_for_i3d,
+)
+from .metrics import (  # noqa: F401
+    compute_lpips,
+    compute_psnr,
+    compute_ssim,
+    evaluate_generation_metrics,
+    psnr_per_frame,
+    ssim_per_frame,
+)
+from .vbench import VBENCH_DIMENSIONS, run_vbench  # noqa: F401

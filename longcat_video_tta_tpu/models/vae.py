@@ -343,12 +343,39 @@ def _vae_decode_core(params, cfg: VAEConfig, z: jnp.ndarray):
 
 
 def vae_decode(params, cfg: VAEConfig, latents: jnp.ndarray,
-               denormalize: bool = True) -> jnp.ndarray:
+               denormalize: bool = True,
+               chunk_latents: int = 1,
+               context_latents: int = 3) -> jnp.ndarray:
     """Latents -> pixels in [0, 1] (reference: decode_latents,
-    common.py:209-221)."""
+    common.py:209-221).
+
+    Long clips decode in sliding temporal windows: each chunk is decoded
+    together with ``context_latents`` preceding latent frames (covering
+    the decoder's temporal receptive field) whose pixels are discarded.
+    Caps peak activation memory at ~(context+chunk) latent frames of
+    full-resolution tensors — the TPU-native stand-in for the reference
+    VAE's causal feature cache. Chunk boundaries are exact up to the
+    receptive-field approximation (tested in test_vae.py).
+    """
     if denormalize:
         latents = denormalize_latents(cfg, latents)
-    video = _vae_decode_core(params, cfg, latents)
+    L = latents.shape[2]
+    if L <= context_latents + chunk_latents:
+        video = _vae_decode_core(params, cfg, latents)
+        return jnp.clip((video + 1.0) / 2.0, 0.0, 1.0)
+
+    tf = cfg.temporal_factor
+    pieces = []
+    # first window: no context, keep everything
+    first = _vae_decode_core(params, cfg, latents[:, :, :chunk_latents])
+    pieces.append(first)
+    for j in range(chunk_latents, L, chunk_latents):
+        lo = max(0, j - context_latents)
+        window = latents[:, :, lo:j + chunk_latents]
+        dec = _vae_decode_core(params, cfg, window)
+        n_keep = (min(j + chunk_latents, L) - j) * tf
+        pieces.append(dec[:, :, -n_keep:])
+    video = jnp.concatenate(pieces, axis=2)
     return jnp.clip((video + 1.0) / 2.0, 0.0, 1.0)
 
 

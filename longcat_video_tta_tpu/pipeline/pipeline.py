@@ -152,11 +152,16 @@ def generate_vc(
     negative_prompt: str = "",
     use_kv_cache: bool = True,
     adapters=None,
+    dit_params=None,
     attn_impl: Optional[str] = None,
 ) -> np.ndarray:
     """Video continuation. Returns generated frames [N, H, W, 3] in [0, 1]
     (N = num_frames rounded to 4k+1), matching the contract of
-    ``generate_video_continuation`` (common.py:566-611)."""
+    ``generate_video_continuation`` (common.py:566-611).
+
+    ``dit_params`` overrides the bundle's weights (full/norm-tune TTA
+    generate with their adapted weights; adapter methods pass
+    ``adapters`` instead — both flow through the same forward)."""
     cfg = bundle.cfg
     nf = round_frames_4k1(num_frames)
     n_gen_latents = (nf - 1) // 4 + 1
@@ -167,7 +172,8 @@ def generate_vc(
 
     lat_h, lat_w = cond_latents.shape[3], cond_latents.shape[4]
     gen_latents = sample_latents(
-        bundle.dit_params, cfg.dit, cfg.scheduler,
+        bundle.dit_params if dit_params is None else dit_params,
+        cfg.dit, cfg.scheduler,
         jax.random.PRNGKey(seed),
         emb, mask, nemb, nmask, guidance_scale,
         num_gen_latents=n_gen_latents,

@@ -1,0 +1,503 @@
+"""Unified TTA runner: one driver for all seven methods plus the no-TTA
+baseline.
+
+Replaces the reference's eight per-method runner scripts (SURVEY.md
+§2.3/2.4; canonical skeleton run_delta_b.py:451-968): parse config ->
+frame-window clamps + feature-budget guard -> seed -> resume from
+checkpoint.json -> load components -> caption-guarded video list ->
+per-video loop {CLIP gate -> decode window -> VAE encode ->
+split_tta_latents -> encode prompt -> augment -> fresh adapter ->
+optimize (jitted step, grad-clip, ES) -> restore best -> generate_vc
+with per-video seed seed+idx -> metrics + FVD -> checkpoint} ->
+summary.json.
+
+CLI:
+  python -m longcat_video_tta_tpu.runners.run_tta \
+      --method delta_a --preset longcat_tiny --synthetic 3 \
+      --output-dir /tmp/out
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import time
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="TPU-native LongCat video TTA")
+    p.add_argument("--method", default="delta_a",
+                   choices=["none", "full", "lora", "delta_a", "delta_b",
+                            "delta_c", "norm_tune", "film"])
+    p.add_argument("--checkpoint-dir", default=None,
+                   help="Converted weight dir (orbax); random init if unset")
+    p.add_argument("--data-dir", default=None)
+    p.add_argument("--output-dir", required=True)
+    p.add_argument("--preset", default="longcat_13b",
+                   choices=["longcat_13b", "longcat_tiny", "longcat_bench"])
+    p.add_argument("--synthetic", type=int, default=0,
+                   help="Generate N synthetic clips instead of --data-dir")
+    p.add_argument("--max-videos", type=int, default=100)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--height", type=int, default=480)
+    p.add_argument("--width", type=int, default=832)
+    p.add_argument("--attn-impl", default=None,
+                   choices=[None, "xla", "pallas"])
+    # optimization (reference: --delta-steps/--delta-lr etc.)
+    p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--optimizer", default="adamw", choices=["adamw", "sgd"])
+    # frames (reference: add_tta_frame_args + anchor args)
+    p.add_argument("--num-cond-frames", type=int, default=14)
+    p.add_argument("--num-frames", type=int, default=28)
+    p.add_argument("--gen-start-frame", type=int, default=32)
+    p.add_argument("--tta-total-frames", type=int, default=None)
+    p.add_argument("--tta-context-frames", type=int, default=None)
+    # generation
+    p.add_argument("--num-inference-steps", type=int, default=50)
+    p.add_argument("--guidance-scale", type=float, default=4.0)
+    p.add_argument("--no-kv-cache", action="store_true")
+    p.add_argument("--skip-generation", action="store_true")
+    p.add_argument("--no-save-videos", action="store_true")
+    # method knobs
+    p.add_argument("--lora-rank", type=int, default=8)
+    p.add_argument("--lora-alpha", type=float, default=16.0)
+    p.add_argument("--lora-target-modules", default="qkv,proj")
+    p.add_argument("--lora-target-ffn", action="store_true")
+    p.add_argument("--num-groups", type=int, default=4)
+    p.add_argument("--delta-target", default="timestep",
+                   choices=["timestep", "hidden"])
+    p.add_argument("--delta-dim", type=int, default=None)
+    p.add_argument("--target-blocks", default="all")
+    p.add_argument("--norm-target", default="cross_attn_norm",
+                   choices=["cross_attn_norm", "qk_norm", "all_norm"])
+    p.add_argument("--film-mode", default="full",
+                   choices=["full", "shift_scale", "scale_only"])
+    # early stopping (reference: add_early_stopping_args)
+    p.add_argument("--es-disable", action="store_true")
+    p.add_argument("--es-check-every", type=int, default=5)
+    p.add_argument("--es-patience", type=int, default=3)
+    p.add_argument("--es-anchor-sigmas", default="0.25,0.5,0.75")
+    p.add_argument("--es-noise-draws", type=int, default=2)
+    p.add_argument("--es-strategy", default="patience",
+                   choices=["patience", "first_rise"])
+    p.add_argument("--es-holdout-fraction", type=float, default=0.25)
+    # augmentation (reference: add_augmentation_args)
+    p.add_argument("--aug-enabled", action="store_true")
+    p.add_argument("--aug-hflip", action="store_true")
+    p.add_argument("--aug-rotate-degrees", default="")
+    p.add_argument("--aug-speed-factors", default="")
+    # caption guard / override
+    p.add_argument("--caption-guard-mode", default="fail",
+                   choices=["fail", "warn", "off"])
+    p.add_argument("--fixed-caption", default=None)
+    p.add_argument("--feature-frame-guard-mode", default="fail",
+                   choices=["fail", "warn", "off"])
+    # clip gate
+    p.add_argument("--clip-gate-enabled", action="store_true")
+    p.add_argument("--clip-gate-backend", default="clip",
+                   choices=["clip", "xclip"])
+    p.add_argument("--clip-gate-model-path", default=None)
+    p.add_argument("--clip-gate-threshold", type=float, default=0.2)
+    p.add_argument("--clip-gate-sample-frames", type=int, default=4)
+    p.add_argument("--clip-gate-sampling-mode", default="full_window",
+                   choices=["full_window", "late_only"])
+    p.add_argument("--clip-gate-late-fraction", type=float, default=0.4)
+    p.add_argument("--clip-gate-aggregate", default="mean",
+                   choices=["mean", "min", "max"])
+    p.add_argument("--clip-gate-log-only", action="store_true")
+    p.add_argument("--clip-gate-fail-closed", action="store_true")
+    # batch TTA (reference: --batch-videos/--retrieval-pool-dir)
+    p.add_argument("--batch-videos", type=int, default=1)
+    p.add_argument("--retrieval-pool-dir", default=None)
+    # online eval
+    p.add_argument("--fvd-enabled", action="store_true")
+    p.add_argument("--i3d-model-path", default=None)
+    return p
+
+
+def make_synthetic_dataset(out_dir: str, n: int, height: int, width: int,
+                           frames: int = 64, seed: int = 0) -> str:
+    """Deterministic synthetic moving-pattern clips + metadata.csv — lets
+    the whole runner execute without external datasets (this environment
+    has no video corpora; the reference's test strategy has no analogue,
+    SURVEY.md §4 gap we fill)."""
+    import csv
+
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.RandomState(seed)
+    rows = []
+    captions = ["a ball moving across the scene",
+                "waves rolling over a beach",
+                "a car driving down a road",
+                "a bird flying in the sky"]
+    for i in range(n):
+        t = np.arange(frames, dtype=np.float32)
+        yy, xx = np.meshgrid(np.linspace(0, 1, height),
+                             np.linspace(0, 1, width), indexing="ij")
+        freq = 2 + rng.rand() * 6
+        phase = rng.rand() * 6.28
+        speed = 0.02 + rng.rand() * 0.08
+        clip = np.stack([
+            0.5 + 0.5 * np.sin(
+                6.28 * (freq * (xx + speed * ti) + yy * freq / 2) + phase
+            ) for ti in t
+        ])[..., None].repeat(3, -1)
+        clip = (clip * 255).astype(np.uint8)
+        name = f"clip_{i:03d}.npy"
+        np.save(os.path.join(out_dir, name), clip)
+        rows.append({"filename": name, "caption": captions[i % len(captions)],
+                     "category": f"cat{i % 2}"})
+    with open(os.path.join(out_dir, "metadata.csv"), "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=["filename", "caption", "category"])
+        w.writeheader()
+        w.writerows(rows)
+    return out_dir
+
+
+def load_bundle(args):
+    from ..config import get_model_config
+    from ..pipeline import ModelBundle
+
+    cfg = get_model_config(args.preset)
+    if args.checkpoint_dir:
+        from ..models.convert import load_converted_bundle
+
+        return load_converted_bundle(args.checkpoint_dir, cfg)
+    print("[runner] no --checkpoint-dir: using random-init weights "
+          f"(preset {args.preset})")
+    return ModelBundle.init_random(cfg, seed=args.seed)
+
+
+def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
+    args = build_arg_parser().parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..config import (
+        AdapterConfig, AugmentationConfig, CaptionGuardConfig,
+        ClipGateConfig, EarlyStoppingConfig, FrameConfig, OptimConfig,
+    )
+    from ..data import (
+        apply_fixed_caption, build_augmented_latent_variants,
+        build_retrieval_pool, load_gt_frames, load_video_frames,
+        load_video_list, parse_speed_factors, save_video,
+        validate_caption_quality,
+    )
+    from ..eval import OnlineFrechetAccumulator, evaluate_generation_metrics
+    from ..eval.frechet import load_i3d_model
+    from ..models.vae import latent_len
+    from ..pipeline import generate_vc
+    from ..tta import (
+        build_early_stopper, build_optimizer, build_scheme,
+        make_train_step, split_tta_latents, validate_tta_feature_budget,
+    )
+    from ..tta.clip_gate import (
+        evaluate_clip_gate, make_hf_clip_scorer, make_hf_xclip_scorer,
+        summarize_clip_gate_stats,
+    )
+    from ..tta.engine import adapter_norm
+    from ..tta.split import resolve_frame_window
+    from ..utils.checkpoint import (
+        load_checkpoint, save_checkpoint, save_config, save_results,
+    )
+
+    t_start = time.time()
+    os.makedirs(args.output_dir, exist_ok=True)
+
+    # ---- configs -----------------------------------------------------
+    frames = resolve_frame_window(FrameConfig(
+        num_cond_frames=args.num_cond_frames,
+        num_frames=args.num_frames,
+        gen_start_frame=args.gen_start_frame,
+        tta_total_frames=args.tta_total_frames,
+        tta_context_frames=args.tta_context_frames,
+        height=args.height, width=args.width,
+    ))
+    is_tta = args.method != "none"
+    escfg = EarlyStoppingConfig(
+        enabled=(not args.es_disable) and is_tta,
+        check_every=args.es_check_every,
+        patience=args.es_patience,
+        anchor_sigmas=tuple(float(x) for x in args.es_anchor_sigmas.split(",")),
+        noise_draws=args.es_noise_draws,
+        strategy=args.es_strategy,
+        holdout_fraction=args.es_holdout_fraction,
+    )
+    gatecfg = ClipGateConfig(
+        enabled=args.clip_gate_enabled,
+        backend=args.clip_gate_backend,
+        threshold=args.clip_gate_threshold,
+        sample_frames=args.clip_gate_sample_frames,
+        sampling_mode=args.clip_gate_sampling_mode,
+        late_fraction=args.clip_gate_late_fraction,
+        aggregate=args.clip_gate_aggregate,
+        log_only=args.clip_gate_log_only,
+        fail_open=not args.clip_gate_fail_closed,
+    )
+    augcfg = AugmentationConfig(
+        enabled=args.aug_enabled,
+        hflip=args.aug_hflip,
+        rotate_degrees=tuple(float(x) for x in
+                             args.aug_rotate_degrees.split(",") if x.strip()),
+        speed_factors=tuple(parse_speed_factors(args.aug_speed_factors)),
+    )
+    acfg = AdapterConfig(
+        method=args.method if args.method != "none" else "delta_a",
+        lora_rank=args.lora_rank, lora_alpha=args.lora_alpha,
+        lora_target_modules=tuple(args.lora_target_modules.split(",")),
+        lora_target_ffn=args.lora_target_ffn,
+        num_groups=args.num_groups, delta_target=args.delta_target,
+        delta_dim=args.delta_dim, target_blocks=args.target_blocks,
+        norm_target=args.norm_target, film_mode=args.film_mode,
+    )
+    validate_tta_feature_budget(frames, escfg, gatecfg,
+                                args.feature_frame_guard_mode,
+                                context=args.method)
+
+    # ---- data --------------------------------------------------------
+    if args.synthetic:
+        data_dir = make_synthetic_dataset(
+            os.path.join(args.output_dir, "synthetic_data"),
+            args.synthetic, args.height, args.width, seed=args.seed)
+    else:
+        if not args.data_dir:
+            raise SystemExit("--data-dir or --synthetic required")
+        data_dir = args.data_dir
+    videos = load_video_list(data_dir, max_videos=args.max_videos,
+                             seed=args.seed)
+    apply_fixed_caption(videos, args.fixed_caption)
+    caption_stats = validate_caption_quality(
+        videos, CaptionGuardConfig(mode=args.caption_guard_mode))
+
+    # ---- model + method ----------------------------------------------
+    bundle = load_bundle(args)
+    dit_cfg = bundle.cfg.dit
+
+    scheme = build_scheme(dit_cfg, acfg) if is_tta else None
+    tx = build_optimizer(OptimConfig(
+        optimizer=args.optimizer, lr=args.lr, steps=args.steps))
+    step_fn = (make_train_step(scheme, dit_cfg, tx, attn_impl=args.attn_impl)
+               if is_tta else None)
+    stopper = (build_early_stopper(escfg, scheme, dit_cfg, args.attn_impl)
+               if is_tta else None)
+
+    gate_scorer = None
+    if gatecfg.enabled and args.clip_gate_model_path:
+        maker = (make_hf_xclip_scorer if gatecfg.backend == "xclip"
+                 else make_hf_clip_scorer)
+        gate_scorer = maker(args.clip_gate_model_path)
+
+    pool = None
+    if args.batch_videos > 1:
+        if not args.retrieval_pool_dir:
+            raise SystemExit("--retrieval-pool-dir required for batch TTA")
+        pool_entries = load_video_list(args.retrieval_pool_dir,
+                                       max_videos=10 ** 9, seed=args.seed)
+        pool = build_retrieval_pool(pool_entries)
+
+    fvd = OnlineFrechetAccumulator(
+        video_feature_fn=load_i3d_model(args.i3d_model_path)
+        if args.fvd_enabled else None,
+    )
+
+    # ---- resume --------------------------------------------------------
+    ckpt_path = os.path.join(args.output_dir, "checkpoint.json")
+    ckpt = load_checkpoint(ckpt_path)
+    start_idx = ckpt["next_idx"] if ckpt else 0
+    results: List[Dict] = ckpt["results"] if ckpt else []
+    save_config(os.path.join(args.output_dir, "config.json"), vars(args))
+
+    n_ctx_lat = latent_len(frames.tta_context_frames)
+    videos_dir = os.path.join(args.output_dir, "videos")
+
+    def encode_window(path, start):
+        px = load_video_frames(path, frames.tta_total_frames,
+                               frames.height, frames.width, start_frame=start)
+        return px, bundle.encode_video(jnp.asarray(px))
+
+    # ---- per-video loop ------------------------------------------------
+    for idx in range(start_idx, len(videos)):
+        entry = videos[idx]
+        vid_id = os.path.basename(entry["path"])
+        print(f"\n[{idx + 1}/{len(videos)}] {vid_id}")
+        t_vid = time.time()
+        res: Dict[str, Any] = {"video": vid_id, "path": entry["path"],
+                               "caption": entry["caption"], "index": idx,
+                               "success": True}
+        try:
+            tta_start = frames.gen_start_frame - frames.tta_total_frames
+            window_px, window_lat = encode_window(entry["path"], tta_start)
+
+            # CLIP gate
+            t0 = time.time()
+            gate_frames = (window_px[0].transpose(1, 2, 3, 0) + 1.0) / 2.0
+            gate = evaluate_clip_gate(gate_frames, entry["caption"], gatecfg,
+                                      gate_scorer)
+            res.update(gate)
+            res["clip_gate_eval_time"] = time.time() - t0
+
+            cond_l, train_l, val_l = split_tta_latents(
+                window_lat, n_ctx_lat, escfg.holdout_fraction)
+            emb, mask = bundle.encode_prompt(entry["caption"])
+
+            train_time = 0.0
+            es_time = 0.0
+            losses: List[float] = []
+            tp = None
+            if is_tta and not gate.get("skip_tta"):
+                variants = [{"cond": cond_l, "train": train_l, "val": val_l,
+                             "name": "orig"}]
+                if augcfg.enabled:
+                    variants = build_augmented_latent_variants(
+                        bundle, (window_px[0].transpose(1, 2, 3, 0) + 1) / 2,
+                        augcfg, n_ctx_lat, escfg.holdout_fraction,
+                        seed=args.seed + idx)
+
+                batch_data = [variants[0]]
+                if pool is not None and args.batch_videos > 1:
+                    for nb in pool.neighbors(entry["caption"], entry["path"],
+                                             args.batch_videos - 1):
+                        _, nb_lat = encode_window(nb["path"], tta_start)
+                        nc, ntr, nv = split_tta_latents(
+                            nb_lat, n_ctx_lat, escfg.holdout_fraction)
+                        nb_emb, nb_mask = bundle.encode_prompt(nb["caption"])
+                        batch_data.append({"cond": nc, "train": ntr,
+                                           "emb": nb_emb, "mask": nb_mask})
+
+                tp = scheme.init(jax.random.PRNGKey(args.seed + idx),
+                                 base_params=bundle.dit_params)
+                opt_state = tx.init(tp)
+                if stopper is not None and val_l is not None:
+                    t0 = time.time()
+                    stopper.setup(bundle.dit_params, cond_l, val_l, emb, mask,
+                                  vid_id, tp)
+                    es_time += time.time() - t0
+
+                rng_host = np.random.RandomState(args.seed + idx)
+                es_loop_time = 0.0
+                t_train = time.time()
+                for s in range(args.steps):
+                    if len(batch_data) > 1:
+                        bd = batch_data[s % len(batch_data)]
+                        c_s, t_s = bd["cond"], bd["train"]
+                        e_s = bd.get("emb", emb)
+                        m_s = bd.get("mask", mask)
+                    else:
+                        vi = rng_host.randint(len(variants))
+                        c_s, t_s = variants[vi]["cond"], variants[vi]["train"]
+                        e_s, m_s = emb, mask
+                    tp, opt_state, loss = step_fn(
+                        tp, opt_state, bundle.dit_params, c_s, t_s, e_s, m_s,
+                        jax.random.PRNGKey(args.seed * 1000 + idx * 100 + s))
+                    losses.append(float(loss))
+                    if stopper is not None and val_l is not None:
+                        t0 = time.time()
+                        stop, _info = stopper.step(s + 1, tp)
+                        es_loop_time += time.time() - t0
+                        if stop:
+                            print(f"  early stop at step {s + 1}")
+                            break
+                es_time += es_loop_time
+                train_time = time.time() - t_train - es_loop_time
+                if stopper is not None and val_l is not None:
+                    tp = stopper.restore()
+                    res["early_stopping_info"] = stopper.state
+                res["losses"] = losses
+                res["adapter_norm"] = adapter_norm(tp)
+                res["trainable_params"] = scheme.num_params(tp)
+
+            # ---- generation -------------------------------------------
+            gen_time = 0.0
+            if not args.skip_generation:
+                dit_params_override, adapters = (
+                    scheme.to_forward(tp, bundle.dit_params)
+                    if (is_tta and tp is not None) else (None, None))
+                cond_px = load_video_frames(
+                    entry["path"], frames.num_cond_frames, frames.height,
+                    frames.width,
+                    start_frame=frames.gen_start_frame - frames.num_cond_frames)
+                t0 = time.time()
+                gen = generate_vc(
+                    bundle, jnp.asarray(cond_px), entry["caption"],
+                    num_frames=frames.num_frames,
+                    num_inference_steps=args.num_inference_steps,
+                    guidance_scale=args.guidance_scale,
+                    seed=args.seed + idx,
+                    use_kv_cache=not args.no_kv_cache,
+                    adapters=adapters,
+                    dit_params=(dit_params_override
+                                if dit_params_override is not bundle.dit_params
+                                else None),
+                    attn_impl=args.attn_impl,
+                )
+                gen_time = time.time() - t0
+
+                gt = load_gt_frames(entry["path"], len(gen), frames.height,
+                                    frames.width, frames.gen_start_frame)
+                res.update(evaluate_generation_metrics(gen, gt))
+                if fvd.enabled:
+                    fvd.update(gen, gt)
+                if not args.no_save_videos:
+                    res["video_path"] = save_video(
+                        gen, os.path.join(videos_dir, f"{idx:04d}_{vid_id}.mp4"))
+
+            res["train_time"] = train_time
+            res["gen_time"] = gen_time
+            res["es_check_time"] = es_time
+            res["total_time"] = time.time() - t_vid
+            print(f"  psnr={res.get('psnr', float('nan')):.3f} "
+                  f"train={train_time:.1f}s gen={gen_time:.1f}s")
+        except Exception as e:  # per-video fault tolerance
+            import traceback
+
+            traceback.print_exc()
+            res["success"] = False
+            res["error"] = f"{type(e).__name__}: {e}"
+        results.append(res)
+        save_checkpoint(ckpt_path, idx + 1, results)
+
+    # ---- summary -------------------------------------------------------
+    ok = [r for r in results if r.get("success") and "psnr" in r]
+
+    def stats(key):
+        vals = [r[key] for r in ok if np.isfinite(r.get(key, np.nan))]
+        if not vals:
+            return None
+        return {"mean": float(np.mean(vals)), "std": float(np.std(vals)),
+                "min": float(np.min(vals)), "max": float(np.max(vals))}
+
+    summary = {
+        "method": args.method,
+        "config": vars(args),
+        "num_videos": len(results),
+        "num_success": len(ok),
+        "metrics": {k: stats(k) for k in ("psnr", "ssim", "lpips")},
+        "avg_train_time": float(np.mean([r.get("train_time", 0)
+                                         for r in ok])) if ok else None,
+        "avg_gen_time": float(np.mean([r.get("gen_time", 0)
+                                       for r in ok])) if ok else None,
+        "avg_es_check_time": float(np.mean([r.get("es_check_time", 0)
+                                            for r in ok])) if ok else None,
+        "avg_clip_gate_eval_time": float(np.mean(
+            [r.get("clip_gate_eval_time", 0) for r in ok])) if ok else None,
+        "clip_gate_stats": summarize_clip_gate_stats(results),
+        "caption_stats": caption_stats,
+        "online_eval": fvd.compute(),
+        "wall_time": time.time() - t_start,
+        "results": results,
+    }
+    save_results(os.path.join(args.output_dir, "summary.json"), summary)
+    print(f"\nDone: {len(ok)}/{len(results)} videos, "
+          f"summary at {args.output_dir}/summary.json")
+    return summary
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,155 @@
+"""CLIP gate: per-sample pre-TTA caption<->frames alignment gate.
+
+Behavior-compatible rebuild of the reference (common.py:1709-2012):
+sample k frame offsets from the TTA window (full-window linspace or
+late_only fraction), score caption vs frames with CLIP (per-image) or
+X-CLIP (video, 8-frame pad/subsample), aggregate mean/min/max, decide
+skip_tta when score < threshold; log-only and fail-open/fail-closed
+modes; rich per-video info dict and run-level stats.
+
+Scorers are pluggable (zero-egress environments have no pretrained CLIP
+downloads): ``make_hf_clip_scorer``/``make_hf_xclip_scorer`` load local
+checkpoints via transformers; tests inject stub scorers.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, List, Optional
+
+import numpy as np
+
+from ..config import ClipGateConfig
+
+# scorer: (frames [k, H, W, 3] float [0,1], caption str) -> [k] scores
+ScorerFn = Callable[[np.ndarray, str], np.ndarray]
+
+
+def sample_clip_frame_offsets(
+    window_len: int, cfg: ClipGateConfig
+) -> List[int]:
+    """Frame offsets inside the TTA window
+    (reference: _sample_clip_frame_offsets)."""
+    k = max(1, cfg.sample_frames)
+    mode = cfg.sampling_mode
+    if mode == "late_only":
+        frac = min(max(cfg.late_fraction, 1e-6), 1.0)
+        start = window_len - max(1, int(round(window_len * frac)))
+        candidates = list(range(start, window_len))
+    else:
+        candidates = list(range(window_len))
+    if len(candidates) <= k:
+        return candidates
+    idx = np.linspace(0, len(candidates) - 1, k).round().astype(int)
+    return [candidates[i] for i in idx]
+
+
+def make_hf_clip_scorer(model_path: str) -> ScorerFn:
+    """Per-image CLIP score via a local HF checkpoint
+    (reference: _get_clip_scorer, cached)."""
+    import torch
+    from transformers import CLIPModel, CLIPProcessor
+
+    model = CLIPModel.from_pretrained(model_path).eval()
+    proc = CLIPProcessor.from_pretrained(model_path)
+
+    def score(frames: np.ndarray, caption: str) -> np.ndarray:
+        images = [(f * 255).astype(np.uint8) for f in frames]
+        inputs = proc(text=[caption], images=images, return_tensors="pt",
+                      padding=True, truncation=True)
+        with torch.no_grad():
+            out = model(**inputs)
+            img = out.image_embeds / out.image_embeds.norm(dim=-1, keepdim=True)
+            txt = out.text_embeds / out.text_embeds.norm(dim=-1, keepdim=True)
+        return (img @ txt.T).squeeze(-1).numpy()
+
+    return score
+
+
+def make_hf_xclip_scorer(model_path: str) -> ScorerFn:
+    """Video-level X-CLIP score; pads/subsamples to 8 frames
+    (reference: _get_xclip_scorer)."""
+    import torch
+    from transformers import XCLIPModel, XCLIPProcessor
+
+    model = XCLIPModel.from_pretrained(model_path).eval()
+    proc = XCLIPProcessor.from_pretrained(model_path)
+
+    def score(frames: np.ndarray, caption: str) -> np.ndarray:
+        t = frames.shape[0]
+        if t < 8:
+            frames = np.concatenate(
+                [frames, np.repeat(frames[-1:], 8 - t, 0)], axis=0)
+        elif t > 8:
+            idx = np.linspace(0, t - 1, 8).round().astype(int)
+            frames = frames[idx]
+        vid = [(f * 255).astype(np.uint8) for f in frames]
+        inputs = proc(text=[caption], videos=[vid], return_tensors="pt",
+                      padding=True, truncation=True)
+        with torch.no_grad():
+            out = model(**inputs)
+            v = out.video_embeds / out.video_embeds.norm(dim=-1, keepdim=True)
+            tx = out.text_embeds / out.text_embeds.norm(dim=-1, keepdim=True)
+        return (v @ tx.T).reshape(-1).numpy()
+
+    return score
+
+
+def evaluate_clip_gate(
+    frames: np.ndarray,            # [T, H, W, 3] in [0, 1] (TTA window)
+    caption: str,
+    cfg: ClipGateConfig,
+    scorer: Optional[ScorerFn] = None,
+) -> Dict[str, Any]:
+    """Gate decision dict merged into per-video results
+    (reference: evaluate_clip_gate common.py:1806-1984)."""
+    info: Dict[str, Any] = {
+        "clip_gate_enabled": cfg.enabled,
+        "clip_gate_backend": cfg.backend,
+        "clip_gate_threshold": cfg.threshold,
+        "clip_gate_log_only": cfg.log_only,
+        "skip_tta": False,
+        "clip_gate_score": None,
+        "clip_gate_error": None,
+    }
+    if not cfg.enabled:
+        return info
+    try:
+        if scorer is None:
+            raise RuntimeError(
+                "no CLIP scorer available (no local checkpoint configured)"
+            )
+        offsets = sample_clip_frame_offsets(frames.shape[0], cfg)
+        info["clip_gate_frame_offsets"] = offsets
+        sampled = frames[np.asarray(offsets)]
+        scores = np.asarray(scorer(sampled, caption), np.float64)
+        agg = {"mean": np.mean, "min": np.min, "max": np.max}[cfg.aggregate]
+        score = float(agg(scores))
+        info["clip_gate_score"] = score
+        info["clip_gate_scores"] = [float(s) for s in scores]
+        if not cfg.log_only and score < cfg.threshold:
+            info["skip_tta"] = True
+    except Exception as e:  # fail-open / fail-closed (common.py:1976-1984)
+        info["clip_gate_error"] = f"{type(e).__name__}: {e}"
+        info["skip_tta"] = not cfg.fail_open
+    return info
+
+
+def summarize_clip_gate_stats(results: List[Dict]) -> Dict[str, Any]:
+    """Run-level gate stats (reference: summarize_clip_gate_stats)."""
+    infos = [r for r in results if r.get("clip_gate_enabled")]
+    if not infos:
+        return {"clip_gate_enabled": False}
+    scores = [r["clip_gate_score"] for r in infos
+              if r.get("clip_gate_score") is not None]
+    skipped = sum(1 for r in infos if r.get("skip_tta"))
+    errors = sum(1 for r in infos if r.get("clip_gate_error"))
+    return {
+        "clip_gate_enabled": True,
+        "num_evaluated": len(infos),
+        "num_skipped": skipped,
+        "num_errors": errors,
+        "skip_ratio": skipped / len(infos),
+        "score_mean": float(np.mean(scores)) if scores else None,
+        "score_min": float(np.min(scores)) if scores else None,
+        "score_max": float(np.max(scores)) if scores else None,
+    }

@@ -1,0 +1,179 @@
+"""Data layer + eval metrics + CLIP gate + retrieval + frechet math."""
+
+import os
+
+import numpy as np
+import pytest
+
+from longcat_video_tta_tpu.config import CaptionGuardConfig, ClipGateConfig
+from longcat_video_tta_tpu.data import (
+    analyze_caption_quality,
+    apply_fixed_caption,
+    build_retrieval_pool,
+    load_video_frames,
+    load_video_list,
+    normalize_caption,
+    save_video,
+    validate_caption_quality,
+)
+from longcat_video_tta_tpu.data.augment import (
+    build_augmented_pixel_variants, speed_clip,
+)
+from longcat_video_tta_tpu.config import AugmentationConfig
+from longcat_video_tta_tpu.eval import (
+    OnlineFrechetAccumulator,
+    compute_psnr,
+    compute_ssim,
+    evaluate_generation_metrics,
+    frechet_distance,
+    pad_for_i3d,
+)
+from longcat_video_tta_tpu.runners.run_tta import make_synthetic_dataset
+from longcat_video_tta_tpu.tta.clip_gate import (
+    evaluate_clip_gate,
+    sample_clip_frame_offsets,
+    summarize_clip_gate_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    d = tmp_path_factory.mktemp("synth")
+    return make_synthetic_dataset(str(d), 4, 32, 48, frames=40, seed=0)
+
+
+def test_load_video_list_and_frames(dataset):
+    entries = load_video_list(dataset, max_videos=3, seed=0)
+    assert len(entries) == 3
+    assert all(e["caption"] for e in entries)
+    px = load_video_frames(entries[0]["path"], 8, 32, 48, start_frame=4)
+    assert px.shape == (1, 3, 8, 32, 48)
+    assert px.min() >= -1.0 and px.max() <= 1.0
+
+
+def test_caption_normalization():
+    assert normalize_caption("['a cat', 'b']") == "a cat"
+    assert normalize_caption("  hello   world ") == "hello world"
+    assert normalize_caption(None) == ""
+
+
+def test_caption_guard_fail_on_fixed_caption(dataset):
+    entries = load_video_list(dataset, max_videos=4, seed=0)
+    apply_fixed_caption(entries, "same caption everywhere")
+    with pytest.raises(RuntimeError):
+        validate_caption_quality(entries, CaptionGuardConfig(mode="fail"))
+    # warn mode passes through
+    stats = validate_caption_quality(entries, CaptionGuardConfig(mode="warn"))
+    assert stats["unique_ratio"] < 0.5
+
+
+def test_psnr_ssim_behavior():
+    rng = np.random.RandomState(0)
+    a = rng.rand(4, 32, 32, 3).astype(np.float32)
+    assert compute_psnr(a, a) == 50.0  # clamp on identical
+    assert compute_ssim(a, a) > 0.99
+    noisy = np.clip(a + rng.randn(*a.shape) * 0.1, 0, 1).astype(np.float32)
+    m = evaluate_generation_metrics(a, noisy)
+    assert 10 < m["psnr"] < 30
+    assert 0 < m["ssim"] < 1
+    assert np.isnan(m["lpips"])  # no feature model -> NaN fallback
+
+
+def test_frechet_zero_for_identical_distributions():
+    rng = np.random.RandomState(0)
+    feats = rng.randn(500, 16)
+    mu, cov = feats.mean(0), np.cov(feats.T)
+    assert frechet_distance(mu, cov, mu, cov) < 1e-6
+    shifted = feats + 3.0
+    d = frechet_distance(mu, cov, shifted.mean(0), np.cov(shifted.T))
+    assert d > 100
+
+
+def test_online_frechet_accumulator_with_stub_features():
+    def feat(frames):
+        base = np.full(400, frames.mean())
+        return base + np.linspace(0, 1, 400) * frames.std()
+
+    acc = OnlineFrechetAccumulator(video_feature_fn=feat, min_videos=2)
+    rng = np.random.RandomState(0)
+    for _ in range(8):
+        a = rng.rand(5, 16, 16, 3)
+        acc.update(a, a + rng.rand() * 0.01)
+    out = acc.compute()
+    assert out["num_videos"] == 8
+    assert out["fvd"] is not None and out["fvd"] >= 0
+
+
+def test_pad_for_i3d():
+    assert pad_for_i3d(np.zeros((3, 8, 8, 3))).shape[0] == 9
+    assert pad_for_i3d(np.zeros((12, 8, 8, 3))).shape[0] == 12
+
+
+def test_clip_gate_with_stub_scorer():
+    frames = np.random.RandomState(0).rand(10, 16, 16, 3)
+    cfg = ClipGateConfig(enabled=True, threshold=0.5, sample_frames=4)
+    low = evaluate_clip_gate(frames, "x", cfg,
+                             scorer=lambda f, c: np.full(len(f), 0.1))
+    assert low["skip_tta"] and low["clip_gate_score"] == pytest.approx(0.1)
+    high = evaluate_clip_gate(frames, "x", cfg,
+                              scorer=lambda f, c: np.full(len(f), 0.9))
+    assert not high["skip_tta"]
+    # log-only never skips
+    log_cfg = ClipGateConfig(enabled=True, threshold=0.5, log_only=True)
+    lo = evaluate_clip_gate(frames, "x", log_cfg,
+                            scorer=lambda f, c: np.full(4, 0.1))
+    assert not lo["skip_tta"]
+    # fail-open on scorer error
+    open_cfg = ClipGateConfig(enabled=True, fail_open=True)
+    e = evaluate_clip_gate(frames, "x", open_cfg, scorer=None)
+    assert not e["skip_tta"] and e["clip_gate_error"]
+    closed_cfg = ClipGateConfig(enabled=True, fail_open=False)
+    e2 = evaluate_clip_gate(frames, "x", closed_cfg, scorer=None)
+    assert e2["skip_tta"]
+    stats = summarize_clip_gate_stats([low, high, lo, e, e2])
+    assert stats["num_evaluated"] == 5 and stats["num_skipped"] == 2
+
+
+def test_clip_gate_offset_sampling():
+    cfg = ClipGateConfig(sample_frames=4)
+    offs = sample_clip_frame_offsets(20, cfg)
+    assert len(offs) == 4 and offs[0] == 0 and offs[-1] == 19
+    late = ClipGateConfig(sample_frames=4, sampling_mode="late_only",
+                          late_fraction=0.25)
+    offs = sample_clip_frame_offsets(20, late)
+    assert all(o >= 15 for o in offs)
+
+
+def test_retrieval_pool_excludes_query():
+    entries = [
+        {"path": f"/v/{i}.mp4", "caption": c, "category": ""}
+        for i, c in enumerate([
+            "a dog running in a park",
+            "a dog playing in a park",
+            "a rocket launching into space",
+            "stock market charts on a screen",
+        ])
+    ]
+    pool = build_retrieval_pool(entries)
+    nbs = pool.neighbors("a dog running in a park", "/v/0.mp4", k=2)
+    assert all(n["path"] != "/v/0.mp4" for n in nbs)
+    assert nbs[0]["path"] == "/v/1.mp4"  # nearest is the other dog video
+
+
+def test_augmentation_variants():
+    frames = np.random.RandomState(0).rand(8, 16, 24, 3).astype(np.float32)
+    cfg = AugmentationConfig(enabled=True, hflip=True,
+                             rotate_degrees=(10.0,), speed_factors=(2.0,))
+    vs = build_augmented_pixel_variants(frames, cfg)
+    names = [v["name"] for v in vs]
+    assert names[0] == "orig" and "hflip" in names
+    assert all(v["frames"].shape == frames.shape for v in vs)
+    np.testing.assert_allclose(vs[1]["frames"], frames[:, :, ::-1])
+    sp = speed_clip(frames, 2.0)
+    np.testing.assert_allclose(sp[1], frames[2])
+
+
+def test_save_video_npy_fallback(tmp_path):
+    frames = np.random.RandomState(0).rand(4, 16, 16, 3)
+    path = save_video(frames, str(tmp_path / "out.npy"))
+    assert os.path.exists(path)

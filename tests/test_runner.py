@@ -1,0 +1,154 @@
+"""End-to-end runner: tiny synthetic TTA run, resume, summary schema,
+baseline runner, converter round-trip."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from longcat_video_tta_tpu.runners import run_baseline, run_tta
+
+
+def _run(tmp_path, method="delta_a", extra=()):
+    out = str(tmp_path / f"out_{method}")
+    argv = [
+        "--method", method, "--preset", "longcat_tiny",
+        "--synthetic", "2", "--output-dir", out,
+        "--height", "16", "--width", "32",
+        "--num-cond-frames", "5", "--num-frames", "5",
+        "--gen-start-frame", "16", "--tta-total-frames", "13",
+        "--tta-context-frames", "5",
+        "--steps", "2", "--num-inference-steps", "2",
+        "--es-check-every", "1", "--es-noise-draws", "1",
+        "--es-anchor-sigmas", "0.5",
+        "--caption-guard-mode", "off",
+        "--no-save-videos",
+        "--attn-impl", "xla",
+        *extra,
+    ]
+    return out, run_tta.main(argv)
+
+
+def test_delta_a_end_to_end(tmp_path):
+    out, summary = _run(tmp_path, "delta_a")
+    assert summary["num_success"] == 2
+    assert summary["metrics"]["psnr"]["mean"] > 0
+    assert os.path.exists(os.path.join(out, "summary.json"))
+    assert os.path.exists(os.path.join(out, "checkpoint.json"))
+    assert os.path.exists(os.path.join(out, "config.json"))
+    r0 = summary["results"][0]
+    assert r0["losses"] and r0["trainable_params"] == 32  # tiny adaln dim
+    assert r0["early_stopping_info"]["loss_history"]
+
+
+def test_baseline_end_to_end(tmp_path):
+    out = str(tmp_path / "base")
+    summary = run_baseline.main([
+        "--preset", "longcat_tiny", "--synthetic", "2", "--output-dir", out,
+        "--height", "16", "--width", "32",
+        "--num-cond-frames", "5", "--num-frames", "5",
+        "--gen-start-frame", "16",
+        "--num-inference-steps", "2",
+        "--caption-guard-mode", "off", "--no-save-videos",
+        "--attn-impl", "xla",
+    ])
+    assert summary["method"] == "none"
+    assert summary["num_success"] == 2
+    assert summary["avg_train_time"] == 0.0
+    assert os.path.exists(os.path.join(out, "per_video_metrics.csv"))
+
+
+def test_resume_skips_completed(tmp_path):
+    out, summary = _run(tmp_path, "delta_c")
+    # re-run: checkpoint says next_idx=2 -> no new work, same results
+    out2, summary2 = _run(tmp_path, "delta_c")
+    assert summary2["num_videos"] == 2
+    assert [r["video"] for r in summary2["results"]] == \
+        [r["video"] for r in summary["results"]]
+
+
+def test_lora_method_end_to_end(tmp_path):
+    out, summary = _run(tmp_path, "lora",
+                        extra=("--lora-rank", "2", "--target-blocks",
+                               "last_1"))
+    assert summary["num_success"] == 2
+    assert summary["results"][0]["trainable_params"] > 0
+
+
+def test_convert_roundtrip(tmp_path):
+    """Synthetic torch-layout state_dict -> our tree -> forward works."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from longcat_video_tta_tpu.config import longcat_tiny
+    from longcat_video_tta_tpu.models import dit as M
+    from longcat_video_tta_tpu.models.convert import convert_torch_dit_state
+
+    cfg = longcat_tiny().dit
+    rng = np.random.RandomState(0)
+    D, Ct, F, dh, L = (cfg.hidden_size, cfg.adaln_tembed_dim, cfg.ffn_dim,
+                       cfg.head_dim, cfg.depth)
+    pdim = cfg.patch_size[0] * cfg.patch_size[1] * cfg.patch_size[2] \
+        * cfg.in_channels
+    out_dim = cfg.patch_size[0] * cfg.patch_size[1] * cfg.patch_size[2] \
+        * cfg.out_channels
+
+    def lin(o, i):
+        return rng.randn(o, i).astype(np.float32) * 0.02
+
+    sd = {
+        "x_embedder.proj.weight": lin(D, pdim),
+        "x_embedder.proj.bias": np.zeros(D, np.float32),
+        "t_embedder.mlp.0.weight": lin(Ct, cfg.t_embed_freq_dim),
+        "t_embedder.mlp.0.bias": np.zeros(Ct, np.float32),
+        "t_embedder.mlp.2.weight": lin(Ct, Ct),
+        "t_embedder.mlp.2.bias": np.zeros(Ct, np.float32),
+        "y_embedder.y_proj.0.weight": lin(D, cfg.text_dim),
+        "y_embedder.y_proj.0.bias": np.zeros(D, np.float32),
+        "y_embedder.y_proj.2.weight": lin(D, D),
+        "y_embedder.y_proj.2.bias": np.zeros(D, np.float32),
+        "final_layer.adaLN_modulation.1.weight": lin(2 * D, Ct),
+        "final_layer.adaLN_modulation.1.bias": np.zeros(2 * D, np.float32),
+        "final_layer.linear.weight": lin(out_dim, D),
+        "final_layer.linear.bias": np.zeros(out_dim, np.float32),
+    }
+    for i in range(L):
+        sd.update({
+            f"blocks.{i}.adaLN_modulation.1.weight": lin(6 * D, Ct),
+            f"blocks.{i}.adaLN_modulation.1.bias": np.zeros(6 * D, np.float32),
+            f"blocks.{i}.attn.qkv.weight": lin(3 * D, D),
+            f"blocks.{i}.attn.qkv.bias": np.zeros(3 * D, np.float32),
+            f"blocks.{i}.attn.proj.weight": lin(D, D),
+            f"blocks.{i}.attn.proj.bias": np.zeros(D, np.float32),
+            f"blocks.{i}.attn.q_norm.weight": np.ones(dh, np.float32),
+            f"blocks.{i}.attn.k_norm.weight": np.ones(dh, np.float32),
+            f"blocks.{i}.cross_attn.q_linear.weight": lin(D, D),
+            f"blocks.{i}.cross_attn.q_linear.bias": np.zeros(D, np.float32),
+            f"blocks.{i}.cross_attn.kv_linear.weight": lin(2 * D, D),
+            f"blocks.{i}.cross_attn.kv_linear.bias": np.zeros(2 * D, np.float32),
+            f"blocks.{i}.cross_attn.proj.weight": lin(D, D),
+            f"blocks.{i}.cross_attn.proj.bias": np.zeros(D, np.float32),
+            f"blocks.{i}.cross_attn.q_norm.weight": np.ones(dh, np.float32),
+            f"blocks.{i}.cross_attn.k_norm.weight": np.ones(dh, np.float32),
+            f"blocks.{i}.pre_crs_attn_norm.weight": np.ones(D, np.float32),
+            f"blocks.{i}.pre_crs_attn_norm.bias": np.zeros(D, np.float32),
+            f"blocks.{i}.ffn.w1.weight": lin(F, D),
+            f"blocks.{i}.ffn.w3.weight": lin(F, D),
+            f"blocks.{i}.ffn.w2.weight": lin(D, F),
+        })
+
+    params = convert_torch_dit_state(sd, cfg)
+    # shape-compatible with init_dit
+    ref_shapes = jax.eval_shape(lambda k: M.init_dit(k, cfg),
+                                jax.random.PRNGKey(0))
+    got = jax.tree_util.tree_map(lambda x: x.shape, params)
+    want = jax.tree_util.tree_map(lambda x: x.shape, ref_shapes)
+    assert got == want
+    # and the converted tree runs
+    lat = jnp.zeros((1, cfg.in_channels, 2, 4, 4))
+    text = jnp.zeros((1, cfg.text_len, cfg.text_dim))
+    mask = jnp.ones((1, cfg.text_len), jnp.int32)
+    out = M.dit_forward(params, cfg, lat, jnp.zeros((1,)), text, mask)
+    assert np.isfinite(np.asarray(out)).all()

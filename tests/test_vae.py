@@ -77,3 +77,18 @@ def test_latent_len():
     assert V.latent_len(13) == 4
     assert V.latent_len(14) == 4
     assert V.latent_len(93) == 24
+
+
+def test_chunked_decode_close_to_full(setup):
+    """Sliding-window decode must match the monolithic decode within the
+    receptive-field approximation (context >= decoder temporal RF)."""
+    params, video = setup
+    z = V.vae_encode(params, CFG, video)  # 4 latents
+    full = V.vae_decode(params, CFG, z)
+    chunked = V.vae_decode(params, CFG, z, chunk_latents=1,
+                           context_latents=3)
+    assert chunked.shape == full.shape
+    np.testing.assert_allclose(np.asarray(chunked), np.asarray(full),
+                               atol=5e-2)
+    err = float(jnp.mean(jnp.abs(chunked - full)))
+    assert err < 5e-3, f"mean decode chunking error {err}"
