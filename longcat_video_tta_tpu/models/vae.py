@@ -51,11 +51,20 @@ def _conv3d_via_2d(x, w, tpad: Tuple[int, int], tstride: int,
     x = jnp.pad(x, ((0, 0), tpad, (0, 0), (0, 0), (0, 0)))
     Tp = x.shape[1]
     T_out = (Tp - kt) // tstride + 1
+    if tstride > 1:
+        # de-interleave via reshape instead of a strided slice: strided
+        # slices fault the TPU worker through the axon runtime (observed
+        # kernel crash), and the reshape form lowers cleanly everywhere.
+        L = ((Tp + tstride - 1) // tstride) * tstride
+        xq = jnp.pad(x, ((0, 0), (0, L - Tp), (0, 0), (0, 0), (0, 0)))
+        xq = xq.reshape(B, L // tstride, tstride, H, W, C)
     out = None
     for i in range(kt):
-        xi = jax.lax.slice_in_dim(
-            x, i, i + tstride * (T_out - 1) + 1, stride=tstride, axis=1
-        )  # [B, T_out, H, W, C]
+        if tstride > 1:
+            row0 = i // tstride
+            xi = xq[:, row0:row0 + T_out, i % tstride]
+        else:
+            xi = jax.lax.slice_in_dim(x, i, i + T_out, axis=1)
         xi2 = xi.reshape(B * T_out, H, W, C)
         yi = jax.lax.conv_general_dilated(
             xi2, w[i], sstride, spad, dimension_numbers=_DN2,

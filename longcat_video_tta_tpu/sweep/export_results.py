@@ -1,0 +1,170 @@
+"""Results aggregation: walk run dirs, extract metrics, match each TTA
+run to its cond/gen-matched no-TTA baseline, emit all_results.json +
+console tables.
+
+Behavior-compatible rebuild of export_all_results.py (SURVEY.md §2.6):
+Phase 1 collect (``extract_run``: summary/config/checkpoint ->
+mean/std/median metrics, timing, final-loss, ES stop stats, trainable
+params), Phase 2 baseline matching on (dataset, cond, gen), Phase 3
+series metadata from the sweep YAMLs, Phase 4 JSON + console tables with
+delta-vs-baseline columns.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+
+def extract_run(run_dir: str) -> Optional[Dict[str, Any]]:
+    """One run dir -> flat record (reference: extract_run,
+    export_all_results.py:104-267)."""
+    summary_path = os.path.join(run_dir, "summary.json")
+    ckpt_path = os.path.join(run_dir, "checkpoint.json")
+    status = "complete" if os.path.exists(summary_path) else (
+        "in_progress" if os.path.exists(ckpt_path) else "failed_empty")
+    rec: Dict[str, Any] = {
+        "run_dir": run_dir,
+        "run_id": os.path.basename(run_dir),
+        "series": os.path.basename(os.path.dirname(run_dir)),
+        "status": status,
+    }
+    if status != "complete":
+        return rec
+
+    with open(summary_path) as f:
+        summary = json.load(f)
+    cfg = summary.get("config", {})
+    results = [r for r in summary.get("results", [])
+               if r.get("success") and "psnr" in r]
+    rec.update({
+        "method": summary.get("method"),
+        "num_videos": summary.get("num_videos"),
+        "num_success": summary.get("num_success"),
+        "dataset": os.path.basename(str(cfg.get("data_dir") or
+                                        ("synthetic" if cfg.get("synthetic")
+                                         else ""))),
+        "cond": cfg.get("num_cond_frames"),
+        "gen": cfg.get("num_frames"),
+        "lr": cfg.get("lr"),
+        "steps": cfg.get("steps"),
+        "seed": cfg.get("seed"),
+    })
+    for key in ("psnr", "ssim", "lpips"):
+        vals = [r[key] for r in results if np.isfinite(r.get(key, np.nan))]
+        if vals:
+            rec[f"{key}_mean"] = float(np.mean(vals))
+            rec[f"{key}_std"] = float(np.std(vals))
+            rec[f"{key}_median"] = float(np.median(vals))
+    rec["avg_train_time"] = summary.get("avg_train_time")
+    rec["avg_gen_time"] = summary.get("avg_gen_time")
+    rec["avg_es_check_time"] = summary.get("avg_es_check_time")
+    # final-loss + ES stop stats
+    final_losses, stopped = [], 0
+    trainable = None
+    for r in results:
+        if r.get("losses"):
+            final_losses.append(r["losses"][-1])
+        es = r.get("early_stopping_info") or {}
+        if es.get("stopped_early"):
+            stopped += 1
+        trainable = r.get("trainable_params", trainable)
+    if final_losses:
+        rec["final_loss_mean"] = float(np.mean(final_losses))
+    rec["es_stopped_ratio"] = (stopped / len(results)) if results else None
+    rec["trainable_params"] = trainable
+    fvd = (summary.get("online_eval") or {}).get("fvd")
+    if fvd is not None:
+        rec["fvd"] = fvd
+    return rec
+
+
+def collect_all_runs(results_roots: List[str]) -> List[Dict[str, Any]]:
+    """Walk results*/<series>/<run_id> (export_all_results.py:269)."""
+    runs = []
+    for root in results_roots:
+        for summary in glob.glob(os.path.join(root, "*", "*", "summary.json")):
+            rec = extract_run(os.path.dirname(summary))
+            if rec:
+                runs.append(rec)
+        # also pick up in-progress/failed dirs
+        for d in glob.glob(os.path.join(root, "*", "*")):
+            if os.path.isdir(d) and not os.path.exists(
+                    os.path.join(d, "summary.json")):
+                rec = extract_run(d)
+                if rec:
+                    runs.append(rec)
+    return runs
+
+
+def build_baseline_index(runs: List[Dict]) -> Dict[tuple, Dict]:
+    """(dataset, cond, gen) -> baseline record
+    (export_all_results.py:376-415)."""
+    index = {}
+    for r in runs:
+        if r.get("status") == "complete" and r.get("method") == "none":
+            index[(r.get("dataset"), r.get("cond"), r.get("gen"))] = r
+    return index
+
+
+def match_baselines(runs: List[Dict]) -> None:
+    """Attach baseline deltas in place (export_all_results.py:436-509)."""
+    index = build_baseline_index(runs)
+    for r in runs:
+        if r.get("status") != "complete" or r.get("method") in (None, "none"):
+            continue
+        base = index.get((r.get("dataset"), r.get("cond"), r.get("gen")))
+        if base is None:
+            r["baseline_matched"] = False
+            continue
+        r["baseline_matched"] = True
+        r["baseline_run_id"] = base["run_id"]
+        for key in ("psnr", "ssim", "lpips"):
+            if f"{key}_mean" in r and f"{key}_mean" in base:
+                r[f"delta_{key}"] = r[f"{key}_mean"] - base[f"{key}_mean"]
+
+
+def print_report(runs: List[Dict]) -> str:
+    lines = []
+    complete = [r for r in runs if r.get("status") == "complete"]
+    lines.append(f"{'series':<24} {'run_id':<20} {'method':<10} "
+                 f"{'PSNR':>7} {'ΔPSNR':>7} {'SSIM':>6} {'train_s':>8}")
+    lines.append("-" * 90)
+    for r in sorted(complete, key=lambda x: (x["series"], x["run_id"])):
+        lines.append(
+            f"{r['series']:<24} {r['run_id']:<20} "
+            f"{str(r.get('method')):<10} "
+            f"{r.get('psnr_mean', float('nan')):>7.3f} "
+            f"{r.get('delta_psnr', float('nan')):>7.3f} "
+            f"{r.get('ssim_mean', float('nan')):>6.3f} "
+            f"{r.get('avg_train_time') or 0:>8.1f}"
+        )
+    n_total = len(runs)
+    lines.append("-" * 90)
+    lines.append(f"{len(complete)} complete / {n_total} total runs")
+    report = "\n".join(lines)
+    print(report)
+    return report
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="Aggregate sweep results")
+    p.add_argument("--results-roots", nargs="+", default=["results"])
+    p.add_argument("--output", default="all_results.json")
+    args = p.parse_args(argv)
+    runs = collect_all_runs(args.results_roots)
+    match_baselines(runs)
+    with open(args.output, "w") as f:
+        json.dump({"runs": runs}, f, indent=2)
+    print_report(runs)
+    print(f"\nwrote {args.output} ({len(runs)} runs)")
+    return runs
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,109 @@
+"""Sweep runner + export + baseline matching + loss curves + figures,
+end-to-end on a tiny synthetic sweep."""
+
+import json
+import os
+
+import pytest
+import yaml
+
+from longcat_video_tta_tpu.sweep import export_loss_curves, export_results, figures
+from longcat_video_tta_tpu.sweep.run_sweep import (
+    build_argv, estimate_minutes, load_config, run_sweep,
+)
+
+
+def test_load_config_validation(tmp_path):
+    bad = tmp_path / "bad.yaml"
+    bad.write_text("method: delta_a\nseries: x\n")
+    with pytest.raises(ValueError):
+        load_config(str(bad))
+
+
+def test_build_argv_rejects_unknown_key():
+    with pytest.raises(ValueError):
+        build_argv("delta_a", {"not_a_key": 1}, "/tmp/o", None)
+
+
+def test_estimate_minutes_scales():
+    a = estimate_minutes("delta_a", {"max_videos": 10, "steps": 5})
+    b = estimate_minutes("full", {"max_videos": 10, "steps": 5})
+    assert b > a > 0
+
+
+@pytest.fixture(scope="module")
+def sweep_out(tmp_path_factory):
+    """Run the smoke sweep: one delta_a row + one baseline row."""
+    out = str(tmp_path_factory.mktemp("sweep"))
+    cfg = yaml.safe_load(open("configs/smoke_tiny.yaml"))
+    # turn the second row into a matched baseline run
+    import copy
+
+    cfg_tta = copy.deepcopy(cfg)
+    cfg_tta["sweep"] = [cfg["sweep"][0]]
+    cfg_base = copy.deepcopy(cfg)
+    cfg_base["method"] = "none"
+    cfg_base["series"] = cfg_base["series_name"] = "smoke_baseline"
+    cfg_base["sweep"] = [cfg["sweep"][1]]
+    import os
+
+    p1 = os.path.join(out, "tta.yaml")
+    p2 = os.path.join(out, "base.yaml")
+    yaml.safe_dump(cfg_tta, open(p1, "w"))
+    yaml.safe_dump(cfg_base, open(p2, "w"))
+    results_base = os.path.join(out, "results")
+    r1 = run_sweep(p1, results_base)
+    r2 = run_sweep(p2, results_base)
+    return out, results_base, r1 + r2
+
+
+def test_sweep_runs_complete(sweep_out):
+    _, results_base, launched = sweep_out
+    assert all(l["status"] == "ok" for l in launched)
+    assert os.path.exists(os.path.join(
+        results_base, "smoke_tiny", "lr1e-2", "summary.json"))
+
+
+def test_sweep_resume_skips(sweep_out):
+    out, results_base, _ = sweep_out
+    again = run_sweep(os.path.join(out, "tta.yaml"), results_base)
+    assert "skipped" in again[0]["status"]
+
+
+def test_dry_run(sweep_out):
+    out, results_base, _ = sweep_out
+    rows = run_sweep(os.path.join(out, "tta.yaml"),
+                     results_base + "_dry", dry_run=True)
+    assert rows[0]["status"] == "dry-run" and "--lr" in rows[0]["argv"]
+
+
+def test_export_and_baseline_matching(sweep_out):
+    out, results_base, _ = sweep_out
+    all_results = os.path.join(out, "all_results.json")
+    runs = export_results.main(["--results-roots", results_base,
+                                "--output", all_results])
+    complete = [r for r in runs if r["status"] == "complete"]
+    assert len(complete) == 2
+    tta = next(r for r in complete if r["method"] == "delta_a")
+    assert tta["baseline_matched"] is True
+    assert "delta_psnr" in tta
+    assert tta["trainable_params"] == 32
+
+
+def test_loss_curves_and_figures(sweep_out):
+    out, results_base, _ = sweep_out
+    all_results = os.path.join(out, "all_results.json")
+    curves_path = os.path.join(out, "loss_curves.json")
+    if not os.path.exists(all_results):
+        export_results.main(["--results-roots", results_base,
+                             "--output", all_results])
+    curves = export_loss_curves.main(["--results-roots", results_base,
+                                      "--output", curves_path])
+    assert curves and curves[0]["mean"]
+    fig_dir = os.path.join(out, "figs")
+    made = figures.main(["--all-results", all_results,
+                         "--loss-curves", curves_path,
+                         "--output-dir", fig_dir])
+    assert len(made) >= 3
+    assert any("method_comparison" in m for m in made)
+    assert any("loss_curves" in m for m in made)
