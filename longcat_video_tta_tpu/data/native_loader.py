@@ -1,0 +1,118 @@
+"""ctypes binding for the C++ prefetch loader (native/prefetch.cpp).
+
+Builds the shared library with g++ on first use (cached under
+native/build/); falls back to a synchronous Python loader when the
+toolchain or the .so is unavailable, preserving the iterator contract:
+
+    for idx, clip in ClipPrefetcher(paths, num_frames, start, h, w):
+        # clip: np.float32 [3, T, H, W] in [-1, 1]
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Iterator, List, Optional, Tuple
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "native")
+_SRC = os.path.join(_NATIVE_DIR, "prefetch.cpp")
+_SO = os.path.join(_NATIVE_DIR, "build", "libprefetch.so")
+
+_lib = None
+_lib_failed = False
+
+
+def _build_lib() -> Optional[ctypes.CDLL]:
+    global _lib, _lib_failed
+    if _lib is not None:
+        return _lib
+    if _lib_failed:
+        return None
+    try:
+        if not os.path.exists(_SO) or (
+            os.path.getmtime(_SO) < os.path.getmtime(_SRC)
+        ):
+            os.makedirs(os.path.dirname(_SO), exist_ok=True)
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-std=c++17", "-shared",
+                 "-fPIC", "-pthread", _SRC, "-o", _SO],
+                check=True, capture_output=True,
+            )
+        lib = ctypes.CDLL(_SO)
+        lib.pf_create.restype = ctypes.c_void_p
+        lib.pf_create.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_long, ctypes.c_long,
+            ctypes.c_long, ctypes.c_long, ctypes.c_long, ctypes.c_int,
+            ctypes.c_long,
+        ]
+        lib.pf_next.restype = ctypes.c_int
+        lib.pf_next.argtypes = [ctypes.c_void_p,
+                                ctypes.POINTER(ctypes.c_float),
+                                ctypes.POINTER(ctypes.c_long)]
+        lib.pf_destroy.argtypes = [ctypes.c_void_p]
+        _lib = lib
+        return lib
+    except Exception as e:  # toolchain missing / build failure
+        print(f"[native_loader] falling back to python loader: {e}")
+        _lib_failed = True
+        return None
+
+
+class ClipPrefetcher:
+    """Iterate (index, clip[3,T,H,W] float32 in [-1,1]) over .npy paths,
+    decoded + resized ahead of time by C++ worker threads."""
+
+    def __init__(self, paths: List[str], num_frames: int, start_frame: int,
+                 height: int, width: int, workers: int = 3,
+                 queue_cap: int = 4, force_python: bool = False):
+        self.paths = list(paths)
+        self.num_frames = num_frames
+        self.start_frame = start_frame
+        self.height = height
+        self.width = width
+        self.workers = workers
+        self.queue_cap = queue_cap
+        self._native = (not force_python
+                        and all(p.endswith(".npy") for p in self.paths)
+                        and _build_lib() is not None)
+
+    def __iter__(self) -> Iterator[Tuple[int, np.ndarray]]:
+        if self._native:
+            yield from self._iter_native()
+        else:
+            yield from self._iter_python()
+
+    def _iter_native(self):
+        lib = _build_lib()
+        arr = (ctypes.c_char_p * len(self.paths))(
+            *[p.encode() for p in self.paths])
+        handle = lib.pf_create(arr, len(self.paths), self.num_frames,
+                               self.start_frame, self.height, self.width,
+                               self.workers, self.queue_cap)
+        try:
+            out = np.empty((3, self.num_frames, self.height, self.width),
+                           np.float32)
+            idx = ctypes.c_long(-1)
+            while True:
+                rc = lib.pf_next(
+                    handle,
+                    out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                    ctypes.byref(idx))
+                if rc == 1:
+                    return
+                if rc != 0:
+                    raise RuntimeError(f"native prefetch error rc={rc}")
+                yield int(idx.value), out.copy()
+        finally:
+            lib.pf_destroy(handle)
+
+    def _iter_python(self):
+        from .video_io import load_video_frames
+
+        for i, p in enumerate(self.paths):
+            clip = load_video_frames(p, self.num_frames, self.height,
+                                     self.width, self.start_frame)[0]
+            yield i, clip.astype(np.float32)

@@ -118,6 +118,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
     # online eval
     p.add_argument("--fvd-enabled", action="store_true")
     p.add_argument("--i3d-model-path", default=None)
+    # host IO
+    p.add_argument("--native-prefetch", action="store_true",
+                   help="Use the C++ threaded prefetch loader for the TTA "
+                        "window decode (overlaps host IO with device "
+                        "compute; .npy datasets)")
     return p
 
 
@@ -317,9 +322,33 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
     n_ctx_lat = latent_len(frames.tta_context_frames)
     videos_dir = os.path.join(args.output_dir, "videos")
 
-    def encode_window(path, start):
-        px = load_video_frames(path, frames.tta_total_frames,
-                               frames.height, frames.width, start_frame=start)
+    # optional C++ threaded prefetch of the TTA windows (native/prefetch.cpp)
+    window_cache = {}
+    if args.native_prefetch:
+        from ..data.native_loader import ClipPrefetcher
+
+        tta_start = frames.gen_start_frame - frames.tta_total_frames
+        prefetcher = iter(ClipPrefetcher(
+            [videos[i]["path"] for i in range(start_idx, len(videos))],
+            frames.tta_total_frames, tta_start, frames.height, frames.width,
+        ))
+
+        def _window_px(i):
+            want = i - start_idx
+            while want not in window_cache:
+                j, clip = next(prefetcher)
+                window_cache[j] = clip
+            return window_cache.pop(want)[None]  # [1, 3, T, H, W]
+    else:
+        _window_px = None
+
+    def encode_window(path, start, idx=None):
+        if _window_px is not None and idx is not None:
+            px = _window_px(idx)
+        else:
+            px = load_video_frames(path, frames.tta_total_frames,
+                                   frames.height, frames.width,
+                                   start_frame=start)
         return px, bundle.encode_video(jnp.asarray(px))
 
     # ---- per-video loop ------------------------------------------------
@@ -333,7 +362,8 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
                                "success": True}
         try:
             tta_start = frames.gen_start_frame - frames.tta_total_frames
-            window_px, window_lat = encode_window(entry["path"], tta_start)
+            window_px, window_lat = encode_window(entry["path"], tta_start,
+                                                  idx=idx)
 
             # CLIP gate
             t0 = time.time()

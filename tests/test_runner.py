@@ -152,3 +152,8 @@ def test_convert_roundtrip(tmp_path):
     mask = jnp.ones((1, cfg.text_len), jnp.int32)
     out = M.dit_forward(params, cfg, lat, jnp.zeros((1,)), text, mask)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_native_prefetch_run(tmp_path):
+    out, summary = _run(tmp_path, "delta_c", extra=("--native-prefetch",))
+    assert summary["num_success"] == 2
