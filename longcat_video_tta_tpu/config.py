@@ -458,4 +458,13 @@ MODEL_PRESETS = {
 
 
 def get_model_config(preset: str) -> ModelConfig:
-    return MODEL_PRESETS[preset]()
+    if preset in MODEL_PRESETS:
+        return MODEL_PRESETS[preset]()
+    # backbone presets live in models/backbones.py (import cycle guard)
+    from .models import backbones
+
+    if preset == "cogvideox_5b":
+        return backbones.cogvideox_5b()
+    if preset == "opensora_v2":
+        return backbones.opensora_v2()
+    raise KeyError(f"unknown model preset {preset!r}")

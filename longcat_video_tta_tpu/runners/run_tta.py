@@ -39,7 +39,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--data-dir", default=None)
     p.add_argument("--output-dir", required=True)
     p.add_argument("--preset", default="longcat_13b",
-                   choices=["longcat_13b", "longcat_tiny", "longcat_bench"])
+                   choices=["longcat_13b", "longcat_tiny", "longcat_bench",
+                            "cogvideox_5b", "opensora_v2"])
     p.add_argument("--synthetic", type=int, default=0,
                    help="Generate N synthetic clips instead of --data-dir")
     p.add_argument("--max-videos", type=int, default=100)
