@@ -476,8 +476,16 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
                 if fvd.enabled:
                     fvd.update(gen, gt)
                 if not args.no_save_videos:
+                    to_save = gen
+                    if not is_tta:
+                        # baseline artifact: green GENERATED border
+                        # (reference: run_baseline.py:195-231 annotation)
+                        from ..data import annotate_borders
+
+                        to_save = annotate_borders(gen, (0, 200, 0))
                     res["video_path"] = save_video(
-                        gen, os.path.join(videos_dir, f"{idx:04d}_{vid_id}.mp4"))
+                        to_save,
+                        os.path.join(videos_dir, f"{idx:04d}_{vid_id}.mp4"))
 
             res["train_time"] = train_time
             res["gen_time"] = gen_time
