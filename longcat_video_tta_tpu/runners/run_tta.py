@@ -119,6 +119,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
     # online eval
     p.add_argument("--fvd-enabled", action="store_true")
     p.add_argument("--i3d-model-path", default=None)
+    # observability (reference: manual time.time() spans; SURVEY.md §5
+    # prescribes jax.profiler traces + the same structured timing fields)
+    p.add_argument("--profile-dir", default=None,
+                   help="Write a jax.profiler trace of the first video's "
+                        "TTA+generation to this directory")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="Enable jax debug_nans (CI sanitizer analogue)")
     # host IO
     p.add_argument("--native-prefetch", action="store_true",
                    help="Use the C++ threaded prefetch loader for the TTA "
@@ -216,6 +223,8 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
 
     t_start = time.time()
     os.makedirs(args.output_dir, exist_ok=True)
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
 
     # ---- configs -----------------------------------------------------
     frames = resolve_frame_window(FrameConfig(
@@ -358,6 +367,9 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
         vid_id = os.path.basename(entry["path"])
         print(f"\n[{idx + 1}/{len(videos)}] {vid_id}")
         t_vid = time.time()
+        profiling = args.profile_dir and idx == start_idx
+        if profiling:
+            jax.profiler.start_trace(args.profile_dir)
         res: Dict[str, Any] = {"video": vid_id, "path": entry["path"],
                                "caption": entry["caption"], "index": idx,
                                "success": True}
@@ -487,6 +499,9 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
                         to_save,
                         os.path.join(videos_dir, f"{idx:04d}_{vid_id}.mp4"))
 
+            if profiling:
+                jax.profiler.stop_trace()
+                print(f"  profiler trace -> {args.profile_dir}")
             res["train_time"] = train_time
             res["gen_time"] = gen_time
             res["es_check_time"] = es_time
