@@ -81,6 +81,11 @@ def extract_run(run_dir: str) -> Optional[Dict[str, Any]]:
     fvd = (summary.get("online_eval") or {}).get("fvd")
     if fvd is not None:
         rec["fvd"] = fvd
+    rec["batch_videos"] = cfg.get("batch_videos")
+    gate = summary.get("clip_gate_stats") or {}
+    if gate.get("clip_gate_enabled"):
+        rec["clip_gate_skip_ratio"] = gate.get("skip_ratio")
+        rec["clip_gate_score_mean"] = gate.get("score_mean")
     return rec
 
 

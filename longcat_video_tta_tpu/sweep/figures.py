@@ -209,10 +209,34 @@ def fig_summary_table(runs, out_dir):
     return _save(fig, out_dir, "summary_table")
 
 
+def fig_batch_k(runs, out_dir):
+    """Retrieval batch-TTA K sweep (reference: exp5 figures — PSNR
+    degrades as the shared adapter spreads over more neighbours)."""
+    return _sweep_line(runs, out_dir, "batch_videos", "batch_k",
+                       "batch videos K")
+
+
+def fig_clip_gate_summary(runs, out_dir):
+    """Gate skip ratio vs PSNR delta (reference: CLIP-gate summary)."""
+    rows = [r for r in _complete(runs)
+            if r.get("clip_gate_skip_ratio") is not None
+            and r.get("delta_psnr") is not None]
+    if not rows:
+        return None
+    fig, ax = plt.subplots(figsize=(6.5, 4))
+    ax.scatter([r["clip_gate_skip_ratio"] for r in rows],
+               [r["delta_psnr"] for r in rows], s=36, alpha=0.8)
+    ax.set_xlabel("gate skip ratio")
+    ax.set_ylabel("ΔPSNR (dB)")
+    ax.set_title("CLIP gate: skipping vs quality")
+    return _save(fig, out_dir, "clip_gate_summary")
+
+
 ALL_FIGURES = [
     fig_method_comparison, fig_pareto_quality_vs_params, fig_lr_sweep,
     fig_steps_sweep, fig_cond_frames, fig_gen_horizon, fig_time_cost,
-    fig_es_time_savings, fig_summary_table,
+    fig_es_time_savings, fig_summary_table, fig_batch_k,
+    fig_clip_gate_summary,
 ]
 
 
