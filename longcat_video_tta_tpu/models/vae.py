@@ -409,3 +409,147 @@ def latent_len(num_pixel_frames: int, temporal_factor: int = 4) -> int:
     """T_lat = 1 + (T-1)//factor (reference: common.py:1488-1490)."""
     n = max(1, int(num_pixel_frames))
     return 1 + (n - 1) // temporal_factor
+
+
+# ---------------------------------------------------------------------------
+# Streaming decode with exact causal feature caches
+# ---------------------------------------------------------------------------
+#
+# The sliding-window chunked decode above re-computes ``context_latents``
+# per chunk and is exact only up to the decoder's receptive field. The
+# streamed decoder below is *bit-exact* vs the monolithic decode: every
+# temporal conv carries its (kt-1)-frame input tail between chunks (the
+# TPU-native equivalent of the reference VAE's causal feature cache), so
+# arbitrarily long clips decode in constant memory with zero redundant
+# compute.
+
+
+def _causal_conv3d_cached(p, x, cache):
+    """Causal conv with explicit temporal state.
+
+    cache: [B, kt-1, H, W, C] input tail from the previous chunk, or
+    None (zero history — identical to the monolithic zero left-pad).
+    Returns (y, new_cache). kt == 1 convs are stateless (cache None).
+    """
+    kt, kh, kw = p["kernel"].shape[:3]
+    if kt == 1:
+        return causal_conv3d(p, x), None
+    if cache is None:
+        cache = jnp.zeros((x.shape[0], kt - 1) + x.shape[2:], x.dtype)
+    ext = jnp.concatenate([cache.astype(x.dtype), x], axis=1)
+    new_cache = ext[:, -(kt - 1):]
+    pad_h = ((kh - 1) // 2, kh // 2)
+    pad_w = ((kw - 1) // 2, kw // 2)
+    y = _conv3d_via_2d(ext, p["kernel"].astype(x.dtype), tpad=(0, 0),
+                       tstride=1, spad=(pad_h, pad_w), sstride=(1, 1))
+    return y + p["bias"].astype(x.dtype), new_cache
+
+
+class _CacheIO:
+    """Threads the per-op cache list through the decoder traversal."""
+
+    def __init__(self, caches):
+        self._in = iter(caches) if caches is not None else None
+        self.out = []
+
+    def conv(self, p, x):
+        c = next(self._in) if self._in is not None else None
+        y, nc = _causal_conv3d_cached(p, x, c)
+        self.out.append(nc)
+        return y
+
+    def pull(self):
+        return next(self._in) if self._in is not None else None
+
+    def push(self, c):
+        self.out.append(c)
+
+
+def _resblock_cached(p, x, cio: "_CacheIO"):
+    h = cio.conv(p["conv1"], jax.nn.silu(group_norm(p["norm1"], x)))
+    h = cio.conv(p["conv2"], jax.nn.silu(group_norm(p["norm2"], h)))
+    if "shortcut" in p:
+        x = causal_conv3d(p["shortcut"], x)  # 1x1x1, stateless
+    return x + h
+
+
+def _temporal_upsample_cached(p, x, cio: "_CacheIO", first: bool):
+    """Streaming form of _temporal_upsample. The first latent frame (only
+    present in the first chunk) takes the stride-1 "first" path and never
+    feeds the rest-conv — so the rest-conv cache starts at zeros, exactly
+    matching the monolithic zero left-pad."""
+    cache = cio.pull()
+    if first:
+        head = causal_conv3d(p["first"], x[:, :1])
+        rest = x[:, 1:]
+    else:
+        head = None
+        rest = x
+    if cache is None:
+        cache = jnp.zeros((x.shape[0], 2) + rest.shape[2:], x.dtype)
+    if rest.shape[1] == 0:
+        cio.push(cache)
+        return head
+    ext = jnp.concatenate([cache.astype(x.dtype), rest], axis=1)
+    cio.push(ext[:, -2:])
+    kh, kw = p["rest"]["kernel"].shape[1:3]
+    spad = (((kh - 1) // 2, kh // 2), ((kw - 1) // 2, kw // 2))
+    y = _conv3d_via_2d(ext, p["rest"]["kernel"].astype(x.dtype), tpad=(0, 0),
+                       tstride=1, spad=spad, sstride=(1, 1))
+    y = y + p["rest"]["bias"].astype(x.dtype)
+    B, T, H, W, C2 = y.shape
+    y = y.reshape(B, T, H, W, 2, C2 // 2)
+    y = y.transpose(0, 1, 4, 2, 3, 5).reshape(B, 2 * T, H, W, C2 // 2)
+    if head is not None:
+        y = jnp.concatenate([head, y], axis=1)
+    return y
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "first"))
+def _vae_decode_chunk(params, cfg: VAEConfig, z: jnp.ndarray, caches,
+                      first: bool):
+    """Decode one latent chunk with carried caches. Returns
+    (pixels [B,3,t,H,W] fp32 pre-[0,1]-mapping, new_caches)."""
+    cdtype = resolve_dtype(cfg.compute_dtype)
+    x = z.transpose(0, 2, 3, 4, 1).astype(cdtype)
+    d = params["dec"]
+    cio = _CacheIO(caches)
+    x = cio.conv(d["conv_in"], x)
+    x = _resblock_cached(d["mid"]["res1"], x, cio)
+    x = _spatial_attn(d["mid"]["attn"], x)
+    x = _resblock_cached(d["mid"]["res2"], x, cio)
+    n_scales = len(cfg.dim_mults)
+    for idx, i in enumerate(range(n_scales - 1, -1, -1)):
+        sp = d["scales"][idx]
+        for rp in sp["res"]:
+            x = _resblock_cached(rp, x, cio)
+        if i > 0:
+            x = _spatial_upsample(sp["sup"], x)  # (1,3,3), stateless
+            if cfg.temporal_downsample[i - 1]:
+                x = _temporal_upsample_cached(sp["tup"], x, cio, first)
+    x = cio.conv(d["conv_out"], jax.nn.silu(group_norm(d["norm_out"], x)))
+    return x.transpose(0, 4, 1, 2, 3).astype(jnp.float32), tuple(cio.out)
+
+
+def vae_decode_streamed(params, cfg: VAEConfig, latents: jnp.ndarray,
+                        denormalize: bool = True,
+                        chunk_latents: int = 2) -> jnp.ndarray:
+    """Bit-exact streaming decode: latents -> pixels in [0, 1], constant
+    activation memory in clip length (vs the sliding-window approximation
+    of ``vae_decode``). First chunk carries the first-frame paths; later
+    chunks reuse at most two compiled variants (steady + ragged tail)."""
+    if denormalize:
+        latents = denormalize_latents(cfg, latents)
+    L = latents.shape[2]
+    x0, caches = _vae_decode_chunk(params, cfg, latents[:, :, :1], None,
+                                   True)
+    pieces = [x0]
+    j = 1
+    while j < L:
+        c = min(chunk_latents, L - j)
+        xj, caches = _vae_decode_chunk(params, cfg, latents[:, :, j:j + c],
+                                       caches, False)
+        pieces.append(xj)
+        j += c
+    video = jnp.concatenate(pieces, axis=2)
+    return jnp.clip((video + 1.0) / 2.0, 0.0, 1.0)

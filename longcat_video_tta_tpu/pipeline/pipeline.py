@@ -125,7 +125,13 @@ class ModelBundle:
         return vae_mod.vae_encode(self.vae_params, self.cfg.vae, pixels)
 
     def decode_latents(self, latents: jnp.ndarray) -> jnp.ndarray:
-        """normalized latents -> pixels [B, 3, T, H, W] in [0, 1]."""
+        """normalized latents -> pixels [B, 3, T, H, W] in [0, 1].
+
+        Uses the bit-exact feature-cache streaming decoder for clips
+        longer than a few latents (constant activation memory)."""
+        if latents.shape[2] > 3:
+            return vae_mod.vae_decode_streamed(
+                self.vae_params, self.cfg.vae, latents)
         return vae_mod.vae_decode(self.vae_params, self.cfg.vae, latents)
 
 

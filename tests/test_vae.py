@@ -92,3 +92,18 @@ def test_chunked_decode_close_to_full(setup):
                                atol=5e-2)
     err = float(jnp.mean(jnp.abs(chunked - full)))
     assert err < 5e-3, f"mean decode chunking error {err}"
+
+
+def test_streamed_decode_bit_exact(setup):
+    """Feature-cache streaming decode must equal the monolithic decode
+    exactly (unlike the sliding-window path, which is approximate)."""
+    params, video = setup
+    z = V.vae_encode(params, CFG, video)  # 4 latents
+    full = V.vae_decode(params, CFG, z, chunk_latents=100)  # monolithic
+    for chunk in (1, 2, 3):
+        streamed = V.vae_decode_streamed(params, CFG, z,
+                                         chunk_latents=chunk)
+        assert streamed.shape == full.shape
+        np.testing.assert_allclose(np.asarray(streamed), np.asarray(full),
+                                   atol=2e-5,
+                                   err_msg=f"chunk_latents={chunk}")
