@@ -85,3 +85,27 @@ def test_sharded_full_tta_step(inputs):
 def test_graft_entry_dryrun():
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
+
+
+def test_cp_attention_matches_unsharded():
+    """Context-parallel all-gather-KV attention over 4 devices equals the
+    unsharded reference, including the conditioning-prefix mask across
+    shard boundaries."""
+    from longcat_video_tta_tpu.ops.attention import attention_xla
+    from longcat_video_tta_tpu.parallel.context_attention import (
+        cp_self_attention,
+    )
+
+    mesh = build_mesh(MeshConfig(data=1, context=4, tensor=1))
+    B, S, H, D = 1, 64, 2, 16
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(kq, (B, S, H, D))
+    k = jax.random.normal(kk, (B, S, H, D))
+    v = jax.random.normal(kv, (B, S, H, D))
+    for ncond in (0, 24):  # 24 crosses the 16-token shard boundary
+        ref = attention_xla(q, k, v, num_cond_tokens=ncond)
+        with mesh:
+            out = cp_self_attention(q, k, v, mesh, num_cond_tokens=ncond)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5,
+                                   err_msg=f"ncond={ncond}")
