@@ -553,3 +553,94 @@ def vae_decode_streamed(params, cfg: VAEConfig, latents: jnp.ndarray,
         j += c
     video = jnp.concatenate(pieces, axis=2)
     return jnp.clip((video + 1.0) / 2.0, 0.0, 1.0)
+
+
+def _temporal_downsample_cached(p, x, cio: "_CacheIO", first: bool):
+    """Streaming form of _temporal_downsample (stride-2 kt-3 rest conv;
+    carry = kt - stride = 1 input frame). The first pixel frame (chunk 0
+    only) takes the stride-1 path and never feeds the rest conv; the
+    initial carry is one zero frame, matching the monolithic (1, 0)
+    left-pad."""
+    cache = cio.pull()
+    if first:
+        head = causal_conv3d(p["first"], x[:, :1])
+        rest = x[:, 1:]
+    else:
+        head = None
+        rest = x
+    if cache is None:
+        cache = jnp.zeros((x.shape[0], 1) + rest.shape[2:], x.dtype)
+    if rest.shape[1] == 0:
+        cio.push(cache)
+        return head
+    ext = jnp.concatenate([cache.astype(x.dtype), rest], axis=1)
+    n_out = (ext.shape[1] - 3) // 2 + 1
+    cio.push(ext[:, 2 * n_out:])
+    kh, kw = p["rest"]["kernel"].shape[1:3]
+    spad = (((kh - 1) // 2, kh // 2), ((kw - 1) // 2, kw // 2))
+    y = _conv3d_via_2d(ext, p["rest"]["kernel"].astype(x.dtype),
+                       tpad=(0, 0), tstride=2, spad=spad, sstride=(1, 1))
+    y = y + p["rest"]["bias"].astype(x.dtype)
+    if head is not None:
+        y = jnp.concatenate([head, y], axis=1)
+    return y
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "first"))
+def _vae_encode_chunk(params, cfg: VAEConfig, video: jnp.ndarray, caches,
+                      first: bool):
+    """Encode one pixel-frame chunk with carried caches. Returns
+    ((mean, logvar) latent moments for the chunk, new_caches)."""
+    cdtype = resolve_dtype(cfg.compute_dtype)
+    x = video.transpose(0, 2, 3, 4, 1).astype(cdtype)
+    e = params["enc"]
+    cio = _CacheIO(caches)
+    x = cio.conv(e["conv_in"], x)
+    n_scales = len(cfg.dim_mults)
+    for i in range(n_scales):
+        sp = e["scales"][i]
+        for rp in sp["res"]:
+            x = _resblock_cached(rp, x, cio)
+        if i < n_scales - 1:
+            x = _spatial_downsample(sp["sdown"], x)  # (1,3,3) stateless
+            if cfg.temporal_downsample[i]:
+                x = _temporal_downsample_cached(sp["tdown"], x, cio, first)
+    x = _resblock_cached(e["mid"]["res1"], x, cio)
+    x = _spatial_attn(e["mid"]["attn"], x)
+    x = _resblock_cached(e["mid"]["res2"], x, cio)
+    x = cio.conv(e["conv_out"], jax.nn.silu(group_norm(e["norm_out"], x)))
+    x = x.transpose(0, 4, 1, 2, 3)
+    mean, logvar = jnp.split(x, 2, axis=1)
+    return (mean.astype(jnp.float32), logvar.astype(jnp.float32)), \
+        tuple(cio.out)
+
+
+def vae_encode_streamed(params, cfg: VAEConfig, video: jnp.ndarray,
+                        normalize: bool = True,
+                        chunk_frames: int = 8) -> jnp.ndarray:
+    """Bit-exact streaming encode: pixels [B, 3, T, H, W] in [-1, 1] ->
+    normalized latent means, constant activation memory in clip length.
+    ``chunk_frames`` must be a multiple of the temporal factor (stride
+    phase alignment); T must be 1 (mod temporal_factor)."""
+    tf = cfg.temporal_factor
+    assert chunk_frames % tf == 0
+    T = video.shape[2]
+    (mean0, _), caches = _vae_encode_chunk(params, cfg, video[:, :, :1],
+                                           None, True)
+    pieces = [mean0]
+    j = 1
+    while j < T:
+        c = min(chunk_frames, T - j)
+        # absorb a ragged remainder (< temporal factor) into this chunk so
+        # no chunk produces zero latent frames at the deepest level
+        if 0 < T - (j + c) < tf:
+            c = T - j
+        (mj, _), caches = _vae_encode_chunk(params, cfg,
+                                            video[:, :, j:j + c], caches,
+                                            False)
+        pieces.append(mj)
+        j += c
+    z = jnp.concatenate(pieces, axis=2)
+    if normalize:
+        z = normalize_latents(cfg, z)
+    return z

@@ -121,7 +121,13 @@ class ModelBundle:
     # VAE helpers (reference: encode_video/decode_latents)
     # ------------------------------------------------------------------
     def encode_video(self, pixels: jnp.ndarray) -> jnp.ndarray:
-        """pixels [B, 3, T, H, W] in [-1, 1] -> normalized latents."""
+        """pixels [B, 3, T, H, W] in [-1, 1] -> normalized latents.
+
+        Long clips use the bit-exact feature-cache streaming encoder
+        (constant activation memory)."""
+        if pixels.shape[2] > 17:
+            return vae_mod.vae_encode_streamed(
+                self.vae_params, self.cfg.vae, pixels)
         return vae_mod.vae_encode(self.vae_params, self.cfg.vae, pixels)
 
     def decode_latents(self, latents: jnp.ndarray) -> jnp.ndarray:

@@ -107,3 +107,27 @@ def test_streamed_decode_bit_exact(setup):
         np.testing.assert_allclose(np.asarray(streamed), np.asarray(full),
                                    atol=2e-5,
                                    err_msg=f"chunk_latents={chunk}")
+
+
+def test_streamed_encode_bit_exact(setup):
+    """Feature-cache streaming encode must equal the monolithic encode."""
+    params, video = setup  # 13 frames
+    full = V.vae_encode(params, CFG, video)
+    for chunk in (4, 8):
+        streamed = V.vae_encode_streamed(params, CFG, video,
+                                         chunk_frames=chunk)
+        assert streamed.shape == full.shape
+        np.testing.assert_allclose(np.asarray(streamed), np.asarray(full),
+                                   atol=2e-5, err_msg=f"chunk={chunk}")
+
+
+def test_streamed_encode_ragged_window(setup):
+    """Non-4k+1 windows (e.g. the cond14 TTA window) stream exactly too —
+    the strided-conv carry keeps phase across arbitrary chunk sizes."""
+    params, _ = setup
+    video = jax.random.uniform(jax.random.PRNGKey(9), (1, 3, 14, 32, 48),
+                               minval=-1.0, maxval=1.0)
+    full = V.vae_encode(params, CFG, video)
+    streamed = V.vae_encode_streamed(params, CFG, video, chunk_frames=4)
+    np.testing.assert_allclose(np.asarray(streamed), np.asarray(full),
+                               atol=2e-5)
