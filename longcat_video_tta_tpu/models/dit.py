@@ -227,9 +227,14 @@ def _embed_inputs(params, cfg: DiTConfig, latents, timesteps, text_emb,
 
 def _self_attention(bp, x, rope_cos, rope_sin, cfg: DiTConfig,
                     num_cond_tokens: int, lora, lora_scale, attn_impl,
-                    kv_cache=None, return_kv: bool = False):
+                    kv_cache=None, return_kv: bool = False, cp_mesh=None):
     """x: [B, nt, nhw, D]. kv_cache: optional (k, v) [B, S_c, nH, dh] to
-    prepend (decode path). Returns (out, (k, v) or None)."""
+    prepend (decode path). Returns (out, (k, v) or None).
+
+    ``cp_mesh``: when set, self-attention runs context-parallel over the
+    mesh's "context" axis (parallel/context_attention.py) — the
+    first-class sequence parallelism replacing the reference's
+    cp_split_hw (SURVEY.md §2.10)."""
     B, nt, nhw, D = x.shape
     nH, dh = cfg.num_heads, cfg.head_dim
 
@@ -253,7 +258,14 @@ def _self_attention(bp, x, rope_cos, rope_sin, cfg: DiTConfig,
         k = jnp.concatenate([kv_cache[0].astype(k.dtype), k], axis=1)
         v = jnp.concatenate([kv_cache[1].astype(v.dtype), v], axis=1)
 
-    o = attention(q, k, v, num_cond_tokens=num_cond_tokens, impl=attn_impl)
+    if cp_mesh is not None and kv_cache is None:
+        from ..parallel.context_attention import cp_self_attention
+
+        o = cp_self_attention(q, k, v, cp_mesh,
+                              num_cond_tokens=num_cond_tokens)
+    else:
+        o = attention(q, k, v, num_cond_tokens=num_cond_tokens,
+                      impl=attn_impl)
     o = o.reshape(B, nt, nhw, D)
     o = linear(bp["attn"]["proj"], o,
                lora=(lora or {}).get("attn_proj"), lora_scale=lora_scale)
@@ -296,7 +308,7 @@ def _ffn(bp, x, lora, lora_scale):
 
 def _block(bp, blk_adapters, x, t_emb, y, rope_cos, rope_sin,
            cfg: DiTConfig, num_cond_tokens: int, attn_impl,
-           kv_cache=None, return_kv: bool = False):
+           kv_cache=None, return_kv: bool = False, cp_mesh=None):
     """One DiT block. ``blk_adapters``: per-block slices of the adapter dict.
 
     Returns (x_out, kv or None).
@@ -321,7 +333,7 @@ def _block(bp, blk_adapters, x, t_emb, y, rope_cos, rope_sin,
     h = modulate(layer_norm(x), expand(shift_msa), expand(scale_msa))
     attn_out, kv = _self_attention(
         bp, h, rope_cos, rope_sin, cfg, num_cond_tokens, lora, lora_scale,
-        attn_impl, kv_cache=kv_cache, return_kv=return_kv,
+        attn_impl, kv_cache=kv_cache, return_kv=return_kv, cp_mesh=cp_mesh,
     )
     x = x + expand(gate_msa) * attn_out
 
@@ -367,7 +379,7 @@ def _blk_adapter_slice(scan_slice, lora_scale):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "num_cond_latents", "attn_impl"),
+    static_argnames=("cfg", "num_cond_latents", "attn_impl", "cp_mesh"),
 )
 def dit_forward(
     params: Dict[str, Any],
@@ -380,6 +392,7 @@ def dit_forward(
     num_cond_latents: int = 0,
     adapters: AdapterDict = None,
     attn_impl: Optional[str] = None,
+    cp_mesh=None,
 ) -> jnp.ndarray:
     """Full forward: returns predicted velocity [B, C_out, T, H, W] in fp32.
 
@@ -400,7 +413,7 @@ def dit_forward(
         blk_ad = _blk_adapter_slice(ad, lora_scale)
         out, _ = _block(
             bp, blk_ad, carry, t_emb, y, rope_cos, rope_sin, cfg,
-            num_cond_tokens, attn_impl,
+            num_cond_tokens, attn_impl, cp_mesh=cp_mesh,
         )
         return out, None
 

@@ -47,6 +47,7 @@ def make_train_step(
     cfg: DiTConfig,
     tx: optax.GradientTransformation,
     attn_impl: Optional[str] = None,
+    cp_mesh=None,
 ) -> Callable:
     """Build the jitted conditioned-loss train step for one method.
 
@@ -63,7 +64,7 @@ def make_train_step(
             return flow_matching_loss_conditioned(
                 dit_params, cfg, cond_latents, target_latents,
                 text_emb, text_mask, rng,
-                adapters=adapters, attn_impl=attn_impl,
+                adapters=adapters, attn_impl=attn_impl, cp_mesh=cp_mesh,
             )
 
         loss, grads = jax.value_and_grad(loss_fn)(train_params)

@@ -114,7 +114,9 @@ def flow_matching_loss_fixed(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "sigma_min", "sigma_max", "attn_impl")
+    jax.jit,
+    static_argnames=("cfg", "sigma_min", "sigma_max", "attn_impl",
+                     "cp_mesh"),
 )
 def flow_matching_loss_conditioned(
     dit_params: Dict[str, Any],
@@ -129,9 +131,11 @@ def flow_matching_loss_conditioned(
     sigma_min: float = 0.001,
     sigma_max: float = 1.0,
     attn_impl: Optional[str] = None,
+    cp_mesh=None,
 ) -> jnp.ndarray:
     """Conditioning-aware loss replicating LongCat inference
-    (reference: common.py:414-489)."""
+    (reference: common.py:414-489). ``cp_mesh`` shards self-attention
+    over the mesh context axis."""
     B = cond_latents.shape[0]
     pt = cfg.patch_size[0]
     t_cond = cond_latents.shape[2]
@@ -159,6 +163,7 @@ def flow_matching_loss_conditioned(
     pred = dit_forward(
         dit_params, cfg, hidden, timestep, text_emb, text_mask,
         num_cond_latents=t_cond, adapters=adapters, attn_impl=attn_impl,
+        cp_mesh=cp_mesh,
     )
     pred_tgt = pred[:, :, t_cond:]
     return jnp.mean((pred_tgt - (noise - tgt32)) ** 2)

@@ -109,3 +109,20 @@ def test_cp_attention_matches_unsharded():
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=2e-5, rtol=2e-5,
                                    err_msg=f"ncond={ncond}")
+
+
+def test_dit_forward_context_parallel_matches(inputs):
+    """dit_forward with cp_mesh (self-attention sharded over 4 context
+    devices) equals the single-device forward, including the cond
+    prefix."""
+    params, latents, text, mask = inputs
+    mesh = build_mesh(MeshConfig(data=1, context=4, tensor=1))
+    t = jnp.full((2,), 500.0)
+    ref = M.dit_forward(params, CFG, latents, t, text, mask,
+                        num_cond_latents=2, attn_impl="xla")
+    with mesh:
+        out = M.dit_forward(params, CFG, latents, t, text, mask,
+                            num_cond_latents=2, attn_impl="xla",
+                            cp_mesh=mesh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-4, rtol=1e-3)
