@@ -198,10 +198,18 @@ def generate_vc(
     )
 
     # Decode [cond | gen] together so the causal decoder sees the real
-    # temporal context, then return the generated tail.
+    # temporal context, then return the generated region sliced from the
+    # cond/gen boundary: n_cond latents decode to 1+(n_cond-1)*tf frames,
+    # and the n_gen generated latents decode to n_gen*tf = nf+3 frames —
+    # the clip starting at the anchor is the first nf of those, so
+    # slicing the tail would drop the 3 frames right after the anchor
+    # and misalign every metric vs GT (reference scores
+    # gen_output[num_cond:num_cond+num_gen], common.py:618-776).
+    tf = cfg.vae.temporal_factor
     full = jnp.concatenate([cond_latents, gen_latents], axis=2)
     pixels = bundle.decode_latents(full)  # [1, 3, T_full, H, W] in [0,1]
-    gen_px = pixels[0, :, -nf:]
+    t_cond_px = 1 + (cond_latents.shape[2] - 1) * tf
+    gen_px = pixels[0, :, t_cond_px:t_cond_px + nf]
     return np.asarray(gen_px.transpose(1, 2, 3, 0))  # [N, H, W, 3]
 
 

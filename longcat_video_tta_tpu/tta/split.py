@@ -70,16 +70,44 @@ def estimate_tta_split_budget(
     }
 
 
+def round_frames_4k1_down(num_frames: int) -> int:
+    """Largest 4k+1 <= num_frames (>=1).
+
+    The causal VAE encodes 4k+1-frame windows exactly; a non-4k+1 window
+    silently drops its trailing frames at the encoder, shifting the
+    cond/gen pixel boundary off the anchor. Rounding the *cond* side
+    down (dropping the oldest frames) keeps the window flush with the
+    anchor instead."""
+    return ((max(int(num_frames), 1) - 1) // 4) * 4 + 1
+
+
 def resolve_frame_window(frames: FrameConfig) -> FrameConfig:
     """Apply the reference's defaulting + GT-leak clamp
     (run_delta_a.py:414-429): tta_total defaults to num_cond_frames, the
-    window may never cross the anchor."""
+    window may never cross the anchor. Cond/TTA windows are additionally
+    rounded down to 4k+1 so the causal-VAE latent boundary lands exactly
+    on the anchor frame."""
     import dataclasses
+
+    ncond = round_frames_4k1_down(frames.num_cond_frames)
+    if ncond != frames.num_cond_frames:
+        print(
+            f"[WARN] num_cond_frames ({frames.num_cond_frames}) is not "
+            f"4k+1; using {ncond} (oldest frames dropped so the window "
+            f"stays flush with the anchor)."
+        )
+    frames = dataclasses.replace(frames, num_cond_frames=ncond)
 
     total = frames.tta_total_frames
     ctx = frames.tta_context_frames
     if total is None:
         total = frames.num_cond_frames
+    else:
+        r = round_frames_4k1_down(total)
+        if r != total:
+            print(f"[WARN] tta_total_frames ({total}) is not 4k+1; "
+                  f"using {r}.")
+        total = r
     if ctx is None or ctx > total:
         ctx = min(frames.num_cond_frames, total)
     if total > frames.gen_start_frame:
@@ -87,7 +115,7 @@ def resolve_frame_window(frames: FrameConfig) -> FrameConfig:
             f"[WARN] tta_total_frames ({total}) exceeds gen_start_frame "
             f"({frames.gen_start_frame}); clamping to avoid GT leakage."
         )
-        total = frames.gen_start_frame
+        total = round_frames_4k1_down(frames.gen_start_frame)
     if ctx > total:
         ctx = total
     return dataclasses.replace(

@@ -91,3 +91,66 @@ def test_adapters_affect_generation(bundle):
     o2 = generate_vc(bundle, cond, "x", num_frames=5, num_inference_steps=2,
                      seed=0, adapters=adapters)
     assert np.max(np.abs(o1 - o2)) > 1e-6
+
+
+def test_generate_vc_frame_alignment(monkeypatch):
+    """The returned clip must start exactly at the anchor frame.
+
+    With the causal VAE, n_gen latents decode to nf+3 frames; slicing the
+    *tail* nf frames (the round-1 bug) would return a clip starting 3
+    frames after the anchor, misaligning every metric vs GT (reference
+    scores gen_output[num_cond:num_cond+num_gen]). Uses an index-marking
+    fake codec so the check is exact."""
+    import longcat_video_tta_tpu.pipeline.pipeline as P
+
+    tf = CFG.vae.temporal_factor
+    anchor, t_cond = 32, 13  # 4k+1 cond window flush with the anchor
+    start = anchor - t_cond
+
+    class FakeBundle:
+        cfg = CFG
+        dit_params = {}
+
+        def encode_video(self, px):
+            # latent j stores the global index of its group's first frame
+            T = px.shape[2]
+            L = 1 + (T - 1) // tf
+            vals = [px[0, 0, 0, 0, 0]] + [
+                px[0, 0, 1 + (j - 1) * tf, 0, 0] for j in range(1, L)
+            ]
+            return jnp.asarray(vals, jnp.float32).reshape(1, 1, L, 1, 1)
+
+        def encode_prompt(self, prompt):
+            return jnp.zeros((1, 4, 8)), jnp.ones((1, 4), jnp.int32)
+
+        def decode_latents(self, lat):
+            frames = [lat[0, 0, 0, 0, 0]]
+            for j in range(1, lat.shape[2]):
+                v = lat[0, 0, j, 0, 0]
+                frames.extend(v + k for k in range(tf))
+            out = jnp.asarray(frames, jnp.float32).reshape(1, 1, -1, 1, 1)
+            return jnp.broadcast_to(out, (1, 3, out.shape[2], 1, 1))
+
+    def fake_sample(dit_params, dit_cfg, sched_cfg, key, emb, mask, nemb,
+                    nmask, guidance, *, cond_latents=None,
+                    num_gen_latents=None, **kw):
+        # gen latent i covers frames [anchor + i*tf, ...): continue the
+        # group-start index sequence from the last cond latent
+        last = cond_latents[0, 0, -1, 0, 0]
+        vals = last + tf * jnp.arange(1, num_gen_latents + 1,
+                                      dtype=jnp.float32)
+        return vals.reshape(1, 1, num_gen_latents, 1, 1)
+
+    monkeypatch.setattr(P, "sample_latents", fake_sample)
+
+    cond_px = jnp.broadcast_to(
+        jnp.arange(start, anchor, dtype=jnp.float32).reshape(1, 1, t_cond,
+                                                             1, 1),
+        (1, 3, t_cond, 2, 2))
+    out = P.generate_vc(FakeBundle(), cond_px, "x", num_frames=14,
+                        num_inference_steps=1)
+    nf = round_frames_4k1(14)
+    assert out.shape[0] == nf
+    np.testing.assert_allclose(
+        out[:, 0, 0, 0], np.arange(anchor, anchor + nf, dtype=np.float32),
+        atol=0)

@@ -147,8 +147,21 @@ def test_resolve_frame_window_clamps_gt_leak():
     f = FrameConfig(num_cond_frames=14, gen_start_frame=10,
                     tta_total_frames=40)
     r = resolve_frame_window(f)
-    assert r.tta_total_frames == 10
-    assert r.tta_context_frames == 10
+    # clamped to the anchor, then rounded down to 4k+1 (causal VAE)
+    assert r.tta_total_frames == 9
+    assert r.tta_context_frames == 9
+    # non-4k+1 cond windows are rounded down so the latent boundary
+    # stays flush with the anchor (ADVICE r1)
+    assert r.num_cond_frames == 13
+
+
+def test_resolve_frame_window_rounds_4k1():
+    f = FrameConfig(num_cond_frames=13, gen_start_frame=32,
+                    tta_total_frames=24)
+    r = resolve_frame_window(f)
+    assert r.num_cond_frames == 13
+    assert r.tta_total_frames == 21  # 24 -> 21 (4k+1)
+    assert r.tta_context_frames == 13
 
 
 def test_early_stopper_lifecycle(setup):
