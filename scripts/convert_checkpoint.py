@@ -10,11 +10,13 @@ vae, scheduler, dit} with HF safetensors/bin shards. Usage:
         --output-dir /path/to/converted \
         --preset longcat_13b
 
-The DiT mapping (convert_torch_dit_state) is exercised by
-tests/test_runner.py::test_convert_roundtrip on a synthetic state_dict;
-VAE/UMT5 mappings follow the same pattern and raise with the offending
-key when the upstream layout differs so they can be completed against
-the real checkpoint.
+All three component mappings (DiT / WAN-VAE / UMT5) are converted; any
+failure aborts unless --allow-partial is given, in which case the
+component stays at random init and is recorded in
+model_config.json:converted_components (load_converted_bundle warns
+loudly). Mappings are exercised by tests/test_runner.py (DiT) and
+tests/test_convert.py (UMT5 vs the real transformers model; VAE on a
+synthetic WAN-layout state_dict).
 """
 
 import argparse
@@ -53,36 +55,67 @@ def main():
     p.add_argument("--torch-checkpoint-dir", required=True)
     p.add_argument("--output-dir", required=True)
     p.add_argument("--preset", default="longcat_13b")
+    p.add_argument(
+        "--allow-partial", action="store_true",
+        help="tolerate unconvertible components (left at RANDOM init and "
+             "recorded in model_config.json:converted_components; "
+             "load_converted_bundle warns loudly)")
     args = p.parse_args()
+
+    import jax
 
     from longcat_video_tta_tpu.config import get_model_config
     from longcat_video_tta_tpu.models.convert import (
-        convert_torch_dit_state, save_bundle,
+        assert_tree_matches,
+        convert_torch_dit_state,
+        convert_torch_umt5_state,
+        convert_torch_vae_state,
+        save_bundle,
     )
     from longcat_video_tta_tpu.pipeline.pipeline import (
-        HashTokenizer, ModelBundle, load_hf_tokenizer,
+        ModelBundle, load_hf_tokenizer,
     )
 
     cfg = get_model_config(args.preset)
     src = args.torch_checkpoint_dir
 
-    print("[convert] loading DiT state dict ...")
-    dit_sd = load_torch_state_dict(os.path.join(src, "dit"))
-    dit_params = convert_torch_dit_state(dit_sd, cfg.dit)
-    print(f"[convert] DiT converted "
-          f"({sum(x.size for x in __import__('jax').tree_util.tree_leaves(dit_params))/1e9:.2f}B params)")
-
-    # VAE/text-encoder conversion requires the upstream layouts; start
-    # from random-init and overwrite what maps (completed against the
-    # real checkpoint — not part of this snapshot, SURVEY.md notes).
+    # random-init bundle provides the reference tree structure (and the
+    # fallback weights under --allow-partial)
     bundle = ModelBundle.init_random(cfg, seed=0)
-    bundle.dit_params = dit_params
+    converted = []
+    plan = (
+        ("dit", "dit", convert_torch_dit_state, cfg.dit, "dit_params"),
+        ("vae", "vae", convert_torch_vae_state, cfg.vae, "vae_params"),
+        ("text_encoder", "text_encoder", convert_torch_umt5_state,
+         cfg.text, "text_params"),
+    )
+    for name, subdir, fn, sub_cfg, attr in plan:
+        try:
+            print(f"[convert] {name}: loading state dict ...")
+            sd = load_torch_state_dict(os.path.join(src, subdir))
+            params = fn(sd, sub_cfg)
+            assert_tree_matches(params, getattr(bundle, attr), name)
+            setattr(bundle, attr, params)
+            n = sum(x.size for x in jax.tree_util.tree_leaves(params))
+            print(f"[convert] {name} converted ({n / 1e9:.2f}B params)")
+            converted.append(name)
+        except Exception as e:
+            if not args.allow_partial:
+                raise SystemExit(
+                    f"[convert] {name} FAILED ({type(e).__name__}: {e}). "
+                    f"Re-run with --allow-partial to keep random-init "
+                    f"weights for this component."
+                )
+            print(f"[convert] WARNING: {name} left at RANDOM init "
+                  f"({type(e).__name__}: {e})")
+
     tok_dir = os.path.join(src, "tokenizer")
     if os.path.exists(tok_dir):
         bundle.tokenize = load_hf_tokenizer(src, cfg.text.max_length)
 
-    save_bundle(args.output_dir, bundle)
-    print(f"[convert] wrote {args.output_dir}")
+    save_bundle(args.output_dir, bundle, converted_components=converted)
+    print(f"[convert] wrote {args.output_dir} "
+          f"(converted: {converted or 'NONE'})")
 
 
 if __name__ == "__main__":
