@@ -258,11 +258,14 @@ def _self_attention(bp, x, rope_cos, rope_sin, cfg: DiTConfig,
         k = jnp.concatenate([kv_cache[0].astype(k.dtype), k], axis=1)
         v = jnp.concatenate([kv_cache[1].astype(v.dtype), v], axis=1)
 
-    if cp_mesh is not None and kv_cache is None:
-        from ..parallel.context_attention import cp_self_attention
+    if cp_mesh is not None:
+        from ..parallel.context_attention import ring_self_attention
 
-        o = cp_self_attention(q, k, v, cp_mesh,
-                              num_cond_tokens=num_cond_tokens)
+        # decode path included: q = noise tokens (all-allowed), k/v =
+        # [cached cond ++ noise] — both token-sharded over "context"
+        o = ring_self_attention(q, k, v, cp_mesh,
+                                num_cond_tokens=num_cond_tokens,
+                                impl=attn_impl)
     else:
         o = attention(q, k, v, num_cond_tokens=num_cond_tokens,
                       impl=attn_impl)
@@ -443,7 +446,7 @@ def _final_layer(params, cfg: DiTConfig, x, t_emb, nt, nh, nw):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "attn_impl"))
+@functools.partial(jax.jit, static_argnames=("cfg", "attn_impl", "cp_mesh"))
 def dit_precompute_cond_cache(
     params: Dict[str, Any],
     cfg: DiTConfig,
@@ -453,6 +456,7 @@ def dit_precompute_cond_cache(
     *,
     adapters: AdapterDict = None,
     attn_impl: Optional[str] = None,
+    cp_mesh=None,
 ):
     """Run conditioning tokens (timestep 0) through all blocks once,
     collecting per-block K/V: [depth, B, S_cond, heads, head_dim] x2.
@@ -476,7 +480,7 @@ def dit_precompute_cond_cache(
         blk_ad = _blk_adapter_slice(ad, lora_scale)
         out, kv = _block(
             bp, blk_ad, carry, t_emb, y, rope_cos, rope_sin, cfg,
-            num_cond_tokens, attn_impl, return_kv=True,
+            num_cond_tokens, attn_impl, return_kv=True, cp_mesh=cp_mesh,
         )
         return out, kv
 
@@ -485,7 +489,8 @@ def dit_precompute_cond_cache(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "num_cond_latents", "attn_impl")
+    jax.jit, static_argnames=("cfg", "num_cond_latents", "attn_impl",
+                              "cp_mesh")
 )
 def dit_forward_with_cache(
     params: Dict[str, Any],
@@ -499,6 +504,7 @@ def dit_forward_with_cache(
     num_cond_latents: int,
     adapters: AdapterDict = None,
     attn_impl: Optional[str] = None,
+    cp_mesh=None,
 ) -> jnp.ndarray:
     """Decode-phase forward: noise tokens only, self-attention against
     [cached cond K/V ++ fresh noise K/V]. Returns velocity for the noise
@@ -519,7 +525,7 @@ def dit_forward_with_cache(
         blk_ad = _blk_adapter_slice(ad, lora_scale)
         out, _ = _block(
             bp, blk_ad, carry, t_emb, y, rope_cos, rope_sin, cfg,
-            0, attn_impl, kv_cache=kv,
+            0, attn_impl, kv_cache=kv, cp_mesh=cp_mesh,
         )
         return out, None
 

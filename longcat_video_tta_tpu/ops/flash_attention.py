@@ -32,23 +32,26 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _mask_tile(q_off, k_off, bq: int, bk: int, ncond: int, kvlen: int,
-               sk_pad: int):
+               sk_pad: int, q_glob=0, k_glob=0):
     """Boolean allowed-mask [bq, bk] for one tile, or None if all-allowed.
 
-    ``q_off``/``k_off`` are dynamic tile offsets; ``ncond``/``kvlen`` are
-    static. Returns None (python-level) only when statically all-allowed.
-    """
+    ``q_off``/``k_off`` are dynamic tile offsets (local); ``q_glob``/
+    ``k_glob`` are dynamic *global* sequence offsets (ring context
+    parallelism — each device's shard starts at a traced global index).
+    ``ncond``/``kvlen`` are static; the prefix rule uses global indices,
+    the padded-key rule uses local ones. Returns None (python-level) only
+    when statically all-allowed."""
     need_cond = ncond > 0
     need_pad = kvlen < sk_pad
     if not need_cond and not need_pad:
         return None
-    q_idx = q_off + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
-    k_idx = k_off + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+    q_loc = q_off + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+    k_loc = k_off + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
     allowed = jnp.ones((bq, bk), dtype=jnp.bool_)
     if need_cond:
-        allowed = (q_idx >= ncond) | (k_idx < ncond)
+        allowed = ((q_glob + q_loc) >= ncond) | ((k_glob + k_loc) < ncond)
     if need_pad:
-        allowed = allowed & (k_idx < kvlen)
+        allowed = allowed & (k_loc < kvlen)
     return allowed
 
 
@@ -57,7 +60,7 @@ def _mask_tile(q_off, k_off, bq: int, bk: int, ncond: int, kvlen: int,
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
+def _fwd_kernel(offs_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
                 m_scr, l_scr, acc_scr,
                 *, scale: float, ncond: int, kvlen: int, sk_pad: int,
                 bq: int, bk: int):
@@ -77,7 +80,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
     ) * scale  # [bq, bk]
 
-    allowed = _mask_tile(qi * bq, ki * bk, bq, bk, ncond, kvlen, sk_pad)
+    allowed = _mask_tile(qi * bq, ki * bk, bq, bk, ncond, kvlen, sk_pad,
+                         q_glob=offs_ref[0, 0], k_glob=offs_ref[0, 1])
     if allowed is not None:
         s = jnp.where(allowed, s, NEG_INF)
 
@@ -110,11 +114,16 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
 
 
 def _flash_fwd_impl(q, k, v, ncond: int, kvlen: int, scale: float,
-                    bq: int, bk: int, interpret: bool):
-    """q: [BH, Sq, D] (padded); k, v: [BH, Sk, D] (padded). Returns (o, lse)."""
+                    bq: int, bk: int, interpret: bool, offs=None):
+    """q: [BH, Sq, D] (padded); k, v: [BH, Sk, D] (padded). Returns (o, lse).
+
+    ``offs``: optional traced int32 [1, 2] = (q_global_off, k_global_off)
+    for ring context parallelism."""
     BH, Sq, D = q.shape
     Sk = k.shape[1]
     grid = (BH, Sq // bq, Sk // bk)
+    if offs is None:
+        offs = jnp.zeros((1, 2), jnp.int32)
 
     kernel = functools.partial(
         _fwd_kernel, scale=scale, ncond=ncond, kvlen=kvlen, sk_pad=Sk,
@@ -124,6 +133,7 @@ def _flash_fwd_impl(q, k, v, ncond: int, kvlen: int, scale: float,
         kernel,
         grid=grid,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, bq, D), lambda b, i, j: (b, i, 0)),
             pl.BlockSpec((1, bk, D), lambda b, i, j: (b, j, 0)),
             pl.BlockSpec((1, bk, D), lambda b, i, j: (b, j, 0)),
@@ -145,7 +155,7 @@ def _flash_fwd_impl(q, k, v, ncond: int, kvlen: int, scale: float,
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(q, k, v)
+    )(offs, q, k, v)
     return o, lse
 
 
@@ -154,7 +164,7 @@ def _flash_fwd_impl(q, k, v, ncond: int, kvlen: int, scale: float,
 # ---------------------------------------------------------------------------
 
 
-def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+def _bwd_dkv_kernel(offs_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                     dk_ref, dv_ref, dk_scr, dv_scr,
                     *, scale: float, ncond: int, kvlen: int, sk_pad: int,
                     bq: int, bk: int):
@@ -177,7 +187,8 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
     ) * scale
-    allowed = _mask_tile(qi * bq, ki * bk, bq, bk, ncond, kvlen, sk_pad)
+    allowed = _mask_tile(qi * bq, ki * bk, bq, bk, ncond, kvlen, sk_pad,
+                         q_glob=offs_ref[0, 0], k_glob=offs_ref[0, 1])
     p = jnp.exp(s - lse)
     if allowed is not None:
         p = jnp.where(allowed, p, 0.0)
@@ -204,7 +215,7 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
 
 
-def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+def _bwd_dq_kernel(offs_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                    dq_ref, dq_scr,
                    *, scale: float, ncond: int, kvlen: int, sk_pad: int,
                    bq: int, bk: int):
@@ -226,7 +237,8 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
     ) * scale
-    allowed = _mask_tile(qi * bq, ki * bk, bq, bk, ncond, kvlen, sk_pad)
+    allowed = _mask_tile(qi * bq, ki * bk, bq, bk, ncond, kvlen, sk_pad,
+                         q_glob=offs_ref[0, 0], k_glob=offs_ref[0, 1])
     p = jnp.exp(s - lse)
     if allowed is not None:
         p = jnp.where(allowed, p, 0.0)
@@ -245,26 +257,28 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dq_ref[0] = dq_scr[...].astype(dq_ref.dtype)
 
 
-def _flash_bwd_impl(q, k, v, o, lse, do, ncond: int, kvlen: int, scale: float,
-                    bq: int, bk: int, interpret: bool):
+def _flash_bwd_dkv_impl(q, k, v, do, lse, delta, ncond, kvlen, scale,
+                        bq, bk, interpret, offs=None):
+    """dk/dv for one K/V chunk against all local queries. lse/delta:
+    [BH, 1, Sq] fp32."""
     BH, Sq, D = q.shape
     Sk = k.shape[1]
-    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
-                    axis=-1)[:, None, :]  # [BH, 1, Sq]
-
-    common = dict(scale=scale, ncond=ncond, kvlen=kvlen, sk_pad=Sk, bq=bq, bk=bk)
-    in_specs_base = [
-        pl.BlockSpec((1, bq, D), lambda b, i, j: (b, j, 0)),  # q by inner qi
-        pl.BlockSpec((1, bk, D), lambda b, i, j: (b, i, 0)),  # k by outer ki
-        pl.BlockSpec((1, bk, D), lambda b, i, j: (b, i, 0)),
-        pl.BlockSpec((1, bq, D), lambda b, i, j: (b, j, 0)),  # do
-        pl.BlockSpec((1, 1, bq), lambda b, i, j: (b, 0, j)),  # lse
-        pl.BlockSpec((1, 1, bq), lambda b, i, j: (b, 0, j)),  # delta
-    ]
+    if offs is None:
+        offs = jnp.zeros((1, 2), jnp.int32)
+    common = dict(scale=scale, ncond=ncond, kvlen=kvlen, sk_pad=Sk,
+                  bq=bq, bk=bk)
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, **common),
         grid=(BH, Sk // bk, Sq // bq),
-        in_specs=in_specs_base,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, bq, D), lambda b, i, j: (b, j, 0)),  # q by qi
+            pl.BlockSpec((1, bk, D), lambda b, i, j: (b, i, 0)),  # k by ki
+            pl.BlockSpec((1, bk, D), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, bq, D), lambda b, i, j: (b, j, 0)),  # do
+            pl.BlockSpec((1, 1, bq), lambda b, i, j: (b, 0, j)),  # lse
+            pl.BlockSpec((1, 1, bq), lambda b, i, j: (b, 0, j)),  # delta
+        ],
         out_specs=[
             pl.BlockSpec((1, bk, D), lambda b, i, j: (b, i, 0)),
             pl.BlockSpec((1, bk, D), lambda b, i, j: (b, i, 0)),
@@ -281,12 +295,24 @@ def _flash_bwd_impl(q, k, v, o, lse, do, ncond: int, kvlen: int, scale: float,
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(q, k, v, do, lse, delta)
+    )(offs, q, k, v, do, lse, delta)
+    return dk, dv
 
+
+def _flash_bwd_dq_impl(q, k, v, do, lse, delta, ncond, kvlen, scale,
+                       bq, bk, interpret, offs=None):
+    """dq of local queries against one K/V chunk."""
+    BH, Sq, D = q.shape
+    Sk = k.shape[1]
+    if offs is None:
+        offs = jnp.zeros((1, 2), jnp.int32)
+    common = dict(scale=scale, ncond=ncond, kvlen=kvlen, sk_pad=Sk,
+                  bq=bq, bk=bk)
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, **common),
         grid=(BH, Sq // bq, Sk // bk),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, bq, D), lambda b, i, j: (b, i, 0)),
             pl.BlockSpec((1, bk, D), lambda b, i, j: (b, j, 0)),
             pl.BlockSpec((1, bk, D), lambda b, i, j: (b, j, 0)),
@@ -301,8 +327,18 @@ def _flash_bwd_impl(q, k, v, o, lse, do, ncond: int, kvlen: int, scale: float,
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(q, k, v, do, lse, delta)
+    )(offs, q, k, v, do, lse, delta)
+    return dq
 
+
+def _flash_bwd_impl(q, k, v, o, lse, do, ncond: int, kvlen: int, scale: float,
+                    bq: int, bk: int, interpret: bool):
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
+                    axis=-1)[:, None, :]  # [BH, 1, Sq]
+    dk, dv = _flash_bwd_dkv_impl(q, k, v, do, lse, delta, ncond, kvlen,
+                                 scale, bq, bk, interpret)
+    dq = _flash_bwd_dq_impl(q, k, v, do, lse, delta, ncond, kvlen,
+                            scale, bq, bk, interpret)
     return dq, dk, dv
 
 
@@ -385,3 +421,107 @@ def flash_attention(
     o = _flash_core(q3, k3, v3, ncond, kvlen, float(scale), bq, bk, interpret)
     o = o[:, :Sq].reshape(B, H, Sq, D)
     return jnp.swapaxes(o, 1, 2)
+
+
+# ---------------------------------------------------------------------------
+# Chunk-level API for ring context parallelism
+# ---------------------------------------------------------------------------
+#
+# Ring attention (parallel/context_attention.py) iterates K/V chunks
+# around the ICI ring; these entry points run one (local-q x chunk-KV)
+# flash pass with *traced global offsets* so the conditioning-prefix rule
+# holds across shards. The ring owns the custom VJP — these are raw
+# impl wrappers (fwd returns the combinable (o, lse) pair; dq/dkv take
+# the globally-combined lse).
+
+
+def _chunk_geom(Sq: int, Sk: int, block_q: int, block_k: int):
+    bq = min(block_q, _round_up(Sq, 8))
+    bk = min(block_k, _round_up(Sk, 8))
+    return bq, bk, _round_up(Sq, bq), _round_up(Sk, bk)
+
+
+def _pack_bhsd(x, s_pad):
+    B, S, H, D = x.shape
+    x = jnp.swapaxes(x, 1, 2).reshape(B * H, S, D)
+    if s_pad > S:
+        x = jnp.pad(x, ((0, 0), (0, s_pad - S), (0, 0)))
+    return x
+
+
+def _pack_row(x, s_pad):
+    """[B, S, H] fp32 -> [BH, 1, S_pad]."""
+    B, S, H = x.shape
+    x = x.transpose(0, 2, 1).reshape(B * H, 1, S)
+    if s_pad > S:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, s_pad - S)))
+    return x
+
+
+def _offs_arr(q_offset, k_offset):
+    return jnp.stack(
+        [jnp.asarray(q_offset, jnp.int32), jnp.asarray(k_offset, jnp.int32)]
+    ).reshape(1, 2)
+
+
+def flash_chunk_fwd(q, k, v, q_offset, k_offset, *, num_cond_tokens: int,
+                    scale: Optional[float] = None, block_q: int = 512,
+                    block_k: int = 1024, interpret: bool = False):
+    """One ring step: local q [B,Sq,H,D] x chunk K/V [B,Sk,H,D] ->
+    (o normalized [B,Sq,H,D], lse [B,Sq,H] fp32). Offsets are traced."""
+    B, Sq, H, D = q.shape
+    Sk = k.shape[1]
+    if scale is None:
+        scale = D ** -0.5
+    bq, bk, sq_pad, sk_pad = _chunk_geom(Sq, Sk, block_q, block_k)
+    o, lse = _flash_fwd_impl(
+        _pack_bhsd(q, sq_pad), _pack_bhsd(k, sk_pad), _pack_bhsd(v, sk_pad),
+        int(num_cond_tokens), Sk, float(scale), bq, bk, interpret,
+        offs=_offs_arr(q_offset, k_offset),
+    )
+    o = jnp.swapaxes(o[:, :Sq].reshape(B, H, Sq, D), 1, 2)
+    lse = lse[:, 0, :Sq].reshape(B, H, Sq).transpose(0, 2, 1)
+    return o, lse
+
+
+def flash_chunk_dq(q, k, v, do, lse, delta, q_offset, k_offset, *,
+                   num_cond_tokens: int, scale: Optional[float] = None,
+                   block_q: int = 512, block_k: int = 1024,
+                   interpret: bool = False):
+    """dq of local queries vs one chunk. lse/delta: [B, Sq, H] fp32
+    (globally combined)."""
+    B, Sq, H, D = q.shape
+    Sk = k.shape[1]
+    if scale is None:
+        scale = D ** -0.5
+    bq, bk, sq_pad, sk_pad = _chunk_geom(Sq, Sk, block_q, block_k)
+    dq = _flash_bwd_dq_impl(
+        _pack_bhsd(q, sq_pad), _pack_bhsd(k, sk_pad), _pack_bhsd(v, sk_pad),
+        _pack_bhsd(do, sq_pad), _pack_row(lse, sq_pad),
+        _pack_row(delta, sq_pad),
+        int(num_cond_tokens), Sk, float(scale), bq, bk, interpret,
+        offs=_offs_arr(q_offset, k_offset),
+    )
+    return jnp.swapaxes(dq[:, :Sq].reshape(B, H, Sq, D), 1, 2)
+
+
+def flash_chunk_dkv(q, k, v, do, lse, delta, q_offset, k_offset, *,
+                    num_cond_tokens: int, scale: Optional[float] = None,
+                    block_q: int = 512, block_k: int = 1024,
+                    interpret: bool = False):
+    """This device's (dk, dv) contribution to one chunk."""
+    B, Sq, H, D = q.shape
+    Sk = k.shape[1]
+    if scale is None:
+        scale = D ** -0.5
+    bq, bk, sq_pad, sk_pad = _chunk_geom(Sq, Sk, block_q, block_k)
+    dk, dv = _flash_bwd_dkv_impl(
+        _pack_bhsd(q, sq_pad), _pack_bhsd(k, sk_pad), _pack_bhsd(v, sk_pad),
+        _pack_bhsd(do, sq_pad), _pack_row(lse, sq_pad),
+        _pack_row(delta, sq_pad),
+        int(num_cond_tokens), Sk, float(scale), bq, bk, interpret,
+        offs=_offs_arr(q_offset, k_offset),
+    )
+    dk = jnp.swapaxes(dk[:, :Sk].reshape(B, H, Sk, D), 1, 2)
+    dv = jnp.swapaxes(dv[:, :Sk].reshape(B, H, Sk, D), 1, 2)
+    return dk, dv

@@ -3,16 +3,26 @@
 First-class sequence/context parallelism (SURVEY.md §2.10: the
 reference's ``cp_split_hw`` latent-grid split + LongCat CP internals,
 always run degenerate at size 1): video tokens shard over the mesh's
-``context`` axis; each device all-gathers K/V over ICI and attends its
-local query shard. The conditioning-prefix rule (ops/attention.py) is
-applied with *global* query indices, so prefix semantics are preserved
-across shards.
+``context`` axis. The conditioning-prefix rule (ops/attention.py) is
+applied with *global* query/key indices, so prefix semantics are
+preserved across shards.
 
-This is the all-gather-KV formulation — one tiled all-gather per layer,
-memory O(S_global) for K/V but O(S_local) for activations. The Pallas
-ring variant (neighbor RDMA exchange, O(S_local) K/V memory) is the
-round-2 upgrade; this module fixes the API and the masking semantics it
-must reproduce.
+Two formulations:
+
+- ``ring_self_attention`` (default): ring flash attention. K/V chunks
+  rotate around the ICI ring via ``lax.ppermute`` while each device runs
+  the Pallas flash kernel (ops/flash_attention.py chunk API) on its
+  local queries, combining online-softmax partials (o, lse) across ring
+  steps. K/V memory stays O(S_local); XLA overlaps the collective-
+  permute with the next chunk's compute. A ring-level ``custom_vjp``
+  implements the exact backward as a second ring pass (dq accumulates
+  locally; each chunk's dk/dv accumulator travels with the chunk and
+  arrives home after n steps). ``impl="xla"`` swaps the per-chunk kernel
+  for a jnp reference (CPU tests; same ring orchestration).
+
+- ``cp_self_attention``: all-gather-KV reference formulation — one tiled
+  all-gather per layer, O(S_global) K/V memory. Kept as the correctness
+  oracle for the ring (test_parallel.py).
 """
 
 from __future__ import annotations
@@ -27,6 +37,18 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..ops.attention import NEG_INF
 
 TOKEN_SPEC = P(None, "context", None, None)  # [B, S, H, D]
+
+
+def _shard_map_fn():
+    """jax.shard_map (0.8+) with the experimental fallback; disables
+    replication checking under either API (axis_index makes outputs
+    device-varying in ways the checker can't see)."""
+    fn = getattr(jax, "shard_map", None)
+    if fn is not None:
+        return functools.partial(fn, check_vma=False)
+    from jax.experimental.shard_map import shard_map as fn
+
+    return functools.partial(fn, check_rep=False)
 
 
 def _local_attention(ql, kg, vg, q_offset, num_cond_tokens: int,
@@ -64,7 +86,7 @@ def cp_self_attention(
     Output keeps the same token sharding. Equivalent to the unsharded
     ``attention_xla`` (tested on the virtual CPU mesh).
     """
-    from jax.experimental.shard_map import shard_map
+    shard_map = _shard_map_fn()
 
     def local(ql, kl, vl):
         kg = jax.lax.all_gather(kl, "context", axis=1, tiled=True)
@@ -76,6 +98,201 @@ def cp_self_attention(
         local, mesh=mesh,
         in_specs=(TOKEN_SPEC, TOKEN_SPEC, TOKEN_SPEC),
         out_specs=TOKEN_SPEC,
-        check_rep=False,
+    )
+    return f(q, k, v)
+
+
+# ---------------------------------------------------------------------------
+# Ring flash attention
+# ---------------------------------------------------------------------------
+
+
+def _xla_chunk_mask(q_off, k_off, Sq, Sk, ncond):
+    q_idx = q_off + jnp.arange(Sq)[:, None]
+    k_idx = k_off + jnp.arange(Sk)[None, :]
+    return (q_idx >= ncond) | (k_idx < ncond)
+
+
+def _xla_chunk_fwd(q, k, v, q_off, k_off, ncond, scale):
+    """jnp reference of the per-chunk flash pass: returns (o normalized,
+    lse [B, Sq, H]); fully-masked rows give o=0, lse=NEG_INF (combinable)."""
+    s = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32),
+                   k.astype(jnp.float32)) * scale
+    if ncond > 0:
+        allowed = _xla_chunk_mask(q_off, k_off, q.shape[1], k.shape[1], ncond)
+        s = jnp.where(allowed[None, None], s, NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    if ncond > 0:
+        p = jnp.where(allowed[None, None], p, 0.0)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    l_safe = jnp.where(l == 0.0, 1.0, l)
+    o = jnp.einsum("bhqk,bkhd->bqhd", p / l_safe, v.astype(jnp.float32))
+    lse = (m + jnp.log(l_safe))[..., 0].transpose(0, 2, 1)  # [B, Sq, H]
+    return o.astype(q.dtype), lse
+
+
+def _xla_chunk_p_ds(q, k, v, do, lse, delta, q_off, k_off, ncond, scale):
+    s = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32),
+                   k.astype(jnp.float32)) * scale
+    p = jnp.exp(s - lse.transpose(0, 2, 1)[..., None])
+    if ncond > 0:
+        allowed = _xla_chunk_mask(q_off, k_off, q.shape[1], k.shape[1], ncond)
+        p = jnp.where(allowed[None, None], p, 0.0)
+    dp = jnp.einsum("bqhd,bkhd->bhqk", do.astype(jnp.float32),
+                    v.astype(jnp.float32))
+    ds = p * (dp - delta.transpose(0, 2, 1)[..., None])
+    return p, ds
+
+
+def _xla_chunk_dq(q, k, v, do, lse, delta, q_off, k_off, ncond, scale):
+    _, ds = _xla_chunk_p_ds(q, k, v, do, lse, delta, q_off, k_off, ncond,
+                            scale)
+    return jnp.einsum("bhqk,bkhd->bqhd", ds,
+                      k.astype(jnp.float32)) * scale
+
+
+def _xla_chunk_dkv(q, k, v, do, lse, delta, q_off, k_off, ncond, scale):
+    p, ds = _xla_chunk_p_ds(q, k, v, do, lse, delta, q_off, k_off, ncond,
+                            scale)
+    dv = jnp.einsum("bhqk,bqhd->bkhd", p, do.astype(jnp.float32))
+    dk = jnp.einsum("bhqk,bqhd->bkhd", ds,
+                    q.astype(jnp.float32)) * scale
+    return dk, dv
+
+
+def _chunk_fns(impl: str, ncond: int, scale: float, interpret: bool):
+    if impl == "pallas":
+        from ..ops.flash_attention import (
+            flash_chunk_dkv, flash_chunk_dq, flash_chunk_fwd,
+        )
+
+        kw = dict(num_cond_tokens=ncond, scale=scale, interpret=interpret)
+        return (
+            lambda q, k, v, qo, ko: flash_chunk_fwd(q, k, v, qo, ko, **kw),
+            lambda q, k, v, do, lse, dl, qo, ko: flash_chunk_dq(
+                q, k, v, do, lse, dl, qo, ko, **kw),
+            lambda q, k, v, do, lse, dl, qo, ko: flash_chunk_dkv(
+                q, k, v, do, lse, dl, qo, ko, **kw),
+        )
+    return (
+        lambda q, k, v, qo, ko: _xla_chunk_fwd(q, k, v, qo, ko, ncond, scale),
+        lambda q, k, v, do, lse, dl, qo, ko: _xla_chunk_dq(
+            q, k, v, do, lse, dl, qo, ko, ncond, scale),
+        lambda q, k, v, do, lse, dl, qo, ko: _xla_chunk_dkv(
+            q, k, v, do, lse, dl, qo, ko, ncond, scale),
+    )
+
+
+def _ring_perm(n: int):
+    # device j sends to j-1: after one rotation, device m holds the chunk
+    # originally on m+1; at ring step i it holds chunk (m + i) mod n.
+    return [(j, (j - 1) % n) for j in range(n)]
+
+
+def _ring_fwd_impl(q, k, v, axis: str, n: int, ncond: int, scale: float,
+                   impl: str, interpret: bool):
+    chunk_fwd, _, _ = _chunk_fns(impl, ncond, scale, interpret)
+    B, Sq, H, D = q.shape
+    Sk = k.shape[1]
+    my = jax.lax.axis_index(axis)
+    q_off = my * Sq
+    perm = _ring_perm(n)
+
+    def step(carry, i):
+        o_acc, lse_acc, kc, vc = carry
+        src = (my + i) % n
+        o_i, lse_i = chunk_fwd(q, kc, vc, q_off, src * Sk)
+        lse_new = jnp.logaddexp(lse_acc, lse_i)
+        o_acc = (o_acc * jnp.exp(lse_acc - lse_new)[..., None]
+                 + o_i.astype(jnp.float32)
+                 * jnp.exp(lse_i - lse_new)[..., None])
+        if n > 1:
+            kc, vc = jax.lax.ppermute((kc, vc), axis, perm)
+        return (o_acc, lse_new, kc, vc), None
+
+    init = (jnp.zeros((B, Sq, H, D), jnp.float32),
+            jnp.full((B, Sq, H), NEG_INF, jnp.float32), k, v)
+    (o, lse, _, _), _ = jax.lax.scan(step, init, jnp.arange(n))
+    return o.astype(q.dtype), lse
+
+
+def _ring_bwd_impl(axis, n, ncond, scale, impl, interpret, res, do):
+    q, k, v, o, lse = res
+    _, chunk_dq, chunk_dkv = _chunk_fns(impl, ncond, scale, interpret)
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
+                    axis=-1)  # [B, Sq, H]
+    my = jax.lax.axis_index(axis)
+    q_off = my * q.shape[1]
+    Sk = k.shape[1]
+    perm = _ring_perm(n)
+
+    def step(carry, i):
+        dq_acc, kc, vc, dkc, dvc = carry
+        src = (my + i) % n
+        k_off = src * Sk
+        dq_acc = dq_acc + chunk_dq(q, kc, vc, do, lse, delta, q_off,
+                                   k_off).astype(jnp.float32)
+        dk_i, dv_i = chunk_dkv(q, kc, vc, do, lse, delta, q_off, k_off)
+        dkc = dkc + dk_i.astype(jnp.float32)
+        dvc = dvc + dv_i.astype(jnp.float32)
+        if n > 1:
+            # the accumulators travel with their chunk; after n rotations
+            # each is home with every device's contribution added
+            kc, vc, dkc, dvc = jax.lax.ppermute((kc, vc, dkc, dvc), axis,
+                                                perm)
+        return (dq_acc, kc, vc, dkc, dvc), None
+
+    init = (jnp.zeros(q.shape, jnp.float32), k, v,
+            jnp.zeros(k.shape, jnp.float32), jnp.zeros(v.shape, jnp.float32))
+    (dq, _, _, dk, dv), _ = jax.lax.scan(step, init, jnp.arange(n))
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def _ring_core(q, k, v, axis, n, ncond, scale, impl, interpret):
+    o, _ = _ring_fwd_impl(q, k, v, axis, n, ncond, scale, impl, interpret)
+    return o
+
+
+def _ring_core_fwd(q, k, v, axis, n, ncond, scale, impl, interpret):
+    o, lse = _ring_fwd_impl(q, k, v, axis, n, ncond, scale, impl, interpret)
+    return o, (q, k, v, o, lse)
+
+
+_ring_core.defvjp(_ring_core_fwd, _ring_bwd_impl)
+
+
+def ring_self_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mesh: Mesh,
+    *,
+    num_cond_tokens: int = 0,
+    scale: Optional[float] = None,
+    impl: Optional[str] = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Ring flash attention with q/k/v token-sharded over mesh axis
+    "context". Sq may differ from Sk (KV-cache decode: q = noise tokens,
+    k/v = cond-cache ++ noise). Equivalent to ``cp_self_attention`` and
+    the unsharded oracle (tested, including gradients)."""
+    shard_map = _shard_map_fn()
+
+    n = int(mesh.shape["context"])
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    if impl is None:
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+
+    def local(ql, kl, vl):
+        return _ring_core(ql, kl, vl, "context", n, int(num_cond_tokens),
+                          float(scale), impl, interpret)
+
+    f = shard_map(
+        local, mesh=mesh,
+        in_specs=(TOKEN_SPEC, TOKEN_SPEC, TOKEN_SPEC),
+        out_specs=TOKEN_SPEC,
     )
     return f(q, k, v)

@@ -41,16 +41,12 @@ def build_mesh(cfg: MeshConfig, devices: Optional[Sequence] = None) -> Mesh:
 def factorize_devices(n: int) -> MeshConfig:
     """Heuristic (data, context, tensor) factorization for n devices:
     prefer context (sequence) parallelism, then tensor, then data —
-    matching the workload (single video per step, long token axis)."""
-    import math
-
-    best = MeshConfig(data=1, context=n, tensor=1)
-    # prefer near-square context x tensor when n has factors
-    for tensor in (4, 2, 1):
-        if n % tensor == 0:
-            ctx = n // tensor
-            return MeshConfig(data=1, context=ctx, tensor=tensor)
-    return best
+    matching the workload (single video per step, long token axis).
+    The context axis is maximized: ring attention scales the dominant
+    cost (token-axis attention) with near-linear ICI efficiency, while
+    tensor sharding only pays off once HBM forces it — callers needing
+    TP pass an explicit MeshConfig instead."""
+    return MeshConfig(data=1, context=n, tensor=1)
 
 
 def single_device_mesh() -> Mesh:

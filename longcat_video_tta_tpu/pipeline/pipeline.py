@@ -166,6 +166,7 @@ def generate_vc(
     adapters=None,
     dit_params=None,
     attn_impl: Optional[str] = None,
+    cp_mesh=None,
 ) -> np.ndarray:
     """Video continuation. Returns generated frames [N, H, W, 3] in [0, 1]
     (N = num_frames rounded to 4k+1), matching the contract of
@@ -195,6 +196,7 @@ def generate_vc(
         adapters=adapters,
         use_kv_cache=use_kv_cache,
         attn_impl=attn_impl,
+        cp_mesh=cp_mesh,
     )
 
     # Decode [cond | gen] together so the causal decoder sees the real
@@ -226,6 +228,7 @@ def generate_t2v(
     negative_prompt: str = "",
     adapters=None,
     attn_impl: Optional[str] = None,
+    cp_mesh=None,
 ) -> np.ndarray:
     """Text-to-video (reference: run_longcat_t2v.py pipe.generate_t2v).
     Returns [N, H, W, 3] in [0, 1]."""
@@ -247,6 +250,7 @@ def generate_t2v(
         cond_latents=None,
         adapters=adapters,
         attn_impl=attn_impl,
+        cp_mesh=cp_mesh,
     )
     pixels = bundle.decode_latents(latents)
     return np.asarray(pixels[0].transpose(1, 2, 3, 0)[:nf])

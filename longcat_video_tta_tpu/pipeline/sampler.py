@@ -35,7 +35,7 @@ def _cfg_batch(x, neg_first=False):
     jax.jit,
     static_argnames=(
         "dit_cfg", "sched_cfg", "num_gen_latents", "num_steps",
-        "use_kv_cache", "attn_impl", "lat_h", "lat_w",
+        "use_kv_cache", "attn_impl", "lat_h", "lat_w", "cp_mesh",
     ),
 )
 def sample_latents(
@@ -57,6 +57,7 @@ def sample_latents(
     adapters=None,
     use_kv_cache: bool = True,
     attn_impl: Optional[str] = None,
+    cp_mesh=None,
 ) -> jnp.ndarray:
     """Returns denoised latents for the generated region
     [B, C, num_gen_latents, lat_h, lat_w] (normalized latent space).
@@ -84,7 +85,7 @@ def sample_latents(
         if use_kv_cache:
             kv_cache = dit_precompute_cond_cache(
                 dit_params, dit_cfg, cond2, emb2, mask2,
-                adapters=adapters, attn_impl=attn_impl,
+                adapters=adapters, attn_impl=attn_impl, cp_mesh=cp_mesh,
             )
 
     nt_total = n_cond + Lg
@@ -98,13 +99,14 @@ def sample_latents(
                 dit_params, dit_cfg, x2.astype(jnp.float32),
                 jnp.full((2 * B,), t_val), emb2, mask2,
                 num_cond_latents=0, adapters=adapters, attn_impl=attn_impl,
+                cp_mesh=cp_mesh,
             )
         elif use_kv_cache:
             v2 = dit_forward_with_cache(
                 dit_params, dit_cfg, x2.astype(jnp.float32),
                 jnp.full((2 * B,), t_val), emb2, mask2, kv_cache,
                 num_cond_latents=n_cond, adapters=adapters,
-                attn_impl=attn_impl,
+                attn_impl=attn_impl, cp_mesh=cp_mesh,
             )
         else:
             full2 = jnp.concatenate([cond2, x2], axis=2)
@@ -112,7 +114,7 @@ def sample_latents(
             v_all = dit_forward(
                 dit_params, dit_cfg, full2.astype(jnp.float32), tsteps,
                 emb2, mask2, num_cond_latents=n_cond, adapters=adapters,
-                attn_impl=attn_impl,
+                attn_impl=attn_impl, cp_mesh=cp_mesh,
             )
             v2 = v_all[:, :, n_cond:]
         v_u, v_c = v2[:B], v2[B:]

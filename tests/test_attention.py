@@ -95,3 +95,58 @@ def test_cond_prefix_enables_exact_kv_cache():
     np.testing.assert_allclose(
         np.asarray(dec_flash), np.asarray(dec), atol=2e-5, rtol=2e-5
     )
+
+
+def test_flash_chunk_fwd_offsets_match_jnp():
+    """Ring chunk kernel with traced global offsets == jnp chunk oracle
+    (the conditioning prefix crosses the chunk boundary)."""
+    from longcat_video_tta_tpu.ops.flash_attention import flash_chunk_fwd
+    from longcat_video_tta_tpu.parallel.context_attention import (
+        _xla_chunk_fwd,
+    )
+
+    q, k, v = _rand_qkv(jax.random.PRNGKey(5), B=1, S=64, H=2, D=32, Sk=64)
+    ncond, scale = 96, 32 ** -0.5
+    for q_off, k_off in ((0, 64), (64, 0), (128, 64)):
+        ref_o, ref_lse = _xla_chunk_fwd(q, k, v, q_off, k_off, ncond, scale)
+        o, lse = flash_chunk_fwd(q, k, v, q_off, k_off,
+                                 num_cond_tokens=ncond, scale=scale,
+                                 interpret=True)
+        np.testing.assert_allclose(np.asarray(o), np.asarray(ref_o),
+                                   atol=2e-5, rtol=2e-5,
+                                   err_msg=f"o off=({q_off},{k_off})")
+        np.testing.assert_allclose(np.asarray(lse), np.asarray(ref_lse),
+                                   atol=2e-5, rtol=2e-5,
+                                   err_msg=f"lse off=({q_off},{k_off})")
+
+
+def test_flash_chunk_bwd_offsets_match_jnp():
+    from longcat_video_tta_tpu.ops.flash_attention import (
+        flash_chunk_dkv, flash_chunk_dq, flash_chunk_fwd,
+    )
+    from longcat_video_tta_tpu.parallel.context_attention import (
+        _xla_chunk_dkv, _xla_chunk_dq, _xla_chunk_fwd,
+    )
+
+    q, k, v = _rand_qkv(jax.random.PRNGKey(6), B=1, S=64, H=2, D=32, Sk=64)
+    do = jax.random.normal(jax.random.PRNGKey(7), q.shape, q.dtype)
+    ncond, scale, q_off, k_off = 96, 32 ** -0.5, 64, 64
+    o, lse = _xla_chunk_fwd(q, k, v, q_off, k_off, ncond, scale)
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), -1)
+
+    ref_dq = _xla_chunk_dq(q, k, v, do, lse, delta, q_off, k_off, ncond,
+                           scale)
+    dq = flash_chunk_dq(q, k, v, do, lse, delta, q_off, k_off,
+                        num_cond_tokens=ncond, scale=scale, interpret=True)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(ref_dq),
+                               atol=5e-5, rtol=5e-5)
+
+    ref_dk, ref_dv = _xla_chunk_dkv(q, k, v, do, lse, delta, q_off, k_off,
+                                    ncond, scale)
+    dk, dv = flash_chunk_dkv(q, k, v, do, lse, delta, q_off, k_off,
+                             num_cond_tokens=ncond, scale=scale,
+                             interpret=True)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(ref_dk),
+                               atol=5e-5, rtol=5e-5)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(ref_dv),
+                               atol=5e-5, rtol=5e-5)

@@ -126,3 +126,121 @@ def test_dit_forward_context_parallel_matches(inputs):
                             cp_mesh=mesh)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-4, rtol=1e-3)
+
+
+def test_ring_attention_matches_unsharded_and_allgather():
+    """Ring flash attention (xla chunk impl on CPU) == all-gather-KV ==
+    unsharded reference, incl. the cond prefix crossing shard
+    boundaries."""
+    from longcat_video_tta_tpu.ops.attention import attention_xla
+    from longcat_video_tta_tpu.parallel.context_attention import (
+        cp_self_attention, ring_self_attention,
+    )
+
+    mesh = build_mesh(MeshConfig(data=1, context=4, tensor=1))
+    B, S, H, D = 1, 64, 2, 16
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(5), 3)
+    q = jax.random.normal(kq, (B, S, H, D))
+    k = jax.random.normal(kk, (B, S, H, D))
+    v = jax.random.normal(kv, (B, S, H, D))
+    for ncond in (0, 24):
+        ref = attention_xla(q, k, v, num_cond_tokens=ncond)
+        with mesh:
+            ag = cp_self_attention(q, k, v, mesh, num_cond_tokens=ncond)
+            ring = ring_self_attention(q, k, v, mesh,
+                                       num_cond_tokens=ncond, impl="xla")
+        np.testing.assert_allclose(np.asarray(ring), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5,
+                                   err_msg=f"ring vs ref ncond={ncond}")
+        np.testing.assert_allclose(np.asarray(ring), np.asarray(ag),
+                                   atol=2e-5, rtol=2e-5,
+                                   err_msg=f"ring vs all-gather "
+                                           f"ncond={ncond}")
+
+
+def test_ring_attention_gradients_match_unsharded():
+    """The ring-level custom VJP (second ring pass, travelling dk/dv
+    accumulators) reproduces the unsharded gradients."""
+    from longcat_video_tta_tpu.ops.attention import attention_xla
+    from longcat_video_tta_tpu.parallel.context_attention import (
+        ring_self_attention,
+    )
+
+    mesh = build_mesh(MeshConfig(data=1, context=4, tensor=1))
+    B, S, H, D = 1, 32, 2, 8
+    kq, kk, kv, kw = jax.random.split(jax.random.PRNGKey(6), 4)
+    q = jax.random.normal(kq, (B, S, H, D))
+    k = jax.random.normal(kk, (B, S, H, D))
+    v = jax.random.normal(kv, (B, S, H, D))
+    w = jax.random.normal(kw, (B, S, H, D))
+    ncond = 12
+
+    def loss_ref(q, k, v):
+        return jnp.sum(attention_xla(q, k, v, num_cond_tokens=ncond) * w)
+
+    def loss_ring(q, k, v):
+        with mesh:
+            return jnp.sum(
+                ring_self_attention(q, k, v, mesh,
+                                    num_cond_tokens=ncond, impl="xla") * w)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    g_ring = jax.grad(loss_ring, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_ring, g_ref, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5, rtol=5e-5,
+                                   err_msg=f"d{name}")
+
+
+def test_ring_attention_decode_shapes():
+    """KV-cache decode under CP: Sq (noise) != Sk (cond ++ noise), no
+    masking — matches the unsharded oracle."""
+    from longcat_video_tta_tpu.ops.attention import attention_xla
+    from longcat_video_tta_tpu.parallel.context_attention import (
+        ring_self_attention,
+    )
+
+    mesh = build_mesh(MeshConfig(data=1, context=4, tensor=1))
+    B, Sq, Sk, H, D = 1, 32, 48, 2, 16
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(7), 3)
+    q = jax.random.normal(kq, (B, Sq, H, D))
+    k = jax.random.normal(kk, (B, Sk, H, D))
+    v = jax.random.normal(kv, (B, Sk, H, D))
+    ref = attention_xla(q, k, v)
+    with mesh:
+        out = ring_self_attention(q, k, v, mesh, num_cond_tokens=0,
+                                  impl="xla")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_sample_latents_context_parallel_matches(inputs):
+    """Sharded generation: sample_latents under a context mesh (incl. the
+    KV-cache decode path) == single-device sampling."""
+    from longcat_video_tta_tpu.pipeline import sample_latents
+    from longcat_video_tta_tpu.config import longcat_tiny
+
+    params, latents, text, mask = inputs
+    cfg = longcat_tiny()
+    mesh = build_mesh(MeshConfig(data=1, context=4, tensor=1))
+    cond = latents[:1, :, :2]
+    emb, msk = text[:1], mask[:1]
+    common = dict(num_gen_latents=2, num_steps=2, lat_h=8, lat_w=16,
+                  cond_latents=cond, attn_impl="xla")
+    ref = sample_latents(params, CFG, cfg.scheduler, jax.random.PRNGKey(0),
+                         emb, msk, emb, msk, 4.0, use_kv_cache=True,
+                         **common)
+    with mesh:
+        out = sample_latents(params, CFG, cfg.scheduler,
+                             jax.random.PRNGKey(0), emb, msk, emb, msk, 4.0,
+                             use_kv_cache=True, cp_mesh=mesh, **common)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-4, rtol=1e-3)
+
+
+def test_factorize_devices_prefers_context():
+    from longcat_video_tta_tpu.parallel import factorize_devices
+
+    cfg = factorize_devices(8)
+    assert cfg.context >= cfg.tensor
+    assert cfg.context == 8 and cfg.data == 1 and cfg.tensor == 1
