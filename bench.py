@@ -94,19 +94,52 @@ def main():
     gen_s = time.perf_counter() - t0
     gen_fps = 29.0 / gen_s
 
-    baseline_step_s = 20.9 / 5.0  # Delta-A 5-step train_s on H200
+    # ---- honest accounting (VERDICT r1): FLOPs-normalized MFU + ----
+    # ---- per-param-normalized baseline ratio, geometry in labels ----
+    n_params = M.count_params(params)
+    D, F, Ct, L = dcfg.hidden_size, dcfg.ffn_dim, dcfg.adaln_tembed_dim, \
+        dcfg.depth
+    # matmul params touched per token (per block: qkv/proj/xattn/ffn/adaln)
+    p_block = 3 * D * D + D * D + (D * D + 2 * D * D + D * D) \
+        + 3 * D * F + Ct * 6 * D
+    p_matmul = L * p_block
+    nhw = (lat_h // 2) * (lat_w // 2)
+    s_train = 3 * nhw           # cond 2 + train 1 latent frames
+    # fwd 2*P*S, bwd 2x fwd; self-attention 4*S^2*D fwd, ~2.5x in bwd
+    train_flops = 6 * p_matmul * s_train + 14 * s_train ** 2 * D
+    peak = 197e12               # v5e bf16 MXU roofline
+    train_mfu = train_flops / tta_step_s / peak
+
+    s_noise, s_cond = 8 * nhw, 4 * nhw
+    # per denoise step: CFG batch 2, fwd only; attention Sq=noise,
+    # Sk=cond+noise (KV-cache)
+    gen_flops_step = 2 * (2 * p_matmul * s_noise
+                          + 4 * s_noise * (s_noise + s_cond) * D)
+    gen_mfu = gen_flops_step * 50 / gen_s / peak
+
+    baseline_step_s = 20.9 / 5.0  # Delta-A 5-step train_s on H200 (13.6B)
+    per_param_ratio = (baseline_step_s / 13.6e9) / (tta_step_s / n_params)
     print(json.dumps({
-        "metric": "delta_a_tta_step_seconds_480p",
+        "metric": "delta_a_tta_step_seconds_480p_1p2B_v5e1",
         "value": round(tta_step_s, 3),
         "unit": "s/step",
-        "vs_baseline": round(baseline_step_s / tta_step_s, 3),
+        # headline ratio is PER-PARAM normalized: wall-clock ratio x
+        # (our params / baseline params) — the raw wall ratio would
+        # compare a 1.19B model against the 13.6B H200 baseline
+        "vs_baseline": round(per_param_ratio, 3),
         "detail": {
+            "geometry": f"depth={L} hidden={D} ffn={F} heads="
+                        f"{dcfg.num_heads} ({n_params / 1e9:.2f}B params, "
+                        f"bf16, v5e-1, 480p 60x104 latent grid)",
+            "tta_step_mfu": round(train_mfu, 4),
             "gen_50step_cfg_29frames_s": round(gen_s, 2),
             "gen_frames_per_s": round(gen_fps, 3),
-            "model": "longcat_bench (48-block geometry @ 2048 width, "
-                     "1.19B params, bf16, v5e-1)",
+            "gen_mfu": round(gen_mfu, 4),
+            "wall_ratio_unnormalized": round(baseline_step_s / tta_step_s,
+                                             3),
             "baseline": "Delta-A lr5e-3 5 steps: 20.9 s/video on 1xH200 "
-                        "13.6B (summary_printout.txt:134)",
+                        "13.6B (summary_printout.txt:134); per-param "
+                        "normalization factor 1.19/13.6",
         },
     }))
 

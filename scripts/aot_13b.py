@@ -1,0 +1,178 @@
+#!/usr/bin/env python3
+"""AOT-compile the flagship 13.6B LongCat geometry under a TP x CP mesh
+and report per-chip memory (VERDICT r1 item 4).
+
+No weights are materialized: the forward and the delta_a TTA train step
+are lowered from ShapeDtypeStructs with GSPMD shardings (megatron TP
+over qkv/ffn from parallel/sharding.py, ring context parallelism over
+the latent W axis) on a virtual device mesh, compiled, and
+memory-analyzed. This proves the 13.6B sharding plan compiles and bounds
+its per-chip HBM without needing 8 real chips.
+
+Sharding plan (v5e-8 / v5p-8 slice):
+  mesh = (data=1, context=2, tensor=4)
+  params: bf16 13.6B -> TP4 = ~6.8 GB/chip (fits v5e 16 GB; v5p trivially)
+  activations: 480p latent grid sharded over context
+  delta_a trainable state: 512 params, replicated
+
+Usage:
+    python scripts/aot_13b.py [--preset longcat_13b] [--devices 8]
+    [--context 2] [--tensor 4]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def bootstrap_cpu(n: int):
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={n}"
+        ).strip()
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    try:
+        import jax.extend.backend
+
+        jax.extend.backend.clear_backends()
+    except Exception:
+        pass
+    jax.config.update("jax_platforms", "cpu")
+    try:
+        jax.config.update("jax_num_cpu_devices", n)
+    except Exception:
+        pass
+    assert len(jax.devices()) >= n, jax.devices()
+
+
+def fmt_bytes(b):
+    return f"{b / 2 ** 30:.2f} GiB"
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--preset", default="longcat_13b")
+    p.add_argument("--devices", type=int, default=8)
+    p.add_argument("--context", type=int, default=2)
+    p.add_argument("--tensor", type=int, default=4)
+    p.add_argument("--lat-h", type=int, default=60)
+    p.add_argument("--lat-w", type=int, default=104)
+    args = p.parse_args()
+
+    bootstrap_cpu(args.devices)
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from longcat_video_tta_tpu.config import (
+        AdapterConfig, MeshConfig, OptimConfig, get_model_config,
+    )
+    from longcat_video_tta_tpu.models import dit as M
+    from longcat_video_tta_tpu.parallel import build_mesh
+    from longcat_video_tta_tpu.parallel.sharding import (
+        LATENT_SPEC, MASK_SPEC, TEXT_SPEC, param_shardings, param_specs,
+    )
+    from longcat_video_tta_tpu.tta import (
+        build_optimizer, build_scheme, make_train_step,
+    )
+
+    cfg = get_model_config(args.preset)
+    dcfg = cfg.dit
+    mesh = build_mesh(MeshConfig(
+        data=args.devices // (args.context * args.tensor),
+        context=args.context, tensor=args.tensor))
+    print(f"[aot] preset={args.preset} mesh={dict(mesh.shape)}")
+
+    pdt = jnp.bfloat16 if dcfg.param_dtype == "bfloat16" else jnp.float32
+    param_shapes = jax.eval_shape(
+        lambda k: M.init_dit(k, dcfg, zero_init=False), jax.random.PRNGKey(0))
+    n_params = sum(
+        int(x.size) for x in jax.tree_util.tree_leaves(param_shapes))
+    print(f"[aot] {n_params / 1e9:.2f}B params "
+          f"({fmt_bytes(n_params * 2)} bf16 total, "
+          f"{fmt_bytes(n_params * 2 // args.tensor)}/chip at TP"
+          f"{args.tensor})")
+
+    p_shard = param_shardings(mesh, param_shapes)
+    B, C = 1, dcfg.in_channels
+    lat = lambda t: jax.ShapeDtypeStruct((B, C, t, args.lat_h, args.lat_w),
+                                         jnp.float32)
+    text = jax.ShapeDtypeStruct((B, dcfg.text_len, dcfg.text_dim), pdt)
+    mask = jax.ShapeDtypeStruct((B, dcfg.text_len), jnp.int32)
+    tsteps = jax.ShapeDtypeStruct((B, 12), jnp.float32)
+    lat_sh = NamedSharding(mesh, LATENT_SPEC)
+    text_sh = NamedSharding(mesh, TEXT_SPEC)
+    mask_sh = NamedSharding(mesh, MASK_SPEC)
+    rep = NamedSharding(mesh, P())
+
+    results = {}
+
+    def analyze(name, lowered):
+        t0 = time.time()
+        compiled = lowered.compile()
+        ma = compiled.memory_analysis()
+        info = {
+            "compile_s": round(time.time() - t0, 1),
+            "argument_bytes": int(getattr(ma, "argument_size_in_bytes", 0)),
+            "output_bytes": int(getattr(ma, "output_size_in_bytes", 0)),
+            "temp_bytes": int(getattr(ma, "temp_size_in_bytes", 0)),
+        }
+        info["per_chip_total_bytes"] = (
+            info["argument_bytes"] + info["output_bytes"]
+            + info["temp_bytes"])
+        results[name] = info
+        print(f"[aot] {name}: compiled in {info['compile_s']}s | "
+              f"args {fmt_bytes(info['argument_bytes'])} + temps "
+              f"{fmt_bytes(info['temp_bytes'])} + out "
+              f"{fmt_bytes(info['output_bytes'])} = "
+              f"{fmt_bytes(info['per_chip_total_bytes'])}/chip")
+        return compiled
+
+    with mesh:
+        # ---- flagship forward: 4 cond + 8 gen latents @ 480p, ring CP --
+        def fwd(params, latents, timesteps, text_emb, text_mask):
+            return M.dit_forward(
+                params, dcfg, latents, timesteps, text_emb, text_mask,
+                num_cond_latents=4, attn_impl="xla",
+                cp_mesh=mesh if args.context > 1 else None)
+
+        lowered = jax.jit(
+            fwd,
+            in_shardings=(p_shard, lat_sh, rep, text_sh, mask_sh),
+        ).lower(param_shapes, lat(12), tsteps, text, mask)
+        analyze("dit_forward_480p_12lat", lowered)
+
+        # ---- delta_a TTA train step (remat fwd+bwd+AdamW) -------------
+        scheme = build_scheme(dcfg, AdapterConfig(method="delta_a"))
+        tp_shapes = jax.eval_shape(
+            lambda k: scheme.init(k, base_params=param_shapes),
+            jax.random.PRNGKey(1))
+        tx = build_optimizer(OptimConfig(lr=5e-3))
+        opt_shapes = jax.eval_shape(tx.init, tp_shapes)
+        step = make_train_step(scheme, dcfg, tx, attn_impl="xla",
+                               cp_mesh=mesh if args.context > 1 else None)
+        rng = jax.ShapeDtypeStruct((2,), jnp.uint32)
+        rep_tree = jax.tree_util.tree_map(lambda _: rep, tp_shapes)
+        rep_opt = jax.tree_util.tree_map(lambda _: rep, opt_shapes)
+        lowered = jax.jit(
+            step.__wrapped__ if hasattr(step, "__wrapped__") else step,
+            in_shardings=(rep_tree, rep_opt, p_shard, lat_sh, lat_sh,
+                          text_sh, mask_sh, rep),
+        ).lower(tp_shapes, opt_shapes, param_shapes, lat(2), lat(1),
+                text, mask, rng)
+        analyze("delta_a_train_step_cond2_train1", lowered)
+
+    print(json.dumps({"preset": args.preset, "n_params": n_params,
+                      "mesh": dict(mesh.shape), **results}))
+
+
+if __name__ == "__main__":
+    main()
