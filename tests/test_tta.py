@@ -62,9 +62,9 @@ ALL_METHODS = [
 @pytest.mark.parametrize("acfg", ALL_METHODS,
                          ids=lambda a: f"{a.method}-{a.delta_target}"
                          if a.method == "delta_b" else a.method)
-def test_method_trains_and_loss_decreases_structure(acfg, setup):
-    """Every method: init -> zero-init identity vs base loss -> 3 train
-    steps run and change the trainable params."""
+def test_method_trains_and_loss_decreases(acfg, setup):
+    """Every method: zero-init identity vs base loss, then training on a
+    fixed rng cycle actually DECREASES the loss on that cycle."""
     params, latents, text, mask = setup
     cond, train, val = split_tta_latents(latents, 2, 0.25)
 
@@ -73,27 +73,34 @@ def test_method_trains_and_loss_decreases_structure(acfg, setup):
 
     # zero-init adapters must not change the loss vs no adapters
     dit_params, adapters = scheme.to_forward(tp, params)
-    rng = jax.random.PRNGKey(7)
+    rngs = [jax.random.PRNGKey(100 + i) for i in range(3)]
     base_loss = flow_matching_loss_conditioned(
-        params, CFG, cond, train, text, mask, rng)
+        params, CFG, cond, train, text, mask, rngs[0])
     init_loss = flow_matching_loss_conditioned(
-        dit_params, CFG, cond, train, text, mask, rng, adapters=adapters)
-    np.testing.assert_allclose(float(init_loss), float(base_loss), rtol=1e-5)
+        dit_params, CFG, cond, train, text, mask, rngs[0],
+        adapters=adapters)
+    np.testing.assert_allclose(float(init_loss), float(base_loss),
+                               rtol=1e-5)
 
+    def eval_cycle(tp):
+        dp, ad = scheme.to_forward(tp, params)
+        return float(np.mean([
+            float(flow_matching_loss_conditioned(
+                dp, CFG, cond, train, text, mask, r, adapters=ad))
+            for r in rngs
+        ]))
+
+    before = eval_cycle(tp)
     tx = build_optimizer(OptimConfig(lr=1e-2, optimizer="adamw"))
     step = make_train_step(scheme, CFG, tx)
     opt_state = tx.init(tp)
-    losses = []
-    for i in range(3):
+    for i in range(9):
         tp, opt_state, loss = step(tp, opt_state, params, cond, train,
-                                   text, mask, jax.random.PRNGKey(100 + i))
-        losses.append(float(loss))
-    assert all(np.isfinite(losses))
-    # params changed
-    from longcat_video_tta_tpu.utils.tree import global_norm
-    dit_params2, adapters2 = scheme.to_forward(tp, params)
-    if adapters2 is not None:
-        assert float(global_norm(jax.tree_util.tree_leaves(tp)[0])) > 0
+                                   text, mask, rngs[i % 3])
+        assert np.isfinite(float(loss))
+    after = eval_cycle(tp)
+    assert after < before, (
+        f"{acfg.method}: loss did not decrease ({before} -> {after})")
 
 
 def test_delta_a_equiv_delta_b_group1(setup):
