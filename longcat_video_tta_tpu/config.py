@@ -314,6 +314,9 @@ class AdapterConfig:
     target_blocks: str = "all"
     # norm_tune
     norm_target: str = "cross_attn_norm"  # cross_attn_norm | qk_norm | all_norm
+    # norm_tune + delta_a combo (reference: --also-tune-delta,
+    # run_norm_tune_tta.py:311)
+    also_tune_delta: bool = False
     # film
     film_mode: str = "full"  # full | shift_scale | scale_only
 
@@ -327,6 +330,8 @@ class OptimConfig:
     momentum: float = 0.0  # sgd (reference default: momentum-free)
     grad_clip_norm: float = 1.0
     steps: int = 20
+    warmup_steps: int = 0      # linear warmup 0 -> lr, then constant
+    weight_decay: float = 0.01
 
 
 @dataclass(frozen=True)

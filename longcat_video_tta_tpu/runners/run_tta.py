@@ -53,6 +53,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--optimizer", default="adamw", choices=["adamw", "sgd"])
+    p.add_argument("--warmup-steps", type=int, default=0)
+    p.add_argument("--weight-decay", type=float, default=0.01)
+    p.add_argument("--max-grad-norm", type=float, default=1.0)
     # frames (reference: add_tta_frame_args + anchor args)
     p.add_argument("--num-cond-frames", type=int, default=14)
     p.add_argument("--num-frames", type=int, default=28)
@@ -77,6 +80,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--target-blocks", default="all")
     p.add_argument("--norm-target", default="cross_attn_norm",
                    choices=["cross_attn_norm", "qk_norm", "all_norm"])
+    p.add_argument("--also-tune-delta", action="store_true",
+                   help="norm_tune + delta_a combo (run_norm_tune_tta:311)")
+    p.add_argument("--use-builtin-lora", action="store_true",
+                   help="reference parity no-op: custom and builtin LoRA "
+                        "collapse into one injection path here (see "
+                        "tta/adapters.py LoRAScheme)")
     p.add_argument("--film-mode", default="full",
                    choices=["full", "shift_scale", "scale_only"])
     # early stopping (reference: add_early_stopping_args)
@@ -115,6 +124,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--clip-gate-fail-closed", action="store_true")
     # batch TTA (reference: --batch-videos/--retrieval-pool-dir)
     p.add_argument("--batch-videos", type=int, default=1)
+    p.add_argument("--batch-method", default="similarity",
+                   choices=["similarity"])
     p.add_argument("--retrieval-pool-dir", default=None)
     # online eval
     p.add_argument("--fvd-enabled", action="store_true")
@@ -271,6 +282,7 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
         num_groups=args.num_groups, delta_target=args.delta_target,
         delta_dim=args.delta_dim, target_blocks=args.target_blocks,
         norm_target=args.norm_target, film_mode=args.film_mode,
+        also_tune_delta=args.also_tune_delta,
     )
     validate_tta_feature_budget(frames, escfg, gatecfg,
                                 args.feature_frame_guard_mode,
@@ -297,7 +309,9 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
 
     scheme = build_scheme(dit_cfg, acfg) if is_tta else None
     tx = build_optimizer(OptimConfig(
-        optimizer=args.optimizer, lr=args.lr, steps=args.steps))
+        optimizer=args.optimizer, lr=args.lr, steps=args.steps,
+        warmup_steps=args.warmup_steps, weight_decay=args.weight_decay,
+        grad_clip_norm=args.max_grad_norm))
     step_fn = (make_train_step(scheme, dit_cfg, tx, attn_impl=args.attn_impl)
                if is_tta else None)
     stopper = (build_early_stopper(escfg, scheme, dit_cfg, args.attn_impl)

@@ -82,6 +82,16 @@ def extract_run(run_dir: str) -> Optional[Dict[str, Any]]:
     if fvd is not None:
         rec["fvd"] = fvd
     rec["batch_videos"] = cfg.get("batch_videos")
+    for k in ("num_groups", "lora_rank", "lora_alpha", "tta_total_frames",
+              "norm_target", "film_mode", "target_blocks"):
+        rec[k] = cfg.get(k)
+    # per-video (clip score, psnr) pairs feed the gate threshold-curve
+    # figure (reference: analyze_clip_gate_calibration.py)
+    pairs = [[r.get("clip_gate_score"), r.get("psnr")] for r in results
+             if r.get("clip_gate_score") is not None
+             and r.get("psnr") is not None]
+    if pairs:
+        rec["clip_scores_psnr"] = pairs
     gate = summary.get("clip_gate_stats") or {}
     if gate.get("clip_gate_enabled"):
         rec["clip_gate_skip_ratio"] = gate.get("skip_ratio")

@@ -1,12 +1,14 @@
 """Paper-figure generation from all_results.json + loss_curves.json.
 
 Rebuild of paper_figures/generate_figures.py (SURVEY.md §2.6/L5; the
-reference ships 19 fig_* builders, generate_figures.py:417-2092). The
-core set here covers the figure families the paper relies on: method
-comparison, quality-vs-params Pareto, LR sweeps, step-count sweeps,
-cond-frames / gen-horizon ablations, ES time savings, time-cost
-scatter, and aggregated loss curves. Each builder is skipped gracefully
-when its data slice is absent.
+reference ships 23 fig_* builders, generate_figures.py:417-2092).
+All 23 families are covered: method comparison, quality-vs-params
+Pareto, LR / step-count sweeps, cond-frames / gen-horizon ablations,
+AdaSteer groups + ratio + extended-data, LoRA analysis, cross-dataset,
+batch-K, naive-methods, all-runs scatter, ES time savings, time-cost,
+CLIP-gate summary + threshold calibration, summary table, and four
+loss-curve variants. Each builder is skipped gracefully when its data
+slice is absent.
 """
 
 from __future__ import annotations
@@ -232,11 +234,242 @@ def fig_clip_gate_summary(runs, out_dir):
     return _save(fig, out_dir, "clip_gate_summary")
 
 
+def fig_adasteer_groups(runs, out_dir):
+    """PSNR vs AdaSteer group count (reference: fig_adasteer_groups)."""
+    rows = [r for r in _complete(runs)
+            if r.get("method") == "delta_b" and r.get("num_groups")]
+    if len({r["num_groups"] for r in rows}) < 2:
+        return None
+    fig, ax = plt.subplots(figsize=(6.5, 4))
+    by_lr: Dict[Any, List[Dict]] = {}
+    for r in rows:
+        by_lr.setdefault(r.get("lr"), []).append(r)
+    for lr, rs in sorted(by_lr.items(), key=lambda kv: kv[0] or 0):
+        pts: Dict[Any, List[float]] = {}
+        for r in rs:
+            pts.setdefault(r["num_groups"], []).append(r["psnr_mean"])
+        xs = sorted(pts)
+        ax.plot(xs, [np.mean(pts[x]) for x in xs], marker="o",
+                label=f"lr={lr:g}" if lr else "lr=?")
+    ax.set_xscale("log", base=2)
+    ax.set_xlabel("AdaSteer groups G")
+    ax.set_ylabel("PSNR (dB)")
+    ax.set_title("AdaSteer group-count sweep")
+    ax.legend(fontsize=8)
+    return _save(fig, out_dir, "adasteer_groups")
+
+
+def fig_lora_analysis(runs, out_dir):
+    """PSNR vs LoRA rank/alpha (reference: fig_lora_analysis, incl. the
+    rank-collapse regime)."""
+    rows = [r for r in _complete(runs)
+            if r.get("method") == "lora" and r.get("lora_rank")]
+    if len(rows) < 2:
+        return None
+    fig, axes = plt.subplots(1, 2, figsize=(10, 4))
+    pts: Dict[Any, List[float]] = {}
+    for r in rows:
+        pts.setdefault(r["lora_rank"], []).append(r["psnr_mean"])
+    xs = sorted(pts)
+    axes[0].plot(xs, [np.mean(pts[x]) for x in xs], marker="o")
+    axes[0].set_xscale("log", base=2)
+    axes[0].set_xlabel("LoRA rank")
+    axes[0].set_ylabel("PSNR (dB)")
+    axes[0].set_title("rank")
+    alphas = [r.get("lora_alpha") for r in rows]
+    axes[1].scatter(alphas, [r["psnr_mean"] for r in rows], s=30,
+                    alpha=0.8)
+    axes[1].set_xscale("log")
+    axes[1].set_xlabel("LoRA alpha")
+    axes[1].set_title("alpha")
+    fig.suptitle("LoRA analysis")
+    return _save(fig, out_dir, "lora_analysis")
+
+
+def fig_cross_dataset(runs, out_dir):
+    """Best ΔPSNR per method per dataset (reference: fig_cross_dataset)."""
+    rows = [r for r in _complete(runs)
+            if r.get("delta_psnr") is not None and r.get("dataset")]
+    datasets = sorted({r["dataset"] for r in rows})
+    if len(datasets) < 2:
+        return None
+    methods = sorted({r["method"] for r in rows})
+    fig, ax = plt.subplots(figsize=(7.5, 4))
+    width = 0.8 / len(datasets)
+    for di, ds in enumerate(datasets):
+        ys = []
+        for m in methods:
+            cand = [r["delta_psnr"] for r in rows
+                    if r["dataset"] == ds and r["method"] == m]
+            ys.append(max(cand) if cand else 0.0)
+        ax.bar(np.arange(len(methods)) + di * width, ys, width, label=ds)
+    ax.set_xticks(np.arange(len(methods)) + 0.4 - width / 2)
+    ax.set_xticklabels(methods, fontsize=8)
+    ax.axhline(0, color="k", lw=0.8)
+    ax.set_ylabel("best ΔPSNR (dB)")
+    ax.set_title("Cross-dataset generalization")
+    ax.legend(fontsize=8)
+    return _save(fig, out_dir, "cross_dataset")
+
+
+def fig_extended_data(runs, out_dir):
+    """PSNR vs TTA window length (reference: fig_extended_data)."""
+    return _sweep_line(runs, out_dir, "tta_total_frames", "extended_data",
+                       "TTA window frames")
+
+
+def fig_ratio_sweep(runs, out_dir):
+    """Cond-frames x groups grid (reference: fig_ratio_sweep)."""
+    rows = [r for r in _complete(runs)
+            if r.get("method") == "delta_b" and r.get("num_groups")
+            and r.get("cond") is not None]
+    if len({(r["cond"], r["num_groups"]) for r in rows}) < 4:
+        return None
+    fig, ax = plt.subplots(figsize=(6.5, 4))
+    by_g: Dict[Any, List[Dict]] = {}
+    for r in rows:
+        by_g.setdefault(r["num_groups"], []).append(r)
+    for g, rs in sorted(by_g.items()):
+        pts: Dict[Any, List[float]] = {}
+        for r in rs:
+            pts.setdefault(r["cond"], []).append(r["psnr_mean"])
+        xs = sorted(pts)
+        ax.plot(xs, [np.mean(pts[x]) for x in xs], marker="o",
+                label=f"G={g}")
+    ax.set_xlabel("conditioning frames")
+    ax.set_ylabel("PSNR (dB)")
+    ax.set_title("Cond-frames × groups ratio sweep")
+    ax.legend(fontsize=8)
+    return _save(fig, out_dir, "ratio_sweep")
+
+
+def fig_all_runs_scatter(runs, out_dir):
+    """Every completed run: cost vs quality (reference:
+    fig_all_runs_scatter)."""
+    rows = [r for r in _complete(runs)
+            if r.get("delta_psnr") is not None]
+    if len(rows) < 3:
+        return None
+    fig, ax = plt.subplots(figsize=(7, 4.5))
+    by_m: Dict[str, List[Dict]] = {}
+    for r in rows:
+        by_m.setdefault(r["method"], []).append(r)
+    for m, rs in sorted(by_m.items()):
+        ax.scatter([(r.get("avg_train_time") or 0)
+                    + (r.get("avg_gen_time") or 0) for r in rs],
+                   [r["delta_psnr"] for r in rs], label=m, s=24, alpha=0.7)
+    ax.axhline(0, color="k", lw=0.8)
+    ax.set_xlabel("per-video wall time (s)")
+    ax.set_ylabel("ΔPSNR (dB)")
+    ax.set_title("All runs: cost vs quality")
+    ax.legend(fontsize=8)
+    return _save(fig, out_dir, "all_runs_scatter")
+
+
+def fig_naive_methods(runs, out_dir):
+    """The 'naive adapters' family (delta_c / film / norm_tune) vs the
+    strong methods (reference: fig_naive_methods)."""
+    naive = ("delta_c", "film", "norm_tune")
+    rows = [r for r in _complete(runs) if r.get("delta_psnr") is not None]
+    if not any(r["method"] in naive for r in rows):
+        return None
+    fig, ax = plt.subplots(figsize=(7, 4))
+    best: Dict[str, float] = {}
+    for r in rows:
+        m = r["method"]
+        best[m] = max(best.get(m, -1e9), r["delta_psnr"])
+    ms = sorted(best, key=best.get)
+    colors = ["#e76f51" if m in naive else "#2a9d8f" for m in ms]
+    ax.barh(ms, [best[m] for m in ms], color=colors)
+    ax.axvline(0, color="k", lw=0.8)
+    ax.set_xlabel("best ΔPSNR (dB)")
+    ax.set_title("Naive output/modulation adapters vs input-side methods")
+    return _save(fig, out_dir, "naive_methods")
+
+
+def fig_clip_threshold_curves(runs, out_dir):
+    """Simulated gate thresholds: retained fraction + mean PSNR of the
+    retained set (reference: fig_clip_threshold_curves /
+    analyze_clip_gate_calibration.py)."""
+    pairs = []
+    for r in _complete(runs):
+        pairs.extend(r.get("clip_scores_psnr") or [])
+    if len(pairs) < 4:
+        return None
+    scores = np.asarray([p[0] for p in pairs], np.float64)
+    psnrs = np.asarray([p[1] for p in pairs], np.float64)
+    ths = np.quantile(scores, np.linspace(0.0, 0.95, 24))
+    frac, mean_psnr = [], []
+    for t in ths:
+        keep = scores >= t
+        frac.append(float(keep.mean()))
+        mean_psnr.append(float(psnrs[keep].mean()) if keep.any()
+                         else np.nan)
+    fig, ax1 = plt.subplots(figsize=(6.5, 4))
+    ax1.plot(ths, frac, marker="o", ms=3, color="#264653",
+             label="retained fraction")
+    ax1.set_xlabel("gate threshold")
+    ax1.set_ylabel("retained fraction", color="#264653")
+    ax2 = ax1.twinx()
+    ax2.plot(ths, mean_psnr, marker="s", ms=3, color="#e76f51",
+             label="mean PSNR of retained")
+    ax2.set_ylabel("PSNR (dB)", color="#e76f51")
+    ax1.set_title("CLIP-gate threshold calibration")
+    return _save(fig, out_dir, "clip_threshold_curves")
+
+
+def _loss_curve_variant(curves, out_dir, name, title, series_match):
+    sel = [c for c in curves if series_match(str(c.get("series", "")))]
+    if not sel:
+        return None
+    fig, ax = plt.subplots(figsize=(6.5, 4))
+    for c in sel[:8]:
+        steps = np.asarray(c["steps"])
+        mean = np.asarray(c["mean"])
+        std = np.asarray(c["std"])
+        ax.plot(steps, mean, marker="o", ms=3,
+                label=f"{c['series']}/{c['run_id']}")
+        ax.fill_between(steps, mean - std, mean + std, alpha=0.15)
+    ax.set_xlabel("TTA step")
+    ax.set_ylabel("anchor loss")
+    ax.set_title(title)
+    ax.legend(fontsize=7)
+    return _save(fig, out_dir, name)
+
+
+def fig_loss_curves_es_check_freq(curves, out_dir):
+    return _loss_curve_variant(
+        curves, out_dir, "loss_curves_es_check_freq",
+        "Anchor loss vs ES check frequency",
+        lambda s: "check_freq" in s or "es_ablation" in s)
+
+
+def fig_loss_curves_iter_sweep(curves, out_dir):
+    return _loss_curve_variant(
+        curves, out_dir, "loss_curves_iter_sweep",
+        "Anchor loss across step-count sweeps",
+        lambda s: "iter" in s)
+
+
+def fig_loss_curves_long_train(curves, out_dir):
+    return _loss_curve_variant(
+        curves, out_dir, "loss_curves_long_train",
+        "Anchor loss: long-train runs",
+        lambda s: "long_train" in s)
+
+
 ALL_FIGURES = [
     fig_method_comparison, fig_pareto_quality_vs_params, fig_lr_sweep,
     fig_steps_sweep, fig_cond_frames, fig_gen_horizon, fig_time_cost,
     fig_es_time_savings, fig_summary_table, fig_batch_k,
-    fig_clip_gate_summary,
+    fig_clip_gate_summary, fig_adasteer_groups, fig_lora_analysis,
+    fig_cross_dataset, fig_extended_data, fig_ratio_sweep,
+    fig_all_runs_scatter, fig_naive_methods, fig_clip_threshold_curves,
+]
+
+LOSS_CURVE_FIGURES = [
+    fig_loss_curves, fig_loss_curves_es_check_freq,
+    fig_loss_curves_iter_sweep, fig_loss_curves_long_train,
 ]
 
 
@@ -257,9 +490,10 @@ def main(argv=None):
     if os.path.exists(args.loss_curves):
         with open(args.loss_curves) as f:
             curves = json.load(f)["curves"]
-        path = fig_loss_curves(curves, args.output_dir)
-        if path:
-            made.append(path)
+        for fn in LOSS_CURVE_FIGURES:
+            path = fn(curves, args.output_dir)
+            if path:
+                made.append(path)
     print(f"[figures] generated {len(made)} figures in {args.output_dir}")
     return made
 

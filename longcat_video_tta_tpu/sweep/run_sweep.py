@@ -69,6 +69,10 @@ _KEY_TO_FLAG = {
     "batch_videos": "--batch-videos",
     "retrieval_pool_dir": "--retrieval-pool-dir",
     "attn_impl": "--attn-impl",
+    "warmup_steps": "--warmup-steps",
+    "weight_decay": "--weight-decay",
+    "max_grad_norm": "--max-grad-norm",
+    "batch_method": "--batch-method",
 }
 # booleans: flag set iff true (reference convention, run_sweep.py:201-205)
 _BOOL_FLAGS = {
@@ -82,6 +86,8 @@ _BOOL_FLAGS = {
     "no_kv_cache": "--no-kv-cache",
     "lora_target_ffn": "--lora-target-ffn",
     "fvd_enabled": "--fvd-enabled",
+    "also_tune_delta": "--also-tune-delta",
+    "use_builtin_lora": "--use-builtin-lora",
 }
 
 

@@ -334,11 +334,22 @@ class NormTuneScheme(AdapterScheme):
     def __init__(self, dit_cfg, acfg):
         super().__init__(dit_cfg, acfg)
         self.paths = NORM_TARGET_PATHS[acfg.norm_target]
+        # reference: --also-tune-delta trains a delta_a vector alongside
+        # the norm affines (run_norm_tune_tta.py:311)
+        self.also_tune_delta = getattr(acfg, "also_tune_delta", False)
 
     def init(self, rng, base_params=None):
-        return partition_params(base_params, self.paths)
+        norms = partition_params(base_params, self.paths)
+        if self.also_tune_delta:
+            return {"norms": norms,
+                    "delta_t": jnp.zeros(
+                        (self.cfg.adaln_tembed_dim,), jnp.float32)}
+        return norms
 
     def to_forward(self, train_params, base_params):
+        if self.also_tune_delta:
+            return (merge_params(base_params, train_params["norms"]),
+                    {"delta_t": train_params["delta_t"]})
         return merge_params(base_params, train_params), None
 
 

@@ -30,13 +30,18 @@ from .losses import flow_matching_loss_conditioned
 def build_optimizer(ocfg: OptimConfig) -> optax.GradientTransformation:
     """AdamW (betas, eps 1e-15 — run_delta_a.py:245) or momentum-free SGD
     (the full-TTA default, run_full_tta.py — Adam state doesn't fit)."""
+    lr = ocfg.lr
+    if ocfg.warmup_steps > 0:
+        # linear warmup to lr then constant (reference: warmup_steps,
+        # run_full_tta.py / series yaml fixed blocks)
+        lr = optax.linear_schedule(0.0, ocfg.lr, ocfg.warmup_steps)
     if ocfg.optimizer == "adamw":
         opt = optax.adamw(
-            ocfg.lr, b1=ocfg.betas[0], b2=ocfg.betas[1], eps=ocfg.eps,
-            weight_decay=0.01,  # torch.optim.AdamW default
+            lr, b1=ocfg.betas[0], b2=ocfg.betas[1], eps=ocfg.eps,
+            weight_decay=ocfg.weight_decay,
         )
     elif ocfg.optimizer == "sgd":
-        opt = optax.sgd(ocfg.lr, momentum=ocfg.momentum or None)
+        opt = optax.sgd(lr, momentum=ocfg.momentum or None)
     else:
         raise ValueError(f"unknown optimizer {ocfg.optimizer}")
     return optax.chain(optax.clip_by_global_norm(ocfg.grad_clip_norm), opt)

@@ -107,3 +107,21 @@ def test_loss_curves_and_figures(sweep_out):
     assert len(made) >= 3
     assert any("method_comparison" in m for m in made)
     assert any("loss_curves" in m for m in made)
+
+
+def test_full_config_matrix_dry_runs(tmp_path):
+    """Every generated series (the reference's 64-config matrix) passes
+    key-mapping validation via --dry-run."""
+    import glob
+
+    from longcat_video_tta_tpu.sweep.run_sweep import run_sweep
+
+    configs = sorted(glob.glob("/root/repo/configs/*.yaml"))
+    assert len(configs) >= 64
+    total_rows = 0
+    for cfg in configs:
+        launched = run_sweep(cfg, str(tmp_path / "out"), dry_run=True)
+        assert launched, cfg
+        assert all(r["status"] == "dry-run" for r in launched), cfg
+        total_rows += len(launched)
+    assert total_rows >= 230  # the reference fleet ran ~230 rows

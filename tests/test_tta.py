@@ -224,3 +224,43 @@ def test_norm_tune_param_counts(setup):
     assert n_cross == L * D * 2
     assert n_qk == L * dh * 4
     assert n_all == n_cross + n_qk
+
+
+def test_norm_tune_also_tune_delta_combo(setup):
+    """--also-tune-delta: norm affines AND a delta_a vector train together
+    (reference: run_norm_tune_tta.py:311)."""
+    params, latents, text, mask = setup
+    cond, train, _ = split_tta_latents(latents, 2, 0.25)
+    acfg = AdapterConfig(method="norm_tune", norm_target="cross_attn_norm",
+                         also_tune_delta=True)
+    scheme = build_scheme(CFG, acfg)
+    tp = scheme.init(jax.random.PRNGKey(0), base_params=params)
+    assert "delta_t" in tp and "norms" in tp
+
+    dp, adapters = scheme.to_forward(tp, params)
+    assert adapters is not None and "delta_t" in adapters
+
+    tx = build_optimizer(OptimConfig(lr=1e-2, warmup_steps=2))
+    step = make_train_step(scheme, CFG, tx)
+    opt_state = tx.init(tp)
+    for i in range(3):
+        tp, opt_state, loss = step(tp, opt_state, params, cond, train,
+                                   text, mask, jax.random.PRNGKey(i))
+        assert np.isfinite(float(loss))
+    assert float(jnp.abs(tp["delta_t"]).max()) > 0  # delta actually moved
+
+
+def test_warmup_schedule_scales_lr():
+    """warmup_steps > 0: first update is tiny, later updates full-size."""
+    import optax
+
+    tx = build_optimizer(OptimConfig(lr=1.0, optimizer="sgd",
+                                     warmup_steps=4, grad_clip_norm=1e9))
+    p = {"w": jnp.ones((4,))}
+    g = {"w": jnp.ones((4,))}
+    st = tx.init(p)
+    up0, st = tx.update(g, st, p)
+    for _ in range(5):
+        up, st = tx.update(g, st, p)
+    assert float(jnp.abs(up0["w"]).max()) < 0.3
+    np.testing.assert_allclose(np.asarray(up["w"]), -1.0, rtol=1e-5)
