@@ -87,6 +87,66 @@ class DiTConfig:
 
 
 @dataclass(frozen=True)
+class MMDiTConfig:
+    """Open-Sora v2.0 / Flux-style MMDiT (dual-stream + single-stream).
+
+    Interface contract: backbone_experiment/opensora/common_opensora.py —
+    forward kwargs img/img_ids/txt/txt_ids/timesteps/y_vec/guidance/cond
+    (:247-411), hidden_size 3072 with the delta-A vec injection after
+    ``time_in`` (:418-475, run_delta_a_opensora.py:6-8), LoRA sites
+    per lora_layers.py:231-416 (double img/txt attn qkv+proj, optional
+    mlp; single linear1/linear2). Defaults are the Open-Sora v2 geometry
+    (Flux-derived: 19 double + 38 single blocks, 24 heads of 128)."""
+
+    hidden_size: int = 3072
+    num_heads: int = 24
+    depth_double: int = 19
+    depth_single: int = 38
+    mlp_ratio: float = 4.0
+    in_channels: int = 16          # latent channels (pre-packing)
+    patch_size: int = 2            # spatial; temporal patch is 1
+    cond_embed: bool = True        # v2v/i2v masks+masked_ref channel input
+    vec_in_dim: int = 768          # CLIP pooled text
+    context_in_dim: int = 4096     # T5 token embeddings
+    t_embed_freq_dim: int = 256
+    guidance_embed: bool = False
+    # RoPE over (t, h, w) position ids; text ids are zeros (identity
+    # rotation) — common_opensora.py:205-217 img_ids construction.
+    axes_dims: Tuple[int, int, int] = (16, 56, 56)
+    rope_theta: float = 10000.0
+    qk_norm: bool = True
+    param_dtype: str = "bfloat16"
+    compute_dtype: str = "bfloat16"
+    remat: bool = True
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+    @property
+    def mlp_dim(self) -> int:
+        return int(self.hidden_size * self.mlp_ratio)
+
+    @property
+    def packed_channels(self) -> int:
+        return self.in_channels * self.patch_size ** 2
+
+    @property
+    def cond_channels(self) -> int:
+        return (1 + self.in_channels) * self.patch_size ** 2
+
+    @property
+    def adaln_tembed_dim(self) -> int:
+        """Delta-A site width: the MMDiT vec is hidden-sized
+        (run_delta_a_opensora.py:6-8)."""
+        return self.hidden_size
+
+    def __post_init__(self):
+        assert self.hidden_size % self.num_heads == 0
+        assert sum(self.axes_dims) == self.head_dim
+
+
+@dataclass(frozen=True)
 class VAEConfig:
     """Causal WAN-style 3D VAE (reference: AutoencoderKLWan usage,
     common.py:158-221; 4x temporal / 8x spatial factors, z_dim-channel

@@ -227,7 +227,8 @@ def _embed_inputs(params, cfg: DiTConfig, latents, timesteps, text_emb,
 
 def _self_attention(bp, x, rope_cos, rope_sin, cfg: DiTConfig,
                     num_cond_tokens: int, lora, lora_scale, attn_impl,
-                    kv_cache=None, return_kv: bool = False, cp_mesh=None):
+                    kv_cache=None, return_kv: bool = False, cp_mesh=None,
+                    kv_valid=None):
     """x: [B, nt, nhw, D]. kv_cache: optional (k, v) [B, S_c, nH, dh] to
     prepend (decode path). Returns (out, (k, v) or None).
 
@@ -268,7 +269,7 @@ def _self_attention(bp, x, rope_cos, rope_sin, cfg: DiTConfig,
                                 impl=attn_impl)
     else:
         o = attention(q, k, v, num_cond_tokens=num_cond_tokens,
-                      impl=attn_impl)
+                      kv_valid_len=kv_valid, impl=attn_impl)
     o = o.reshape(B, nt, nhw, D)
     o = linear(bp["attn"]["proj"], o,
                lora=(lora or {}).get("attn_proj"), lora_scale=lora_scale)
@@ -311,7 +312,8 @@ def _ffn(bp, x, lora, lora_scale):
 
 def _block(bp, blk_adapters, x, t_emb, y, rope_cos, rope_sin,
            cfg: DiTConfig, num_cond_tokens: int, attn_impl,
-           kv_cache=None, return_kv: bool = False, cp_mesh=None):
+           kv_cache=None, return_kv: bool = False, cp_mesh=None,
+           kv_valid=None):
     """One DiT block. ``blk_adapters``: per-block slices of the adapter dict.
 
     Returns (x_out, kv or None).
@@ -337,6 +339,7 @@ def _block(bp, blk_adapters, x, t_emb, y, rope_cos, rope_sin,
     attn_out, kv = _self_attention(
         bp, h, rope_cos, rope_sin, cfg, num_cond_tokens, lora, lora_scale,
         attn_impl, kv_cache=kv_cache, return_kv=return_kv, cp_mesh=cp_mesh,
+        kv_valid=kv_valid,
     )
     x = x + expand(gate_msa) * attn_out
 
@@ -396,18 +399,34 @@ def dit_forward(
     adapters: AdapterDict = None,
     attn_impl: Optional[str] = None,
     cp_mesh=None,
+    num_valid_latents: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Full forward: returns predicted velocity [B, C_out, T, H, W] in fp32.
 
     ``num_cond_latents`` counts conditioning latent frames; their tokens
     get the prefix-attention treatment (see ops/attention.py) matching the
     reference's ``num_cond_latents`` kwarg (common.py:476-482).
+
+    ``num_valid_latents``: optional *traced* int32 scalar for shape
+    bucketing (SURVEY.md §7 hard-part 3): latent frames at index >=
+    num_valid_latents are padding — their tokens are masked out of every
+    self-attention key set, so valid outputs are exactly independent of
+    pad contents and one compile serves all geometries in a bucket. Pad
+    token outputs are garbage; callers mask them (see
+    tta/losses.py masked MSE).
     """
     x, t_emb, y, (nt, nh, nw) = _embed_inputs(
         params, cfg, latents, timesteps, text_emb, text_mask, adapters
     )
     rope_cos, rope_sin = rope_3d_angles(nt, nh, nw, cfg.rope_dims, cfg.rope_theta)
     num_cond_tokens = (num_cond_latents // cfg.patch_size[0]) * nh * nw
+    kv_valid = None
+    if num_valid_latents is not None:
+        if cp_mesh is not None:
+            raise NotImplementedError(
+                "shape bucketing under context parallelism is not wired; "
+                "pass exact shapes when cp_mesh is set")
+        kv_valid = (num_valid_latents // cfg.patch_size[0]) * nh * nw
 
     scan_xs, lora_scale = _split_adapters(adapters)
 
@@ -416,7 +435,7 @@ def dit_forward(
         blk_ad = _blk_adapter_slice(ad, lora_scale)
         out, _ = _block(
             bp, blk_ad, carry, t_emb, y, rope_cos, rope_sin, cfg,
-            num_cond_tokens, attn_impl, cp_mesh=cp_mesh,
+            num_cond_tokens, attn_impl, cp_mesh=cp_mesh, kv_valid=kv_valid,
         )
         return out, None
 

@@ -24,7 +24,7 @@ Public arrays are [B, S, H, D] (batch, seq, heads, head_dim).
 
 from __future__ import annotations
 
-import functools
+
 from typing import Optional
 
 import jax
@@ -34,10 +34,13 @@ NEG_INF = -1e30
 
 
 def _prefix_mask(num_q: int, num_k: int, num_cond_q: int, num_cond_k: int,
-                 kv_valid_len: Optional[int]) -> Optional[jnp.ndarray]:
-    """Build the [num_q, num_k] boolean allowed-mask, or None if all-true."""
+                 kv_valid_len) -> Optional[jnp.ndarray]:
+    """Build the [num_q, num_k] boolean allowed-mask, or None if all-true.
+    ``kv_valid_len`` may be a static int or a traced int32 scalar (shape
+    bucketing — see flash_attention)."""
     need_cond = num_cond_q > 0
-    need_pad = kv_valid_len is not None and kv_valid_len < num_k
+    need_pad = kv_valid_len is not None and (
+        not isinstance(kv_valid_len, int) or kv_valid_len < num_k)
     if not need_cond and not need_pad:
         return None
     q_idx = jnp.arange(num_q)[:, None]
@@ -82,21 +85,21 @@ def attention_xla(
     return out.astype(q.dtype)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("num_cond_tokens", "kv_valid_len", "scale", "impl"),
-)
 def attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
     *,
     num_cond_tokens: int = 0,
-    kv_valid_len: Optional[int] = None,
+    kv_valid_len=None,
     scale: Optional[float] = None,
     impl: Optional[str] = None,
 ) -> jnp.ndarray:
-    """Dispatching attention entry point. See :func:`attention_xla`."""
+    """Dispatching attention entry point. See :func:`attention_xla`.
+
+    Not jitted itself: every call site already sits under an outer jit
+    (dit_forward / the samplers), and ``kv_valid_len`` must be allowed to
+    stay a traced scalar for shape bucketing."""
     if impl is None:
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     if impl == "xla":

@@ -21,6 +21,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -32,17 +33,19 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _mask_tile(q_off, k_off, bq: int, bk: int, ncond: int, kvlen: int,
-               sk_pad: int, q_glob=0, k_glob=0):
+               sk_pad: int, q_glob=0, k_glob=0, kv_dyn=None):
     """Boolean allowed-mask [bq, bk] for one tile, or None if all-allowed.
 
     ``q_off``/``k_off`` are dynamic tile offsets (local); ``q_glob``/
     ``k_glob`` are dynamic *global* sequence offsets (ring context
     parallelism — each device's shard starts at a traced global index).
     ``ncond``/``kvlen`` are static; the prefix rule uses global indices,
-    the padded-key rule uses local ones. Returns None (python-level) only
-    when statically all-allowed."""
+    the padded-key rule uses local ones. ``kv_dyn``, when given, is a
+    *traced* valid-key count (shape bucketing: one compile serves every
+    geometry in a bucket) that supersedes the static ``kvlen``. Returns
+    None (python-level) only when statically all-allowed."""
     need_cond = ncond > 0
-    need_pad = kvlen < sk_pad
+    need_pad = (kvlen < sk_pad) or (kv_dyn is not None)
     if not need_cond and not need_pad:
         return None
     q_loc = q_off + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
@@ -51,7 +54,7 @@ def _mask_tile(q_off, k_off, bq: int, bk: int, ncond: int, kvlen: int,
     if need_cond:
         allowed = ((q_glob + q_loc) >= ncond) | ((k_glob + k_loc) < ncond)
     if need_pad:
-        allowed = allowed & (k_loc < kvlen)
+        allowed = allowed & (k_loc < (kvlen if kv_dyn is None else kv_dyn))
     return allowed
 
 
@@ -63,7 +66,7 @@ def _mask_tile(q_off, k_off, bq: int, bk: int, ncond: int, kvlen: int,
 def _fwd_kernel(offs_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
                 m_scr, l_scr, acc_scr,
                 *, scale: float, ncond: int, kvlen: int, sk_pad: int,
-                bq: int, bk: int):
+                bq: int, bk: int, dyn_kvlen: bool = False):
     qi = pl.program_id(1)
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
@@ -81,7 +84,8 @@ def _fwd_kernel(offs_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
     ) * scale  # [bq, bk]
 
     allowed = _mask_tile(qi * bq, ki * bk, bq, bk, ncond, kvlen, sk_pad,
-                         q_glob=offs_ref[0, 0], k_glob=offs_ref[0, 1])
+                         q_glob=offs_ref[0, 0], k_glob=offs_ref[0, 1],
+                         kv_dyn=offs_ref[0, 2] if dyn_kvlen else None)
     if allowed is not None:
         s = jnp.where(allowed, s, NEG_INF)
 
@@ -114,20 +118,21 @@ def _fwd_kernel(offs_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
 
 
 def _flash_fwd_impl(q, k, v, ncond: int, kvlen: int, scale: float,
-                    bq: int, bk: int, interpret: bool, offs=None):
+                    bq: int, bk: int, interpret: bool, offs=None,
+                    dyn_kvlen: bool = False):
     """q: [BH, Sq, D] (padded); k, v: [BH, Sk, D] (padded). Returns (o, lse).
 
-    ``offs``: optional traced int32 [1, 2] = (q_global_off, k_global_off)
-    for ring context parallelism."""
+    ``offs``: optional traced int32 [1, 3] = (q_global_off, k_global_off,
+    dynamic_kv_valid) for ring context parallelism / shape bucketing."""
     BH, Sq, D = q.shape
     Sk = k.shape[1]
     grid = (BH, Sq // bq, Sk // bk)
     if offs is None:
-        offs = jnp.zeros((1, 2), jnp.int32)
+        offs = jnp.zeros((1, 3), jnp.int32)
 
     kernel = functools.partial(
         _fwd_kernel, scale=scale, ncond=ncond, kvlen=kvlen, sk_pad=Sk,
-        bq=bq, bk=bk,
+        bq=bq, bk=bk, dyn_kvlen=dyn_kvlen,
     )
     o, lse = pl.pallas_call(
         kernel,
@@ -167,7 +172,7 @@ def _flash_fwd_impl(q, k, v, ncond: int, kvlen: int, scale: float,
 def _bwd_dkv_kernel(offs_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                     dk_ref, dv_ref, dk_scr, dv_scr,
                     *, scale: float, ncond: int, kvlen: int, sk_pad: int,
-                    bq: int, bk: int):
+                    bq: int, bk: int, dyn_kvlen: bool = False):
     ki = pl.program_id(1)
     qi = pl.program_id(2)
     nq = pl.num_programs(2)
@@ -188,7 +193,8 @@ def _bwd_dkv_kernel(offs_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
     ) * scale
     allowed = _mask_tile(qi * bq, ki * bk, bq, bk, ncond, kvlen, sk_pad,
-                         q_glob=offs_ref[0, 0], k_glob=offs_ref[0, 1])
+                         q_glob=offs_ref[0, 0], k_glob=offs_ref[0, 1],
+                         kv_dyn=offs_ref[0, 2] if dyn_kvlen else None)
     p = jnp.exp(s - lse)
     if allowed is not None:
         p = jnp.where(allowed, p, 0.0)
@@ -218,7 +224,7 @@ def _bwd_dkv_kernel(offs_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 def _bwd_dq_kernel(offs_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                    dq_ref, dq_scr,
                    *, scale: float, ncond: int, kvlen: int, sk_pad: int,
-                   bq: int, bk: int):
+                   bq: int, bk: int, dyn_kvlen: bool = False):
     qi = pl.program_id(1)
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
@@ -238,7 +244,8 @@ def _bwd_dq_kernel(offs_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
     ) * scale
     allowed = _mask_tile(qi * bq, ki * bk, bq, bk, ncond, kvlen, sk_pad,
-                         q_glob=offs_ref[0, 0], k_glob=offs_ref[0, 1])
+                         q_glob=offs_ref[0, 0], k_glob=offs_ref[0, 1],
+                         kv_dyn=offs_ref[0, 2] if dyn_kvlen else None)
     p = jnp.exp(s - lse)
     if allowed is not None:
         p = jnp.where(allowed, p, 0.0)
@@ -258,15 +265,15 @@ def _bwd_dq_kernel(offs_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
 
 def _flash_bwd_dkv_impl(q, k, v, do, lse, delta, ncond, kvlen, scale,
-                        bq, bk, interpret, offs=None):
+                        bq, bk, interpret, offs=None, dyn_kvlen=False):
     """dk/dv for one K/V chunk against all local queries. lse/delta:
     [BH, 1, Sq] fp32."""
     BH, Sq, D = q.shape
     Sk = k.shape[1]
     if offs is None:
-        offs = jnp.zeros((1, 2), jnp.int32)
+        offs = jnp.zeros((1, 3), jnp.int32)
     common = dict(scale=scale, ncond=ncond, kvlen=kvlen, sk_pad=Sk,
-                  bq=bq, bk=bk)
+                  bq=bq, bk=bk, dyn_kvlen=dyn_kvlen)
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, **common),
         grid=(BH, Sk // bk, Sq // bq),
@@ -300,14 +307,14 @@ def _flash_bwd_dkv_impl(q, k, v, do, lse, delta, ncond, kvlen, scale,
 
 
 def _flash_bwd_dq_impl(q, k, v, do, lse, delta, ncond, kvlen, scale,
-                       bq, bk, interpret, offs=None):
+                       bq, bk, interpret, offs=None, dyn_kvlen=False):
     """dq of local queries against one K/V chunk."""
     BH, Sq, D = q.shape
     Sk = k.shape[1]
     if offs is None:
-        offs = jnp.zeros((1, 2), jnp.int32)
+        offs = jnp.zeros((1, 3), jnp.int32)
     common = dict(scale=scale, ncond=ncond, kvlen=kvlen, sk_pad=Sk,
-                  bq=bq, bk=bk)
+                  bq=bq, bk=bk, dyn_kvlen=dyn_kvlen)
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, **common),
         grid=(BH, Sq // bq, Sk // bk),
@@ -332,13 +339,16 @@ def _flash_bwd_dq_impl(q, k, v, do, lse, delta, ncond, kvlen, scale,
 
 
 def _flash_bwd_impl(q, k, v, o, lse, do, ncond: int, kvlen: int, scale: float,
-                    bq: int, bk: int, interpret: bool):
+                    bq: int, bk: int, interpret: bool, offs=None,
+                    dyn_kvlen: bool = False):
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
                     axis=-1)[:, None, :]  # [BH, 1, Sq]
     dk, dv = _flash_bwd_dkv_impl(q, k, v, do, lse, delta, ncond, kvlen,
-                                 scale, bq, bk, interpret)
+                                 scale, bq, bk, interpret, offs=offs,
+                                 dyn_kvlen=dyn_kvlen)
     dq = _flash_bwd_dq_impl(q, k, v, do, lse, delta, ncond, kvlen,
-                            scale, bq, bk, interpret)
+                            scale, bq, bk, interpret, offs=offs,
+                            dyn_kvlen=dyn_kvlen)
     return dq, dk, dv
 
 
@@ -347,23 +357,31 @@ def _flash_bwd_impl(q, k, v, o, lse, do, ncond: int, kvlen: int, scale: float,
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
-def _flash_core(q, k, v, ncond, kvlen, scale, bq, bk, interpret):
-    o, _ = _flash_fwd_impl(q, k, v, ncond, kvlen, scale, bq, bk, interpret)
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))
+def _flash_core(q, k, v, offs, ncond, kvlen, scale, bq, bk, interpret,
+                dyn_kvlen):
+    o, _ = _flash_fwd_impl(q, k, v, ncond, kvlen, scale, bq, bk, interpret,
+                           offs=offs, dyn_kvlen=dyn_kvlen)
     return o
 
 
-def _flash_core_fwd(q, k, v, ncond, kvlen, scale, bq, bk, interpret):
-    o, lse = _flash_fwd_impl(q, k, v, ncond, kvlen, scale, bq, bk, interpret)
-    return o, (q, k, v, o, lse)
+def _flash_core_fwd(q, k, v, offs, ncond, kvlen, scale, bq, bk, interpret,
+                    dyn_kvlen):
+    o, lse = _flash_fwd_impl(q, k, v, ncond, kvlen, scale, bq, bk, interpret,
+                             offs=offs, dyn_kvlen=dyn_kvlen)
+    return o, (q, k, v, o, lse, offs)
 
 
-def _flash_core_bwd(ncond, kvlen, scale, bq, bk, interpret, res, do):
-    q, k, v, o, lse = res
+def _flash_core_bwd(ncond, kvlen, scale, bq, bk, interpret, dyn_kvlen,
+                    res, do):
+    q, k, v, o, lse, offs = res
     dq, dk, dv = _flash_bwd_impl(
-        q, k, v, o, lse, do, ncond, kvlen, scale, bq, bk, interpret
+        q, k, v, o, lse, do, ncond, kvlen, scale, bq, bk, interpret,
+        offs=offs, dyn_kvlen=dyn_kvlen,
     )
-    return dq, dk, dv
+    d_offs = np.zeros(offs.shape, dtype=jax.dtypes.float0)
+    return dq, dk, dv, d_offs
 
 
 _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
@@ -393,14 +411,19 @@ def flash_attention(
     of 128 for the lse block, bk of 128 for the pv contraction).
 
     q: [B, Sq, H, D]; k, v: [B, Sk, H, D] → [B, Sq, H, D].
-    ``num_cond_tokens`` and ``kv_valid_len`` are static ints (frame
-    geometry is bucketed per run, so specialization cost is bounded).
+    ``num_cond_tokens`` is a static int. ``kv_valid_len`` may be a static
+    int OR a traced int32 scalar (shape bucketing: keys at index >= valid
+    are masked for every query, so one compile serves every geometry that
+    pads into the same bucket; pad *queries* still attend valid keys —
+    their outputs are garbage the caller masks downstream, which keeps
+    the lse finite and the backward pass NaN-free).
     """
     B, Sq, H, D = q.shape
     Sk = k.shape[1]
     if scale is None:
         scale = D ** -0.5
-    kvlen = Sk if kv_valid_len is None else int(kv_valid_len)
+    dyn = kv_valid_len is not None and not isinstance(kv_valid_len, int)
+    kvlen = Sk if (kv_valid_len is None or dyn) else int(kv_valid_len)
     # Conditioning queries only exist in the no-cache (Sq == Sk) path.
     ncond = int(num_cond_tokens) if Sq == Sk else 0
 
@@ -422,7 +445,11 @@ def flash_attention(
     k3 = to_bhsd(k, sk_pad)
     v3 = to_bhsd(v, sk_pad)
 
-    o = _flash_core(q3, k3, v3, ncond, kvlen, float(scale), bq, bk, interpret)
+    # The dynamic valid bound also covers the static tile padding
+    # (kv_valid_len <= Sk <= sk_pad).
+    offs = _offs_arr(0, 0, kv_valid_len if dyn else 0)
+    o = _flash_core(q3, k3, v3, offs, ncond, kvlen, float(scale), bq, bk,
+                    interpret, dyn)
     o = o[:, :Sq].reshape(B, H, Sq, D)
     return jnp.swapaxes(o, 1, 2)
 
@@ -462,10 +489,11 @@ def _pack_row(x, s_pad):
     return x
 
 
-def _offs_arr(q_offset, k_offset):
+def _offs_arr(q_offset, k_offset, kv_dyn=0):
     return jnp.stack(
-        [jnp.asarray(q_offset, jnp.int32), jnp.asarray(k_offset, jnp.int32)]
-    ).reshape(1, 2)
+        [jnp.asarray(q_offset, jnp.int32), jnp.asarray(k_offset, jnp.int32),
+         jnp.asarray(kv_dyn, jnp.int32)]
+    ).reshape(1, 3)
 
 
 def flash_chunk_fwd(q, k, v, q_offset, k_offset, *, num_cond_tokens: int,

@@ -51,6 +51,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    choices=[None, "xla", "pallas"])
     # optimization (reference: --delta-steps/--delta-lr etc.)
     p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--loss-fetch-every", type=int, default=0,
+                   help="host-sync cadence for the chunked train loop "
+                        "(0 = auto: es check_every, or 25 when ES is off)")
+    p.add_argument("--bucket-shapes", action="store_true",
+                   help="pad target latents to bucket lengths so mixed "
+                        "geometries (speed-factor augmentation, in-process "
+                        "sweeps) share one compile per bucket")
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--optimizer", default="adamw", choices=["adamw", "sgd"])
     p.add_argument("--warmup-steps", type=int, default=0)
@@ -222,6 +229,8 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
         build_early_stopper, build_optimizer, build_scheme,
         make_train_step, split_tta_latents, validate_tta_feature_budget,
     )
+    from ..tta.bucket import pad_target_latents
+    from ..tta.engine import make_train_chunk
     from ..tta.clip_gate import (
         evaluate_clip_gate, make_hf_clip_scorer, make_hf_xclip_scorer,
         summarize_clip_gate_stats,
@@ -314,6 +323,11 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
         grad_clip_norm=args.max_grad_norm))
     step_fn = (make_train_step(scheme, dit_cfg, tx, attn_impl=args.attn_impl)
                if is_tta else None)
+    chunk_fn = (make_train_chunk(
+        scheme, dit_cfg, tx, attn_impl=args.attn_impl,
+        anchor_sigmas=tuple(float(x)
+                            for x in args.es_anchor_sigmas.split(",")))
+        if is_tta else None)
     stopper = (build_early_stopper(escfg, scheme, dit_cfg, args.attn_impl)
                if is_tta else None)
 
@@ -440,27 +454,97 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
                 rng_host = np.random.RandomState(args.seed + idx)
                 es_loop_time = 0.0
                 t_train = time.time()
-                for s in range(args.steps):
-                    if len(batch_data) > 1:
-                        bd = batch_data[s % len(batch_data)]
-                        c_s, t_s = bd["cond"], bd["train"]
-                        e_s = bd.get("emb", emb)
-                        m_s = bd.get("mask", mask)
-                    else:
-                        vi = rng_host.randint(len(variants))
-                        c_s, t_s = variants[vi]["cond"], variants[vi]["train"]
-                        e_s, m_s = emb, mask
-                    tp, opt_state, loss = step_fn(
-                        tp, opt_state, bundle.dit_params, c_s, t_s, e_s, m_s,
-                        jax.random.PRNGKey(args.seed * 1000 + idx * 100 + s))
-                    losses.append(float(loss))
-                    if stopper is not None and val_l is not None:
-                        t0 = time.time()
-                        stop, _info = stopper.step(s + 1, tp)
-                        es_loop_time += time.time() - t0
-                        if stop:
-                            print(f"  early stop at step {s + 1}")
-                            break
+                if len(batch_data) > 1:
+                    stacks = [{"cond": d["cond"], "train": d["train"],
+                               "emb": d.get("emb", emb),
+                               "mask": d.get("mask", mask)}
+                              for d in batch_data]
+                    sel = [s % len(stacks) for s in range(args.steps)]
+                else:
+                    stacks = [{"cond": v["cond"], "train": v["train"],
+                               "emb": emb, "mask": mask} for v in variants]
+                    sel = [rng_host.randint(len(stacks))
+                           for _ in range(args.steps)]
+                valid_stack = None
+                if args.bucket_shapes:
+                    for d in stacks:
+                        d["train"], d["valid"] = pad_target_latents(
+                            d["train"])
+                    # pad ragged variants (speed-factor augmentation) up
+                    # to the largest bucket present so they stack
+                    t_max = max(d["train"].shape[2] for d in stacks)
+                    for d in stacks:
+                        t = d["train"].shape[2]
+                        if t < t_max:
+                            d["train"] = jnp.pad(
+                                d["train"],
+                                ((0, 0), (0, 0), (0, t_max - t),
+                                 (0, 0), (0, 0)))
+                    valid_stack = jnp.stack([d["valid"] for d in stacks])
+                uniform = (
+                    len({d["cond"].shape for d in stacks}) == 1
+                    and len({d["train"].shape for d in stacks}) == 1)
+                es_active = stopper is not None and val_l is not None
+
+                def _step_rngs(lo, hi):
+                    return jnp.stack([
+                        jax.random.PRNGKey(args.seed * 1000 + idx * 100 + t)
+                        for t in range(lo, hi)])
+
+                if uniform:
+                    # Chunked device-side loop: `check_every` optimizer
+                    # steps + the ES anchor eval run as ONE XLA dispatch,
+                    # fetched with one device_get — vs the reference's
+                    # per-step loss.item() + blocking anchor forward
+                    # (run_delta_a.py:224-305, early_stopping.py:190).
+                    cond_stack = jnp.stack([d["cond"] for d in stacks])
+                    train_stack = jnp.stack([d["train"] for d in stacks])
+                    emb_stack = jnp.stack([d["emb"] for d in stacks])
+                    mask_stack = jnp.stack([d["mask"] for d in stacks])
+                    k0 = (escfg.check_every if es_active
+                          else (args.loss_fetch_every or 25))
+                    s = 0
+                    while s < args.steps:
+                        k = min(k0, args.steps - s)
+                        do_anchor = (es_active
+                                     and (s + k) % escfg.check_every == 0)
+                        tp, opt_state, loss_vec, anchor = chunk_fn(
+                            tp, opt_state, bundle.dit_params,
+                            cond_stack, train_stack, emb_stack, mask_stack,
+                            jnp.asarray(sel[s:s + k], jnp.int32),
+                            _step_rngs(s, s + k),
+                            val_latents=val_l if do_anchor else None,
+                            fixed_noises=(stopper.fixed_noises
+                                          if do_anchor else None),
+                            valid_stack=valid_stack)
+                        s += k
+                        loss_vec, anchor = jax.device_get((loss_vec, anchor))
+                        losses.extend(float(x) for x in loss_vec)
+                        if do_anchor:
+                            stop, _info = stopper.step_with_loss(
+                                s, tp, float(anchor))
+                            if stop:
+                                print(f"  early stop at step {s}")
+                                break
+                else:
+                    # variant shapes differ (speed-factor augmentation):
+                    # per-step dispatch, host-side variant pick
+                    for s in range(args.steps):
+                        bd = stacks[sel[s]]
+                        tp, opt_state, loss = step_fn(
+                            tp, opt_state, bundle.dit_params,
+                            bd["cond"], bd["train"], bd["emb"], bd["mask"],
+                            jax.random.PRNGKey(
+                                args.seed * 1000 + idx * 100 + s),
+                            num_valid_target=bd.get("valid"))
+                        losses.append(float(loss))
+                        if es_active:
+                            t0 = time.time()
+                            stop, _info = stopper.step(s + 1, tp)
+                            es_loop_time += time.time() - t0
+                            if stop:
+                                print(f"  early stop at step {s + 1}")
+                                break
                 es_time += es_loop_time
                 train_time = time.time() - t_train - es_loop_time
                 if stopper is not None and val_l is not None:

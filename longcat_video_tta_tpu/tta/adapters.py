@@ -374,5 +374,114 @@ SCHEMES = {
 }
 
 
-def build_scheme(dit_cfg: DiTConfig, acfg: AdapterConfig) -> AdapterScheme:
+# ---------------------------------------------------------------------------
+# MMDiT (Open-Sora v2) backbone schemes
+# ---------------------------------------------------------------------------
+#
+# The reference ports three methods to each backbone: delta_a, lora,
+# full (backbone_experiment/opensora/run_{delta_a,lora_tta,full_tta}_
+# opensora.py). delta_a and full reuse the generic schemes unchanged
+# (MMDiTConfig.adaln_tembed_dim is the vec width); LoRA needs the MMDiT
+# site map (lora_layers.py:309-416: double img/txt attn qkv+proj,
+# optional mlp; single linear1/linear2).
+
+_MMDIT_DOUBLE_SITES = {
+    "img_qkv": lambda c: (c.hidden_size, 3 * c.hidden_size),
+    "img_proj": lambda c: (c.hidden_size, c.hidden_size),
+    "txt_qkv": lambda c: (c.hidden_size, 3 * c.hidden_size),
+    "txt_proj": lambda c: (c.hidden_size, c.hidden_size),
+    "img_mlp_in": lambda c: (c.hidden_size, c.mlp_dim),
+    "img_mlp_out": lambda c: (c.mlp_dim, c.hidden_size),
+    "txt_mlp_in": lambda c: (c.hidden_size, c.mlp_dim),
+    "txt_mlp_out": lambda c: (c.mlp_dim, c.hidden_size),
+}
+_MMDIT_SINGLE_SITES = {
+    "lin1": lambda c: (c.hidden_size, 3 * c.hidden_size + c.mlp_dim),
+    "lin2": lambda c: (c.hidden_size + c.mlp_dim, c.hidden_size),
+}
+
+
+class MMDiTLoRAScheme(AdapterScheme):
+    """LoRA over the MMDiT dual/single-stream stacks.
+
+    ``acfg.target_blocks``: "all" | "double" | "single" (the reference's
+    target_blocks semantics for MMDiT, lora_layers.py:309-416).
+    ``acfg.lora_target_modules``: qkv/proj; ``lora_target_ffn`` adds the
+    double-stream mlps (single-stream linear1/linear2 are inherently
+    fused attn+mlp).
+    """
+
+    method = "lora"
+
+    def __init__(self, cfg, acfg):
+        super().__init__(cfg, acfg)
+        if acfg.target_blocks not in ("all", "double", "single"):
+            raise ValueError(
+                "MMDiT lora target_blocks must be all|double|single")
+        dsites: List[str] = []
+        if "qkv" in acfg.lora_target_modules:
+            dsites += ["img_qkv", "txt_qkv"]
+        if "proj" in acfg.lora_target_modules:
+            dsites += ["img_proj", "txt_proj"]
+        if acfg.lora_target_ffn:
+            dsites += ["img_mlp_in", "img_mlp_out",
+                       "txt_mlp_in", "txt_mlp_out"]
+        self.double_sites = dsites if acfg.target_blocks != "single" else []
+        self.single_sites = (list(_MMDIT_SINGLE_SITES)
+                             if acfg.target_blocks != "double" else [])
+        self.rank = acfg.lora_rank
+        self.scale = acfg.lora_alpha / acfg.lora_rank
+
+    def _init_group(self, rng, sites, table, depth):
+        p = {}
+        keys = jax.random.split(rng, max(1, len(sites)))
+        for key, site in zip(keys, sites):
+            din, dout = table[site](self.cfg)
+            bound = 1.0 / math.sqrt(din)
+            p[site] = {
+                "a": jax.random.uniform(key, (depth, din, self.rank),
+                                        jnp.float32, -bound, bound),
+                "b": jnp.zeros((depth, self.rank, dout), jnp.float32),
+            }
+        return p
+
+    def init(self, rng, base_params=None):
+        kd, ks = jax.random.split(rng)
+        return {
+            "double": self._init_group(kd, self.double_sites,
+                                       _MMDIT_DOUBLE_SITES,
+                                       self.cfg.depth_double),
+            "single": self._init_group(ks, self.single_sites,
+                                       _MMDIT_SINGLE_SITES,
+                                       self.cfg.depth_single),
+        }
+
+    def to_forward(self, train_params, base_params):
+        ad = {"lora_scale": self.scale}
+        if train_params["double"]:
+            ad["lora_double"] = train_params["double"]
+        if train_params["single"]:
+            ad["lora_single"] = train_params["single"]
+        return base_params, ad
+
+
+MMDIT_SCHEMES = {
+    "delta_a": DeltaAScheme,
+    "lora": MMDiTLoRAScheme,
+    "full": FullScheme,
+}
+
+
+def build_scheme(dit_cfg, acfg: AdapterConfig) -> AdapterScheme:
+    """Dispatch on architecture config: LongCat DiTConfig gets all seven
+    methods; MMDiTConfig gets the three the reference ports
+    (SURVEY.md §2.7)."""
+    from ..config import MMDiTConfig
+
+    if isinstance(dit_cfg, MMDiTConfig):
+        if acfg.method not in MMDIT_SCHEMES:
+            raise ValueError(
+                f"method {acfg.method} is not ported to the MMDiT backbone "
+                "(reference ports delta_a/lora/full — SURVEY.md §2.7)")
+        return MMDIT_SCHEMES[acfg.method](dit_cfg, acfg)
     return SCHEMES[acfg.method](dit_cfg, acfg)

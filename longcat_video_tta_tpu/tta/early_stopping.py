@@ -96,7 +96,16 @@ class AnchoredEarlyStopper:
         if current_step == 0 or current_step % self.cfg.check_every != 0:
             return False, {}
 
-        loss = self._anchor_loss(train_params)
+        return self.step_with_loss(current_step, train_params,
+                                   self._anchor_loss(train_params))
+
+    def step_with_loss(self, current_step: int, train_params,
+                       anchor_loss: float) -> Tuple[bool, Dict[str, Any]]:
+        """Record a precomputed anchor loss (the chunked trainer folds the
+        anchor eval into the same XLA dispatch — engine.make_train_chunk)
+        and apply the patience / first_rise decision."""
+        self.step_count = current_step
+        loss = float(anchor_loss)
         self.loss_history.append((current_step, loss))
 
         improved = loss < self.best_loss

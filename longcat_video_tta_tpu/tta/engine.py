@@ -24,7 +24,10 @@ import optax
 from ..config import DiTConfig, OptimConfig
 from ..utils.tree import global_norm
 from .adapters import AdapterScheme
-from .losses import flow_matching_loss_conditioned
+from .losses import (
+    flow_matching_loss_conditioned,
+    flow_matching_loss_conditioned_fixed,
+)
 
 
 def build_optimizer(ocfg: OptimConfig) -> optax.GradientTransformation:
@@ -63,13 +66,15 @@ def make_train_step(
 
     @jax.jit
     def step(train_params, opt_state, base_params, cond_latents,
-             target_latents, text_emb, text_mask, rng):
+             target_latents, text_emb, text_mask, rng,
+             num_valid_target=None):
         def loss_fn(tp):
             dit_params, adapters = scheme.to_forward(tp, base_params)
             return flow_matching_loss_conditioned(
                 dit_params, cfg, cond_latents, target_latents,
                 text_emb, text_mask, rng,
                 adapters=adapters, attn_impl=attn_impl, cp_mesh=cp_mesh,
+                num_valid_target=num_valid_target,
             )
 
         loss, grads = jax.value_and_grad(loss_fn)(train_params)
@@ -78,6 +83,83 @@ def make_train_step(
         return train_params, opt_state, loss
 
     return step
+
+
+def make_train_chunk(
+    scheme: AdapterScheme,
+    cfg: DiTConfig,
+    tx: optax.GradientTransformation,
+    attn_impl: Optional[str] = None,
+    cp_mesh=None,
+    anchor_sigmas: Tuple[float, ...] = (),
+) -> Callable:
+    """Device-side multi-step trainer: one XLA dispatch per k steps.
+
+    The reference's optimize_* loops sync the host every step
+    (``loss.item()``, run_delta_a.py:224-305) and run the early-stopping
+    anchor eval as a separate blocking forward (early_stopping.py:190).
+    Here a ``lax.scan`` runs ``k = len(variant_idx)`` optimizer steps on
+    device, selecting the per-step training variant (augmentation pick or
+    batch-TTA round-robin, run_delta_a.py:308-363) by dynamic index into
+    stacked tensors, and — when ``val_latents`` is given — folds the fixed-
+    sigma anchor loss into the same compiled call. The driver fetches
+    (losses[k], anchor) with a single ``device_get`` per chunk, so host
+    round-trips drop from ~2k+1 per check window to 1.
+
+    chunk(train_params, opt_state, base_params,
+          cond_stack,  # [V, B, C, T_cond, H, W]
+          train_stack, # [V, B, C, T_tgt, H, W]
+          emb_stack,   # [V, B, L, C_text]
+          mask_stack,  # [V, B, L]
+          variant_idx, # [k] int32 — per-step index into the stacks
+          rngs,        # [k] PRNG keys
+          val_latents=None, fixed_noises=None,
+          valid_stack=None)  # [V] int32 — per-variant valid target
+                             # latent count (shape bucketing)
+      -> (train_params, opt_state, losses[k], anchor_loss | None)
+
+    ``opt_state`` is donated; ``train_params`` is NOT (the early stopper
+    snapshots are plain references to these immutable arrays).
+    """
+
+    def chunk(train_params, opt_state, base_params, cond_stack, train_stack,
+              emb_stack, mask_stack, variant_idx, rngs,
+              val_latents=None, fixed_noises=None, valid_stack=None):
+        def body(carry, xs):
+            tp, ost = carry
+            i, r = xs
+
+            def loss_fn(tp_):
+                dit_params, adapters = scheme.to_forward(tp_, base_params)
+                return flow_matching_loss_conditioned(
+                    dit_params, cfg, cond_stack[i], train_stack[i],
+                    emb_stack[i], mask_stack[i], r,
+                    adapters=adapters, attn_impl=attn_impl, cp_mesh=cp_mesh,
+                    num_valid_target=(None if valid_stack is None
+                                      else valid_stack[i]),
+                )
+
+            loss, grads = jax.value_and_grad(loss_fn)(tp)
+            updates, ost = tx.update(grads, ost, tp)
+            tp = optax.apply_updates(tp, updates)
+            return (tp, ost), loss
+
+        (train_params, opt_state), losses = jax.lax.scan(
+            body, (train_params, opt_state), (variant_idx, rngs))
+
+        anchor = None
+        if val_latents is not None:
+            dit_params, adapters = scheme.to_forward(train_params,
+                                                     base_params)
+            anchor = flow_matching_loss_conditioned_fixed(
+                dit_params, cfg, cond_stack[0], val_latents,
+                emb_stack[0], mask_stack[0], fixed_noises,
+                fixed_sigmas=anchor_sigmas,
+                adapters=adapters, attn_impl=attn_impl,
+            )
+        return train_params, opt_state, losses, anchor
+
+    return jax.jit(chunk, donate_argnums=(1,))
 
 
 def adapter_norm(train_params) -> float:

@@ -132,10 +132,17 @@ def flow_matching_loss_conditioned(
     sigma_max: float = 1.0,
     attn_impl: Optional[str] = None,
     cp_mesh=None,
+    num_valid_target: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Conditioning-aware loss replicating LongCat inference
     (reference: common.py:414-489). ``cp_mesh`` shards self-attention
-    over the mesh context axis."""
+    over the mesh context axis.
+
+    ``num_valid_target``: optional traced int32 — target latent frames at
+    index >= this are shape-bucketing padding: masked out of attention
+    (dit_forward num_valid_latents) and of the MSE, so the loss over the
+    valid region is independent of pad contents and one compile serves
+    every geometry in the bucket."""
     B = cond_latents.shape[0]
     pt = cfg.patch_size[0]
     t_cond = cond_latents.shape[2]
@@ -164,9 +171,17 @@ def flow_matching_loss_conditioned(
         dit_params, cfg, hidden, timestep, text_emb, text_mask,
         num_cond_latents=t_cond, adapters=adapters, attn_impl=attn_impl,
         cp_mesh=cp_mesh,
+        num_valid_latents=(None if num_valid_target is None
+                           else t_cond + num_valid_target),
     )
     pred_tgt = pred[:, :, t_cond:]
-    return jnp.mean((pred_tgt - (noise - tgt32)) ** 2)
+    err = (pred_tgt - (noise - tgt32)) ** 2
+    if num_valid_target is None:
+        return jnp.mean(err)
+    m = (jnp.arange(t_tgt) < num_valid_target).astype(jnp.float32)
+    valid_elems = (jnp.asarray(num_valid_target, jnp.float32)
+                   * (err.size / t_tgt))
+    return jnp.sum(err * m[None, None, :, None, None]) / valid_elems
 
 
 @functools.partial(

@@ -150,3 +150,43 @@ def test_flash_chunk_bwd_offsets_match_jnp():
                                atol=5e-5, rtol=5e-5)
     np.testing.assert_allclose(np.asarray(dv), np.asarray(ref_dv),
                                atol=5e-5, rtol=5e-5)
+
+
+def test_flash_dynamic_kv_valid_len_fwd_and_bwd():
+    """Traced kv_valid_len (shape bucketing): one compile serves every
+    valid length; valid-query rows must match the static-mask oracle in
+    fwd AND grad. Pad-query rows are garbage by contract — only their
+    gradient contribution must vanish (do=0 rows)."""
+    q, k, v = _rand_qkv(jax.random.PRNGKey(7), B=1, S=192, H=2, D=32)
+
+    @jax.jit
+    def fwd(q, k, v, valid):
+        return flash_attention(q, k, v, num_cond_tokens=64,
+                               kv_valid_len=valid, interpret=True)
+
+    for valid in (192, 160, 100):
+        ref = attention_xla(q, k, v, num_cond_tokens=64,
+                            kv_valid_len=valid)
+        out = fwd(q, k, v, jnp.int32(valid))
+        np.testing.assert_allclose(np.asarray(out)[:, :valid],
+                                   np.asarray(ref)[:, :valid],
+                                   atol=2e-5, rtol=2e-5)
+    assert fwd._cache_size() == 1
+
+    valid = 100
+    w = jnp.zeros((1, 192, 2, 32)).at[:, :valid].set(1.0)
+
+    def loss_ref(q, k, v):
+        o = attention_xla(q, k, v, num_cond_tokens=64, kv_valid_len=valid)
+        return jnp.sum((o * w) ** 2)
+
+    def loss_dyn(q, k, v):
+        o = flash_attention(q, k, v, num_cond_tokens=64,
+                            kv_valid_len=jnp.int32(valid), interpret=True)
+        return jnp.sum((o * w) ** 2)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    g_dyn = jax.grad(loss_dyn, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_dyn, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=5e-4)

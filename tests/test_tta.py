@@ -264,3 +264,92 @@ def test_warmup_schedule_scales_lr():
         up, st = tx.update(g, st, p)
     assert float(jnp.abs(up0["w"]).max()) < 0.3
     np.testing.assert_allclose(np.asarray(up["w"]), -1.0, rtol=1e-5)
+
+
+def test_chunked_trainer_matches_per_step(setup):
+    """make_train_chunk (one dispatch per k steps + fused anchor eval,
+    VERDICT r1 item 9) must be step-for-step identical to the per-step
+    make_train_step loop: same losses, same final params, same anchor."""
+    from longcat_video_tta_tpu.tta.engine import make_train_chunk
+    from longcat_video_tta_tpu.tta.losses import (
+        flow_matching_loss_conditioned_fixed,
+    )
+
+    params, latents, text, mask = setup
+    cond, train, val = split_tta_latents(latents, 2, 0.25)
+    scheme = build_scheme(CFG, AdapterConfig(method="delta_b", num_groups=2,
+                                             delta_target="timestep"))
+    tx = build_optimizer(OptimConfig(lr=1e-2, optimizer="adamw"))
+    sigmas = (0.25, 0.75)
+    noises = jax.random.normal(jax.random.PRNGKey(9),
+                               (2,) + val.shape, jnp.float32)
+    rngs = [jax.random.PRNGKey(500 + i) for i in range(6)]
+
+    # two "variants" with an alternating schedule
+    cond2 = cond * 0.9
+    train2 = train * 1.1
+    sel = [0, 1, 0, 0, 1, 1]
+
+    # per-step reference path
+    step = make_train_step(scheme, CFG, tx)
+    tp_a = scheme.init(jax.random.PRNGKey(3), base_params=params)
+    os_a = tx.init(tp_a)
+    losses_a = []
+    for s in range(6):
+        c = cond if sel[s] == 0 else cond2
+        t = train if sel[s] == 0 else train2
+        tp_a, os_a, loss = step(tp_a, os_a, params, c, t, text, mask,
+                                rngs[s])
+        losses_a.append(float(loss))
+    dp_a, ad_a = scheme.to_forward(tp_a, params)
+    anchor_a = float(flow_matching_loss_conditioned_fixed(
+        dp_a, CFG, cond, val, text, mask, noises, fixed_sigmas=sigmas,
+        adapters=ad_a))
+
+    # chunked path: 2 chunks of 3
+    chunk = make_train_chunk(scheme, CFG, tx, anchor_sigmas=sigmas)
+    tp_b = scheme.init(jax.random.PRNGKey(3), base_params=params)
+    os_b = tx.init(tp_b)
+    cond_stack = jnp.stack([cond, cond2])
+    train_stack = jnp.stack([train, train2])
+    emb_stack = jnp.stack([text, text])
+    mask_stack = jnp.stack([mask, mask])
+    losses_b = []
+    anchor_b = None
+    for lo in (0, 3):
+        tp_b, os_b, lvec, anchor = chunk(
+            tp_b, os_b, params, cond_stack, train_stack, emb_stack,
+            mask_stack, jnp.asarray(sel[lo:lo + 3], jnp.int32),
+            jnp.stack(rngs[lo:lo + 3]),
+            val_latents=val if lo == 3 else None,
+            fixed_noises=noises if lo == 3 else None)
+        losses_b.extend(float(x) for x in lvec)
+        if anchor is not None:
+            anchor_b = float(anchor)
+
+    np.testing.assert_allclose(losses_a, losses_b, rtol=2e-5, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(tp_a), jax.tree.leaves(tp_b)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(anchor_a, anchor_b, rtol=2e-5, atol=1e-6)
+
+
+def test_early_stopper_step_with_loss_matches_step(setup):
+    """step_with_loss must make the same decisions as step when fed the
+    loss that step would have computed."""
+    from longcat_video_tta_tpu.config import EarlyStoppingConfig
+
+    escfg = EarlyStoppingConfig(enabled=True, check_every=1, patience=2,
+                                strategy="patience")
+    params, latents, text, mask = setup
+    scheme = build_scheme(CFG, AdapterConfig(method="delta_a"))
+    stopper = build_early_stopper(escfg, scheme, CFG)
+    cond, _, val = split_tta_latents(latents, 2, 0.25)
+    tp = scheme.init(jax.random.PRNGKey(3), base_params=params)
+    stopper.setup(params, cond, val, text, mask, "vid.mp4", tp)
+    seq = [1.0, 0.5, 0.6, 0.7]  # improve, then 2 rises -> stop at 4th
+    outcomes = [stopper.step_with_loss(i + 1, tp, v)[0]
+                for i, v in enumerate(seq)]
+    assert outcomes == [False, False, False, True]
+    assert stopper.best_step == 2 and stopper.best_loss == 0.5
+    assert [h[1] for h in stopper.loss_history[1:]] == seq
