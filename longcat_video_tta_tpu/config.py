@@ -147,6 +147,71 @@ class MMDiTConfig:
 
 
 @dataclass(frozen=True)
+class CogVideoXConfig:
+    """CogVideoX-5B(-I2V) transformer (diffusers
+    CogVideoXTransformer3DModel layout).
+
+    Interface contract: backbone_experiment/cogvideo/common_cogvideo.py —
+    forward(hidden_states, encoder_hidden_states, timestep) (:184-218),
+    DeltaAWrapperCogVideo hooking ``time_embedding`` with a 512-d delta
+    (:225-279), LoRA on to_q/to_k/to_v/to_out.0
+    (run_lora_tta_cogvideo.py:215). Joint [text | video] attention with
+    CogVideoXLayerNormZero (6-chunk temb modulation of BOTH streams),
+    qk LayerNorm, 3D RoPE on the video tokens only, I2V via channel-
+    concatenated image latents (in_channels 32 = 16 noisy + 16 image).
+    5B geometry: 42 layers, 48 heads of 64."""
+
+    hidden_size: int = 3072
+    depth: int = 42
+    num_heads: int = 48
+    in_channels: int = 32          # I2V: 16 latent + 16 image-cond
+    latent_channels: int = 16
+    out_channels: int = 16
+    patch_size: int = 2            # spatial; temporal patch is 1
+    text_dim: int = 4096           # T5-XXL
+    text_len: int = 226            # common_cogvideo.py:152-177
+    time_embed_dim: int = 512      # delta-A site (common_cogvideo.py:233)
+    ffn_mult: float = 4.0
+    rope_dims: Tuple[int, int, int] = (16, 24, 24)
+    rope_theta: float = 10000.0
+    norm_eps: float = 1e-5
+    param_dtype: str = "bfloat16"
+    compute_dtype: str = "bfloat16"
+    remat: bool = True
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+    @property
+    def ffn_dim(self) -> int:
+        return int(self.hidden_size * self.ffn_mult)
+
+    @property
+    def adaln_tembed_dim(self) -> int:
+        """Delta-A site width (time_embedding output,
+        common_cogvideo.py:225-279)."""
+        return self.time_embed_dim
+
+    def __post_init__(self):
+        assert self.hidden_size % self.num_heads == 0
+        assert sum(self.rope_dims) == self.head_dim
+
+
+@dataclass(frozen=True)
+class BSAConfig:
+    """Block-sparse attention for the decode hot loop (the reference
+    pipeline's BSA — run_delta_a.py:118-120; ops/bsa.py). keep_ratio
+    selects that fraction of k-blocks per q-block (cond-prefix blocks
+    and the diagonal are always kept exact)."""
+
+    keep_ratio: float = 0.35
+    block_q: int = 512
+    block_k: int = 512
+    min_blocks: int = 4
+
+
+@dataclass(frozen=True)
 class VAEConfig:
     """Causal WAN-style 3D VAE (reference: AutoencoderKLWan usage,
     common.py:158-221; 4x temporal / 8x spatial factors, z_dim-channel
@@ -200,6 +265,23 @@ class TextEncoderConfig:
 
 
 @dataclass(frozen=True)
+class CLIPTextConfig:
+    """CLIP-L/14 text tower for the MMDiT y_vec conditioning
+    (common_opensora.py:82-105; model in models/clip_text.py)."""
+
+    vocab_size: int = 49408
+    width: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    max_length: int = 77
+    param_dtype: str = "float32"
+
+    @property
+    def head_dim(self) -> int:
+        return self.width // self.num_heads
+
+
+@dataclass(frozen=True)
 class SchedulerConfig:
     """Flow-match Euler discrete scheduler
     (reference: FlowMatchEulerDiscreteScheduler, common.py:68-70)."""
@@ -212,10 +294,15 @@ class SchedulerConfig:
 
 @dataclass(frozen=True)
 class ModelConfig:
-    dit: DiTConfig = field(default_factory=DiTConfig)
+    dit: Any = field(default_factory=DiTConfig)  # DiTConfig | MMDiTConfig
     vae: VAEConfig = field(default_factory=VAEConfig)
     text: TextEncoderConfig = field(default_factory=TextEncoderConfig)
     scheduler: SchedulerConfig = field(default_factory=SchedulerConfig)
+    # architecture family: "longcat" (DiT, cross-attn text) or "mmdit"
+    # (Open-Sora v2 dual/single stream, T5+CLIP). Dispatches the bundle's
+    # prompt encoding, losses, and sampler.
+    arch: str = "longcat"
+    clip: Optional[CLIPTextConfig] = None
 
 
 # ---------------------------------------------------------------------------
@@ -532,4 +619,8 @@ def get_model_config(preset: str) -> ModelConfig:
         return backbones.cogvideox_5b()
     if preset == "opensora_v2":
         return backbones.opensora_v2()
+    if preset == "opensora_v2_tiny":
+        return backbones.opensora_v2_tiny()
+    if preset == "cogvideox_tiny":
+        return backbones.cogvideox_tiny()
     raise KeyError(f"unknown model preset {preset!r}")

@@ -36,11 +36,20 @@ def _build_lib() -> Optional[ctypes.CDLL]:
             os.path.getmtime(_SO) < os.path.getmtime(_SRC)
         ):
             os.makedirs(os.path.dirname(_SO), exist_ok=True)
-            subprocess.run(
-                ["g++", "-O3", "-march=native", "-std=c++17", "-shared",
-                 "-fPIC", "-pthread", _SRC, "-o", _SO],
-                check=True, capture_output=True,
-            )
+            base = ["g++", "-O3", "-march=native", "-std=c++17", "-shared",
+                    "-fPIC", "-pthread", _SRC, "-o", _SO]
+            # preferred: mp4/avi decode via the system libav (the same
+            # libraries the reference's PyAV wraps, common.py:103-155);
+            # fall back to the npy-only build when dev files are absent
+            with_av = (base[:1]
+                       + ["-DUSE_LIBAV"] + base[1:]
+                       + ["-lavformat", "-lavcodec", "-lavutil",
+                          "-lswscale"])
+            r = subprocess.run(with_av, capture_output=True)
+            if r.returncode != 0:
+                print("[native_loader] libav build failed; building "
+                      "npy-only decoder")
+                subprocess.run(base, check=True, capture_output=True)
         lib = ctypes.CDLL(_SO)
         lib.pf_create.restype = ctypes.c_void_p
         lib.pf_create.argtypes = [
@@ -53,6 +62,7 @@ def _build_lib() -> Optional[ctypes.CDLL]:
                                 ctypes.POINTER(ctypes.c_float),
                                 ctypes.POINTER(ctypes.c_long)]
         lib.pf_destroy.argtypes = [ctypes.c_void_p]
+        lib.pf_has_libav.restype = ctypes.c_int
         _lib = lib
         return lib
     except Exception as e:  # toolchain missing / build failure
@@ -62,8 +72,9 @@ def _build_lib() -> Optional[ctypes.CDLL]:
 
 
 class ClipPrefetcher:
-    """Iterate (index, clip[3,T,H,W] float32 in [-1,1]) over .npy paths,
-    decoded + resized ahead of time by C++ worker threads."""
+    """Iterate (index, clip[3,T,H,W] float32 in [-1,1]) over clip paths
+    (.npy, or mp4/avi when the lib was built against libav), decoded +
+    resized ahead of time by C++ worker threads."""
 
     def __init__(self, paths: List[str], num_frames: int, start_frame: int,
                  height: int, width: int, workers: int = 3,
@@ -75,9 +86,10 @@ class ClipPrefetcher:
         self.width = width
         self.workers = workers
         self.queue_cap = queue_cap
-        self._native = (not force_python
-                        and all(p.endswith(".npy") for p in self.paths)
-                        and _build_lib() is not None)
+        lib = None if force_python else _build_lib()
+        self._native = lib is not None and (
+            all(p.endswith(".npy") for p in self.paths)
+            or bool(lib.pf_has_libav()))
 
     def __iter__(self) -> Iterator[Tuple[int, np.ndarray]]:
         if self._native:

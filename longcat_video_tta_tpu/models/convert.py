@@ -17,10 +17,11 @@ import json
 import os
 from typing import Any, Dict
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import ModelConfig, RunConfig, get_model_config
+from ..config import ModelConfig, RunConfig, get_model_config, resolve_dtype
 
 
 def save_bundle(out_dir: str, bundle, converted_components=None) -> None:
@@ -31,9 +32,11 @@ def save_bundle(out_dir: str, bundle, converted_components=None) -> None:
 
     os.makedirs(out_dir, exist_ok=True)
     ckptr = ocp.PyTreeCheckpointer()
-    for name, tree in (("dit", bundle.dit_params),
-                       ("vae", bundle.vae_params),
-                       ("text_encoder", bundle.text_params)):
+    comps = [("dit", bundle.dit_params), ("vae", bundle.vae_params),
+             ("text_encoder", bundle.text_params)]
+    if getattr(bundle, "clip_params", None) is not None:
+        comps.append(("clip", bundle.clip_params))
+    for name, tree in comps:
         ckptr.save(os.path.abspath(os.path.join(out_dir, name)), tree,
                    force=True)
     with open(os.path.join(out_dir, "model_config.json"), "w") as f:
@@ -58,7 +61,10 @@ def load_converted_bundle(ckpt_dir: str, cfg: ModelConfig):
 
     ckptr = ocp.PyTreeCheckpointer()
     trees = {}
-    for name in ("dit", "vae", "text_encoder"):
+    names = ["dit", "vae", "text_encoder"]
+    if cfg.clip is not None:
+        names.append("clip")
+    for name in names:
         path = os.path.abspath(os.path.join(ckpt_dir, name))
         if not os.path.exists(path):
             raise FileNotFoundError(
@@ -95,7 +101,8 @@ def load_converted_bundle(ckpt_dir: str, cfg: ModelConfig):
     return ModelBundle(cfg=cfg, dit_params=trees["dit"],
                        vae_params=trees["vae"],
                        text_params=trees["text_encoder"],
-                       tokenize=tokenize)
+                       tokenize=tokenize,
+                       clip_params=trees.get("clip"))
 
 
 # ---------------------------------------------------------------------------
@@ -480,3 +487,336 @@ def assert_tree_matches(converted, reference_tree, name: str) -> None:
             f"{name} conversion incomplete: missing={missing[:8]} "
             f"extra={extra[:8]} shape-mismatch={bad[:8]}"
         )
+
+
+# ---------------------------------------------------------------------------
+# MMDiT (Open-Sora v2 / Flux layout) converter
+# ---------------------------------------------------------------------------
+
+
+def _rope_perm(dh: int) -> np.ndarray:
+    """Channel permutation mapping upstream interleaved-pair RoPE to our
+    half-split rotation: new[j] = old[2j] for j < dh/2, new[j] =
+    old[2(j-dh/2)+1] otherwise. q·k is invariant under a common
+    permutation of q and k channels, and RMSNorm commutes with it, so
+    permuting the q/k rows of every qkv kernel (plus the q/k norm
+    scales) makes the half-split forward exactly equal the upstream
+    interleaved forward."""
+    half = dh // 2
+    return np.concatenate([np.arange(half) * 2, np.arange(half) * 2 + 1])
+
+
+def _permute_qkv_rows(w: np.ndarray, nH: int, dh: int,
+                      n_chunks: int = 3) -> np.ndarray:
+    """w: torch Linear weight [n_chunks*nH*dh (+extra), in]. Permute the
+    per-head rows of the q and k chunks by the RoPE permutation; v (and
+    any trailing mlp rows for fused single-stream linear1) untouched."""
+    perm = _rope_perm(dh)
+    out = w.copy()
+    for chunk in range(2):  # q, k
+        base = chunk * nH * dh
+        for h in range(nH):
+            rows = base + h * dh + np.arange(dh)
+            out[rows] = w[base + h * dh + perm]
+    return out
+
+
+def convert_torch_mmdit_state(sd: Dict[str, Any], cfg) -> Dict[str, Any]:
+    """Map an Open-Sora v2 / Flux MMDiT torch state_dict into our stacked
+    tree (models/mmdit.py).
+
+    Key layout (Flux naming, which Open-Sora v2 inherits): img_in/txt_in,
+    time_in/vector_in[/guidance_in].{in_layer,out_layer},
+    double_blocks.{i}.{img,txt}_{mod.lin, attn.qkv, attn.norm.query_norm/
+    key_norm.scale, attn.proj, mlp.0, mlp.2},
+    single_blocks.{i}.{linear1, linear2, norm.query_norm/key_norm.scale,
+    modulation.lin}, final_layer.{adaLN_modulation.1, linear}, and the
+    Open-Sora cond_in for v2v conditioning. q/k rows are permuted for the
+    RoPE convention (see _rope_perm). Exercised on a synthetic state_dict
+    by tests/test_convert.py.
+    """
+    nH, dh = cfg.num_heads, cfg.head_dim
+    Ld, Ls = cfg.depth_double, cfg.depth_single
+
+    def t(name):
+        return jnp.asarray(np.asarray(sd[name]).T)
+
+    def v(name):
+        return jnp.asarray(np.asarray(sd[name]))
+
+    def emb(prefix):
+        return {
+            "w1": jnp.asarray(np.asarray(sd[f"{prefix}.in_layer.weight"]).T,
+                              jnp.float32),
+            "b1": jnp.asarray(np.asarray(sd[f"{prefix}.in_layer.bias"]),
+                              jnp.float32),
+            "w2": jnp.asarray(np.asarray(sd[f"{prefix}.out_layer.weight"]).T,
+                              jnp.float32),
+            "b2": jnp.asarray(np.asarray(sd[f"{prefix}.out_layer.bias"]),
+                              jnp.float32),
+        }
+
+    def stack_qkv(fmt, depth, n_chunks=3):
+        mats = []
+        for i in range(depth):
+            w = np.asarray(sd[fmt.format(i)])
+            mats.append(_permute_qkv_rows(w, nH, dh, n_chunks).T)
+        return jnp.asarray(np.stack(mats))
+
+    def stack_qkv_bias(fmt, depth):
+        mats = []
+        for i in range(depth):
+            b = np.asarray(sd[fmt.format(i)])
+            mats.append(_permute_qkv_rows(b[:, None], nH, dh)[:, 0])
+        return jnp.asarray(np.stack(mats))
+
+    def stack_norm_scale(fmt, depth):
+        perm = _rope_perm(dh)
+        return jnp.asarray(np.stack(
+            [np.asarray(sd[fmt.format(i)])[perm] for i in range(depth)]))
+
+    def dattn(stream):
+        base = "double_blocks.{}." + stream + "_attn"
+        return {
+            "qkv": {"kernel": stack_qkv(base + ".qkv.weight", Ld),
+                    "bias": stack_qkv_bias(base + ".qkv.bias", Ld)},
+            "q_norm": stack_norm_scale(base + ".norm.query_norm.scale", Ld),
+            "k_norm": stack_norm_scale(base + ".norm.key_norm.scale", Ld),
+            "proj": {"kernel": _stack(sd, base + ".proj.weight", Ld,
+                                      transpose=True),
+                     "bias": _stack(sd, base + ".proj.bias", Ld)},
+        }
+
+    def dmlp(stream):
+        base = "double_blocks.{}." + stream + "_mlp"
+        return {
+            "w_in": {"kernel": _stack(sd, base + ".0.weight", Ld,
+                                      transpose=True),
+                     "bias": _stack(sd, base + ".0.bias", Ld)},
+            "w_out": {"kernel": _stack(sd, base + ".2.weight", Ld,
+                                       transpose=True),
+                      "bias": _stack(sd, base + ".2.bias", Ld)},
+        }
+
+    params = {
+        "img_in": {"kernel": t("img_in.weight"), "bias": v("img_in.bias")},
+        "txt_in": {"kernel": t("txt_in.weight"), "bias": v("txt_in.bias")},
+        "time_in": emb("time_in"),
+        "vector_in": emb("vector_in"),
+        "double": {
+            "img_mod": {"kernel": _stack(
+                sd, "double_blocks.{}.img_mod.lin.weight", Ld,
+                transpose=True),
+                "bias": _stack(sd, "double_blocks.{}.img_mod.lin.bias", Ld)},
+            "txt_mod": {"kernel": _stack(
+                sd, "double_blocks.{}.txt_mod.lin.weight", Ld,
+                transpose=True),
+                "bias": _stack(sd, "double_blocks.{}.txt_mod.lin.bias", Ld)},
+            "img_attn": dattn("img"),
+            "txt_attn": dattn("txt"),
+            "img_mlp": dmlp("img"),
+            "txt_mlp": dmlp("txt"),
+        },
+        "single": {
+            "mod": {"kernel": _stack(
+                sd, "single_blocks.{}.modulation.lin.weight", Ls,
+                transpose=True),
+                "bias": _stack(sd, "single_blocks.{}.modulation.lin.bias",
+                               Ls)},
+            "linear1": {"kernel": stack_qkv(
+                "single_blocks.{}.linear1.weight", Ls),
+                "bias": stack_qkv_bias("single_blocks.{}.linear1.bias", Ls)},
+            "q_norm": stack_norm_scale(
+                "single_blocks.{}.norm.query_norm.scale", Ls),
+            "k_norm": stack_norm_scale(
+                "single_blocks.{}.norm.key_norm.scale", Ls),
+            "linear2": {"kernel": _stack(
+                sd, "single_blocks.{}.linear2.weight", Ls, transpose=True),
+                "bias": _stack(sd, "single_blocks.{}.linear2.bias", Ls)},
+        },
+        "final": {
+            "adaln": {"kernel": t("final_layer.adaLN_modulation.1.weight"),
+                      "bias": v("final_layer.adaLN_modulation.1.bias")},
+            "proj": {"kernel": t("final_layer.linear.weight"),
+                     "bias": v("final_layer.linear.bias")},
+        },
+    }
+    if cfg.cond_embed:
+        cond_key = ("cond_in.weight" if "cond_in.weight" in sd
+                    else "cond_embed.weight")
+        params["cond_in"] = {"kernel": t(cond_key),
+                             "bias": v(cond_key.replace("weight", "bias"))}
+    if cfg.guidance_embed:
+        params["guidance_in"] = emb("guidance_in")
+    pdtype = resolve_dtype(cfg.param_dtype)
+    out = jax.tree.map(lambda x: x.astype(pdtype), params)
+    # the vec-embedder MLPs stay fp32 (t-embed precision contract,
+    # matching init_mmdit / run_delta_a.py:161-165)
+    for k in ("time_in", "vector_in", "guidance_in"):
+        if k in params:
+            out[k] = params[k]
+    return out
+
+
+def convert_torch_clip_text_state(sd: Dict[str, Any], cfg) -> Dict[str, Any]:
+    """Map a HF CLIPTextModel state_dict (text_model.* naming) into our
+    models/clip_text.py tree."""
+    L = cfg.num_layers
+    pre = "text_model."
+    if not any(k.startswith(pre) for k in sd):
+        pre = ""
+
+    def t(name):
+        return jnp.asarray(np.asarray(sd[pre + name]).T)
+
+    def v(name):
+        return jnp.asarray(np.asarray(sd[pre + name]))
+
+    def stack(fmt, transpose=False):
+        return _stack({k[len(pre):]: val for k, val in sd.items()
+                       if k.startswith(pre)}, fmt, L, transpose=transpose)
+
+    lyr = "encoder.layers.{}."
+    return {
+        "token_embedding": v("embeddings.token_embedding.weight"),
+        "position_embedding": v("embeddings.position_embedding.weight"),
+        "layers": {
+            "ln1": {"weight": stack(lyr + "layer_norm1.weight"),
+                    "bias": stack(lyr + "layer_norm1.bias")},
+            "q": {"kernel": stack(lyr + "self_attn.q_proj.weight", True),
+                  "bias": stack(lyr + "self_attn.q_proj.bias")},
+            "k": {"kernel": stack(lyr + "self_attn.k_proj.weight", True),
+                  "bias": stack(lyr + "self_attn.k_proj.bias")},
+            "v": {"kernel": stack(lyr + "self_attn.v_proj.weight", True),
+                  "bias": stack(lyr + "self_attn.v_proj.bias")},
+            "out": {"kernel": stack(lyr + "self_attn.out_proj.weight", True),
+                    "bias": stack(lyr + "self_attn.out_proj.bias")},
+            "ln2": {"weight": stack(lyr + "layer_norm2.weight"),
+                    "bias": stack(lyr + "layer_norm2.bias")},
+            "fc1": {"kernel": stack(lyr + "mlp.fc1.weight", True),
+                    "bias": stack(lyr + "mlp.fc1.bias")},
+            "fc2": {"kernel": stack(lyr + "mlp.fc2.weight", True),
+                    "bias": stack(lyr + "mlp.fc2.bias")},
+        },
+        "final_ln": {"weight": v("final_layer_norm.weight"),
+                     "bias": v("final_layer_norm.bias")},
+    }
+
+
+# ---------------------------------------------------------------------------
+# CogVideoX (diffusers layout) converter
+# ---------------------------------------------------------------------------
+
+
+def convert_torch_cogvideox_state(sd: Dict[str, Any], cfg) -> Dict[str, Any]:
+    """Map a diffusers ``CogVideoXTransformer3DModel`` state_dict into our
+    stacked tree (models/cogvideox.py).
+
+    Keys: patch_embed.{proj (Conv2d k2 s2), text_proj},
+    time_embedding.linear_{1,2}, transformer_blocks.{i}.{norm1.linear,
+    norm1.norm, attn1.to_q/to_k/to_v/to_out.0/norm_q/norm_k, norm2.*,
+    ff.net.0.proj, ff.net.2}, norm_final, norm_out.{linear, norm},
+    proj_out. Upstream RoPE is interleaved-pair (diffusers
+    apply_rotary_emb use_real_unbind_dim=-1 with repeat_interleave'd
+    cos/sin); to_q/to_k output rows and the q/k LayerNorm affines are
+    permuted per head by _rope_perm for our half-split rotation
+    (see convert_torch_mmdit_state)."""
+    nH, dh = cfg.num_heads, cfg.head_dim
+    L = cfg.depth
+    perm = _rope_perm(dh)
+    full_perm = (np.arange(nH)[:, None] * dh + perm[None, :]).reshape(-1)
+
+    def t(name):
+        return jnp.asarray(np.asarray(sd[name]).T)
+
+    def v(name):
+        return jnp.asarray(np.asarray(sd[name]))
+
+    def stack(fmt, transpose=False):
+        return _stack(sd, fmt, L, transpose=transpose)
+
+    def stack_perm_lin(fmt_w, fmt_b):
+        ws, bs = [], []
+        for i in range(L):
+            w = np.asarray(sd[fmt_w.format(i)])[full_perm]
+            b = np.asarray(sd[fmt_b.format(i)])[full_perm]
+            ws.append(w.T)
+            bs.append(b)
+        return {"kernel": jnp.asarray(np.stack(ws)),
+                "bias": jnp.asarray(np.stack(bs))}
+
+    def stack_perm_ln(fmt):
+        return jnp.asarray(np.stack(
+            [np.asarray(sd[fmt.format(i)])[perm] for i in range(L)]))
+
+    def norm_zero(n):
+        b = "transformer_blocks.{}." + n
+        return {
+            "lin": {"kernel": stack(b + ".linear.weight", True),
+                    "bias": stack(b + ".linear.bias")},
+            "ln": {"weight": stack(b + ".norm.weight"),
+                   "bias": stack(b + ".norm.bias")},
+        }
+
+    # patch conv [D, C, p, p] -> dense [(c, ph, pw), D]
+    pw = np.asarray(sd["patch_embed.proj.weight"])
+    patch_kernel = jnp.asarray(
+        pw.transpose(1, 2, 3, 0).reshape(-1, pw.shape[0]))
+
+    ab = "transformer_blocks.{}.attn1."
+    params = {
+        "patch_embed": {"kernel": patch_kernel,
+                        "bias": v("patch_embed.proj.bias")},
+        "text_proj": {"kernel": t("patch_embed.text_proj.weight"),
+                      "bias": v("patch_embed.text_proj.bias")},
+        "time_embed": {
+            "w1": jnp.asarray(
+                np.asarray(sd["time_embedding.linear_1.weight"]).T,
+                jnp.float32),
+            "b1": jnp.asarray(np.asarray(sd["time_embedding.linear_1.bias"]),
+                              jnp.float32),
+            "w2": jnp.asarray(
+                np.asarray(sd["time_embedding.linear_2.weight"]).T,
+                jnp.float32),
+            "b2": jnp.asarray(np.asarray(sd["time_embedding.linear_2.bias"]),
+                              jnp.float32),
+        },
+        "blocks": {
+            "norm1": norm_zero("norm1"),
+            "attn": {
+                "to_q": stack_perm_lin(ab + "to_q.weight", ab + "to_q.bias"),
+                "to_k": stack_perm_lin(ab + "to_k.weight", ab + "to_k.bias"),
+                "to_v": {"kernel": stack(ab + "to_v.weight", True),
+                         "bias": stack(ab + "to_v.bias")},
+                "to_out": {"kernel": stack(ab + "to_out.0.weight", True),
+                           "bias": stack(ab + "to_out.0.bias")},
+                "norm_q": {"weight": stack_perm_ln(ab + "norm_q.weight"),
+                           "bias": stack_perm_ln(ab + "norm_q.bias")},
+                "norm_k": {"weight": stack_perm_ln(ab + "norm_k.weight"),
+                           "bias": stack_perm_ln(ab + "norm_k.bias")},
+            },
+            "norm2": norm_zero("norm2"),
+            "ff": {
+                "w_in": {"kernel": stack(
+                    "transformer_blocks.{}.ff.net.0.proj.weight", True),
+                    "bias": stack("transformer_blocks.{}.ff.net.0.proj.bias")},
+                "w_out": {"kernel": stack(
+                    "transformer_blocks.{}.ff.net.2.weight", True),
+                    "bias": stack("transformer_blocks.{}.ff.net.2.bias")},
+            },
+        },
+        "norm_final": {"weight": v("norm_final.weight"),
+                       "bias": v("norm_final.bias")},
+        "norm_out": {
+            "lin": {"kernel": t("norm_out.linear.weight"),
+                    "bias": v("norm_out.linear.bias")},
+            "ln": {"weight": v("norm_out.norm.weight"),
+                   "bias": v("norm_out.norm.bias")},
+        },
+        "proj_out": {"kernel": t("proj_out.weight"),
+                     "bias": v("proj_out.bias")},
+    }
+    pdtype = resolve_dtype(cfg.param_dtype)
+    out = jax.tree.map(lambda x: x.astype(pdtype), params)
+    out["time_embed"] = params["time_embed"]  # fp32 t-embed contract
+    return out

@@ -228,7 +228,7 @@ def _embed_inputs(params, cfg: DiTConfig, latents, timesteps, text_emb,
 def _self_attention(bp, x, rope_cos, rope_sin, cfg: DiTConfig,
                     num_cond_tokens: int, lora, lora_scale, attn_impl,
                     kv_cache=None, return_kv: bool = False, cp_mesh=None,
-                    kv_valid=None):
+                    kv_valid=None, bsa_cfg=None):
     """x: [B, nt, nhw, D]. kv_cache: optional (k, v) [B, S_c, nH, dh] to
     prepend (decode path). Returns (out, (k, v) or None).
 
@@ -267,6 +267,20 @@ def _self_attention(bp, x, rope_cos, rope_sin, cfg: DiTConfig,
         o = ring_self_attention(q, k, v, cp_mesh,
                                 num_cond_tokens=num_cond_tokens,
                                 impl=attn_impl)
+    elif bsa_cfg is not None and kv_cache is not None:
+        # decode-path block-sparse attention (ops/bsa.py): cond-cache
+        # blocks stay exact, noise-noise interactions are sparsified
+        from ..ops.bsa import bsa_attention
+
+        n_kb = -(-k.shape[1] // bsa_cfg.block_k)
+        top_k = min(n_kb, max(bsa_cfg.min_blocks,
+                              -int(-n_kb * bsa_cfg.keep_ratio // 1)))
+        o = bsa_attention(
+            q, k, v, top_k=top_k, block_q=bsa_cfg.block_q,
+            block_k=bsa_cfg.block_k,
+            num_cond_tokens=kv_cache[0].shape[1],
+            interpret=jax.default_backend() != "tpu",
+        )
     else:
         o = attention(q, k, v, num_cond_tokens=num_cond_tokens,
                       kv_valid_len=kv_valid, impl=attn_impl)
@@ -313,7 +327,7 @@ def _ffn(bp, x, lora, lora_scale):
 def _block(bp, blk_adapters, x, t_emb, y, rope_cos, rope_sin,
            cfg: DiTConfig, num_cond_tokens: int, attn_impl,
            kv_cache=None, return_kv: bool = False, cp_mesh=None,
-           kv_valid=None):
+           kv_valid=None, bsa_cfg=None):
     """One DiT block. ``blk_adapters``: per-block slices of the adapter dict.
 
     Returns (x_out, kv or None).
@@ -339,7 +353,7 @@ def _block(bp, blk_adapters, x, t_emb, y, rope_cos, rope_sin,
     attn_out, kv = _self_attention(
         bp, h, rope_cos, rope_sin, cfg, num_cond_tokens, lora, lora_scale,
         attn_impl, kv_cache=kv_cache, return_kv=return_kv, cp_mesh=cp_mesh,
-        kv_valid=kv_valid,
+        kv_valid=kv_valid, bsa_cfg=bsa_cfg,
     )
     x = x + expand(gate_msa) * attn_out
 
@@ -508,7 +522,7 @@ def dit_precompute_cond_cache(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "num_cond_latents", "attn_impl",
+    jax.jit, static_argnames=("cfg", "num_cond_latents", "attn_impl", "bsa_cfg",
                               "cp_mesh")
 )
 def dit_forward_with_cache(
@@ -524,10 +538,15 @@ def dit_forward_with_cache(
     adapters: AdapterDict = None,
     attn_impl: Optional[str] = None,
     cp_mesh=None,
+    bsa_cfg=None,
 ) -> jnp.ndarray:
     """Decode-phase forward: noise tokens only, self-attention against
     [cached cond K/V ++ fresh noise K/V]. Returns velocity for the noise
-    region only: [B, C_out, T_noise, H, W] fp32."""
+    region only: [B, C_out, T_noise, H, W] fp32.
+
+    ``bsa_cfg``: optional BSAConfig — block-sparse attention over the
+    cached+fresh key blocks (the reference pipeline's BSA decode lever,
+    run_delta_a.py:118-120; ops/bsa.py)."""
     x, t_emb, y, (nt, nh, nw) = _embed_inputs(
         params, cfg, noise_latents, timesteps, text_emb, text_mask, adapters
     )
@@ -544,7 +563,7 @@ def dit_forward_with_cache(
         blk_ad = _blk_adapter_slice(ad, lora_scale)
         out, _ = _block(
             bp, blk_ad, carry, t_emb, y, rope_cos, rope_sin, cfg,
-            0, attn_impl, kv_cache=kv, cp_mesh=cp_mesh,
+            0, attn_impl, kv_cache=kv, cp_mesh=cp_mesh, bsa_cfg=bsa_cfg,
         )
         return out, None
 

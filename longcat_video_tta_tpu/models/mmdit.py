@@ -336,19 +336,13 @@ def mmdit_forward(
     dbl_body_fn = jax.checkpoint(dbl_body) if cfg.remat else dbl_body
     sgl_body_fn = jax.checkpoint(sgl_body) if cfg.remat else sgl_body
 
-    lora_d = adapters.get("lora_double")
-    lora_s = adapters.get("lora_single")
+    # {} is a leafless pytree: valid scan xs, statically "no lora"
+    lora_d = adapters.get("lora_double") or {}
+    lora_s = adapters.get("lora_single") or {}
     (img, txt_h), _ = jax.lax.scan(
-        dbl_body_fn, (img, txt_h),
-        (params["double"],
-         lora_d if lora_d is not None
-         else jnp.zeros((cfg.depth_double,))))
+        dbl_body_fn, (img, txt_h), (params["double"], lora_d))
     x = jnp.concatenate([txt_h, img], axis=1)
-    x, _ = jax.lax.scan(
-        sgl_body_fn, x,
-        (params["single"],
-         lora_s if lora_s is not None
-         else jnp.zeros((cfg.depth_single,))))
+    x, _ = jax.lax.scan(sgl_body_fn, x, (params["single"], lora_s))
     img = x[:, L:]
 
     mod = _linear(params["final"]["adaln"],

@@ -17,6 +17,11 @@
 //   pf_next(handle, out_float32, index_out) -> 0 ok / 1 done / <0 error
 //   pf_destroy(handle)
 
+// mp4/avi decode uses the system libav* (the same libraries the
+// reference's PyAV wraps — common.py:103-155). Compiled in when the
+// build defines USE_LIBAV (data/native_loader.py tries that first and
+// falls back to an npy-only build when libav dev files are absent).
+
 #include <atomic>
 #include <condition_variable>
 #include <cstdint>
@@ -27,6 +32,15 @@
 #include <string>
 #include <thread>
 #include <vector>
+
+#ifdef USE_LIBAV
+extern "C" {
+#include <libavcodec/avcodec.h>
+#include <libavformat/avformat.h>
+#include <libavutil/imgutils.h>
+#include <libswscale/swscale.h>
+}
+#endif
 
 namespace {
 
@@ -122,6 +136,104 @@ void resize_frame_to(const uint8_t* src, long sh, long sw, float* dst_c0,
   }
 }
 
+#ifdef USE_LIBAV
+// Decode num_frames RGB frames starting at start_frame, scaled to
+// (W, H) with SWS_BILINEAR, normalized to float [-1, 1] planes in
+// dst [3, T, H, W]. Sequential decode from frame 0 with start-skip and
+// pad-last-frame — the reference decode contract (common.py:121-133).
+bool decode_video_libav(const std::string& path, long start_frame,
+                        long num_frames, long H, long W, float* dst) {
+  AVFormatContext* fmt = nullptr;
+  if (avformat_open_input(&fmt, path.c_str(), nullptr, nullptr) < 0)
+    return false;
+  bool ok = false;
+  AVCodecContext* dec = nullptr;
+  SwsContext* sws = nullptr;
+  AVFrame* frame = av_frame_alloc();
+  AVFrame* rgb = av_frame_alloc();
+  AVPacket* pkt = av_packet_alloc();
+  long seen = 0, written = 0;
+  const size_t plane = static_cast<size_t>(num_frames * H * W);
+
+  auto emit_rgb = [&](const uint8_t* data, int linesize) {
+    float* d0 = dst + static_cast<size_t>(written * H * W);
+    float* d1 = d0 + plane;
+    float* d2 = d0 + 2 * plane;
+    for (long y = 0; y < H; ++y) {
+      const uint8_t* row = data + y * linesize;
+      for (long x = 0; x < W; ++x) {
+        d0[y * W + x] = row[x * 3 + 0] / 255.0f * 2.0f - 1.0f;
+        d1[y * W + x] = row[x * 3 + 1] / 255.0f * 2.0f - 1.0f;
+        d2[y * W + x] = row[x * 3 + 2] / 255.0f * 2.0f - 1.0f;
+      }
+    }
+    ++written;
+  };
+
+  do {
+    if (avformat_find_stream_info(fmt, nullptr) < 0) break;
+    const AVCodec* codec = nullptr;
+    int vs = av_find_best_stream(fmt, AVMEDIA_TYPE_VIDEO, -1, -1, &codec, 0);
+    if (vs < 0 || !codec) break;
+    dec = avcodec_alloc_context3(codec);
+    if (!dec) break;
+    if (avcodec_parameters_to_context(dec, fmt->streams[vs]->codecpar) < 0)
+      break;
+    if (avcodec_open2(dec, codec, nullptr) < 0) break;
+    rgb->format = AV_PIX_FMT_RGB24;
+    rgb->width = static_cast<int>(W);
+    rgb->height = static_cast<int>(H);
+    if (av_frame_get_buffer(rgb, 32) < 0) break;
+
+    bool eof = false;
+    while (written < num_frames && !eof) {
+      int r = av_read_frame(fmt, pkt);
+      if (r < 0) {
+        avcodec_send_packet(dec, nullptr);  // flush
+        eof = true;
+      } else if (pkt->stream_index == vs) {
+        avcodec_send_packet(dec, pkt);
+      }
+      av_packet_unref(pkt);
+      while (written < num_frames &&
+             avcodec_receive_frame(dec, frame) == 0) {
+        if (seen++ < start_frame) continue;
+        if (!sws) {
+          sws = sws_getContext(dec->width, dec->height,
+                               static_cast<AVPixelFormat>(frame->format),
+                               static_cast<int>(W), static_cast<int>(H),
+                               AV_PIX_FMT_RGB24, SWS_BILINEAR, nullptr,
+                               nullptr, nullptr);
+          if (!sws) { eof = true; break; }
+        }
+        sws_scale(sws, frame->data, frame->linesize, 0, dec->height,
+                  rgb->data, rgb->linesize);
+        emit_rgb(rgb->data[0], rgb->linesize[0]);
+      }
+    }
+    if (written == 0) break;
+    // pad-last-frame
+    while (written < num_frames) {
+      float* prev0 = dst + static_cast<size_t>((written - 1) * H * W);
+      float* cur0 = dst + static_cast<size_t>(written * H * W);
+      for (int c = 0; c < 3; ++c)
+        std::memcpy(cur0 + c * plane, prev0 + c * plane,
+                    static_cast<size_t>(H * W) * sizeof(float));
+      ++written;
+    }
+    ok = true;
+  } while (false);
+
+  if (sws) sws_freeContext(sws);
+  av_packet_free(&pkt);
+  av_frame_free(&rgb);
+  av_frame_free(&frame);
+  if (dec) avcodec_free_context(&dec);
+  avformat_close_input(&fmt);
+  return ok;
+}
+#endif  // USE_LIBAV
+
 struct Prefetcher {
   std::vector<std::string> paths;
   long num_frames, start_frame, H, W;
@@ -154,9 +266,20 @@ struct Prefetcher {
   Clip load(long idx) {
     Clip c;
     c.index = idx;
+    const std::string& path = paths[static_cast<size_t>(idx)];
+    bool is_npy = path.size() > 4 &&
+                  path.compare(path.size() - 4, 4, ".npy") == 0;
+    if (!is_npy) {
+#ifdef USE_LIBAV
+      c.data.resize(static_cast<size_t>(3 * num_frames * H * W));
+      c.ok = decode_video_libav(path, start_frame, num_frames, H, W,
+                                c.data.data());
+#endif
+      return c;
+    }
     std::vector<uint8_t> raw;
     long shape[4];
-    if (!read_npy_u8(paths[static_cast<size_t>(idx)], raw, shape)) return c;
+    if (!read_npy_u8(path, raw, shape)) return c;
     long T_src = shape[0], sh = shape[1], sw = shape[2];
     long T = num_frames;
     c.data.resize(static_cast<size_t>(3 * T * H * W));
@@ -228,6 +351,14 @@ struct Prefetcher {
 }  // namespace
 
 extern "C" {
+
+int pf_has_libav() {
+#ifdef USE_LIBAV
+  return 1;
+#else
+  return 0;
+#endif
+}
 
 void* pf_create(const char** paths, long n_paths, long num_frames,
                 long start_frame, long height, long width, int workers,

@@ -1,0 +1,258 @@
+"""Block-sparse attention (BSA) for the decode hot loop.
+
+The reference pipeline's generation path runs LongCat's BSA —
+block-sparse attention over the video token grid — alongside the KV
+cache (mentioned at run_delta_a.py:118-120, run_delta_c.py:124; the
+implementation lives in the unvendored LongCat-Video repo). This is the
+TPU-native design:
+
+1. **Selection (XLA):** mean-pool Q and K into blocks of ``block_q`` /
+   ``block_k`` tokens; score every (q-block, k-block) pair with the
+   pooled dot product; force-keep the conditioning-prefix blocks (the
+   cond KV cache stays EXACT — only noise-token interactions are
+   sparsified) and each query block's own block; take top-k per q-block.
+2. **Compute (Pallas):** flash-attention kernel whose K/V BlockSpecs
+   gather the selected blocks via a scalar-prefetched index array — the
+   grid iterates (batch*heads, q_blocks, top_k) and only touches
+   selected tiles, so FLOPs and HBM reads scale with ``keep_ratio``
+   rather than S².
+
+Exactness contract (tested in tests/test_bsa.py): with ``top_k`` = all
+k-blocks, BSA == dense flash attention; with fewer blocks it equals the
+dense oracle over the same selection mask (selection is deterministic).
+
+Forward-only: generation runs under ``lax.scan`` with no gradients.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# Selection
+# ---------------------------------------------------------------------------
+
+
+def select_blocks(
+    q: jnp.ndarray,              # [B, Sq, H, D]
+    k: jnp.ndarray,              # [B, Sk, H, D]
+    *,
+    block_q: int,
+    block_k: int,
+    top_k: int,
+    num_cond_tokens: int = 0,
+    q_token_offset: int = 0,
+) -> jnp.ndarray:
+    """-> int32 [B*H, nQb, top_k] selected k-block indices (sorted).
+
+    Pooled-similarity scoring with force-kept cond-prefix blocks and the
+    diagonal block (each query's own neighborhood). ``q_token_offset``
+    is the global position of q[0] (decode: n_cond_tokens)."""
+    B, Sq, H, D = q.shape
+    Sk = k.shape[1]
+    nQb = _round_up(Sq, block_q) // block_q
+    nKb = _round_up(Sk, block_k) // block_k
+    if top_k > nKb:
+        raise ValueError(f"top_k {top_k} > {nKb} k-blocks")
+
+    def pool(x, bs, nb):
+        S = x.shape[1]
+        pad = nb * bs - S
+        x32 = x.astype(jnp.float32)
+        if pad:
+            x32 = jnp.pad(x32, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        # mean over real tokens only
+        cnt = jnp.minimum(
+            jnp.maximum(S - jnp.arange(nb) * bs, 0), bs).astype(jnp.float32)
+        xb = x32.reshape(B, nb, bs, H, D).sum(axis=2)
+        return xb / jnp.maximum(cnt, 1.0)[None, :, None, None]
+
+    qb = pool(q, block_q, nQb)   # [B, nQb, H, D]
+    kb = pool(k, block_k, nKb)
+    scores = jnp.einsum("bqhd,bkhd->bhqk", qb, kb)  # [B, H, nQb, nKb]
+
+    kb_idx = jnp.arange(nKb)
+    big = jnp.float32(3e38)
+    # force-keep conditioning blocks (exact cond attention)
+    n_cond_blocks = -(-num_cond_tokens // block_k) if num_cond_tokens else 0
+    keep = kb_idx < n_cond_blocks
+    # force-keep each q-block's own (diagonal) block
+    q_starts = q_token_offset + jnp.arange(nQb) * block_q
+    diag = q_starts // block_k                        # [nQb]
+    keep_qk = keep[None, :] | (kb_idx[None, :] == diag[:, None])  # [nQb,nKb]
+    scores = jnp.where(keep_qk[None, None], big, scores)
+
+    _, idx = jax.lax.top_k(scores, top_k)             # [B, H, nQb, top_k]
+    idx = jnp.sort(idx, axis=-1)
+    return idx.reshape(B * H, nQb, top_k).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Pallas gather-flash kernel
+# ---------------------------------------------------------------------------
+
+
+def _bsa_kernel(idx_ref, meta_ref, q_ref, k_ref, v_ref, o_ref,
+                m_scr, l_scr, acc_scr,
+                *, scale: float, bq: int, bk: int, sk: int):
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    s = jax.lax.dot_general(
+        q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale  # [bq, bk]
+
+    # mask padded keys of the final (ragged) k block
+    blk = idx_ref[pl.program_id(0), pl.program_id(1), ki]
+    k_glob = blk * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+    allowed = k_glob < sk
+    s = jnp.where(allowed, s, NEG_INF)
+
+    m_prev = m_scr[:, :1]
+    l_prev = l_scr[:, :1]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.where(allowed, jnp.exp(s - m_new), 0.0)
+    alpha = jnp.exp(m_prev - m_new)
+    l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+    acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    @pl.when(ki == nk - 1)
+    def _finalize():
+        l = l_scr[:, :1]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = (acc_scr[...] / l_safe).astype(o_ref.dtype)
+
+
+def bsa_attention(
+    q: jnp.ndarray,              # [B, Sq, H, D]
+    k: jnp.ndarray,              # [B, Sk, H, D]
+    v: jnp.ndarray,
+    *,
+    top_k: int,
+    block_q: int = 512,
+    block_k: int = 512,
+    num_cond_tokens: int = 0,
+    q_token_offset: Optional[int] = None,
+    scale: Optional[float] = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Block-sparse attention: dense per-block top-k selection + gathered
+    flash compute. Decode semantics: queries are noise tokens (attend-
+    anywhere); conditioning-prefix key blocks are always kept exact.
+
+    When Sq == Sk (no-cache path) the cond-prefix query rule is NOT
+    applied — BSA is a decode-path optimization; use flash_attention for
+    training.
+    """
+    B, Sq, H, D = q.shape
+    Sk = k.shape[1]
+    if scale is None:
+        scale = D ** -0.5
+    if q_token_offset is None:
+        q_token_offset = Sk - Sq  # decode: queries follow the cache
+
+    idx = select_blocks(q, k, block_q=block_q, block_k=block_k,
+                        top_k=top_k, num_cond_tokens=num_cond_tokens,
+                        q_token_offset=q_token_offset)
+
+    bq = min(block_q, _round_up(Sq, 8))
+    bk = min(block_k, _round_up(Sk, 8))
+    sq_pad = _round_up(Sq, bq)
+    sk_pad = _round_up(Sk, bk)
+
+    def to_bhsd(x, s_pad):
+        x = jnp.swapaxes(x, 1, 2).reshape(B * H, x.shape[1], D)
+        if s_pad > x.shape[1]:
+            x = jnp.pad(x, ((0, 0), (0, s_pad - x.shape[1]), (0, 0)))
+        return x
+
+    q3 = to_bhsd(q, sq_pad)
+    k3 = to_bhsd(k, sk_pad)
+    v3 = to_bhsd(v, sk_pad)
+    BH = B * H
+    nQb = sq_pad // bq
+
+    grid = (BH, nQb, top_k)
+    kernel = functools.partial(_bsa_kernel, scale=float(scale), bq=bq,
+                               bk=bk, sk=Sk)
+    meta = jnp.zeros((1, 1), jnp.int32)  # reserved
+    o = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, bq, D), lambda b, i, j, idx, meta: (b, i, 0)),
+                pl.BlockSpec((1, bk, D),
+                             lambda b, i, j, idx, meta: (b, idx[b, i, j], 0)),
+                pl.BlockSpec((1, bk, D),
+                             lambda b, i, j, idx, meta: (b, idx[b, i, j], 0)),
+            ],
+            out_specs=pl.BlockSpec((1, bq, D),
+                                   lambda b, i, j, idx, meta: (b, i, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((bq, 128), jnp.float32),
+                pltpu.VMEM((bq, 128), jnp.float32),
+                pltpu.VMEM((bq, D), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((BH, sq_pad, D), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(idx, meta, q3, k3, v3)
+    o = o[:, :Sq].reshape(B, H, Sq, D)
+    return jnp.swapaxes(o, 1, 2)
+
+
+def bsa_reference(q, k, v, idx, *, block_q: int, block_k: int,
+                  scale: Optional[float] = None) -> jnp.ndarray:
+    """Dense jnp oracle: full attention with non-selected k-blocks masked
+    out (the semantics the kernel must match exactly)."""
+    B, Sq, H, D = q.shape
+    Sk = k.shape[1]
+    if scale is None:
+        scale = D ** -0.5
+    nQb = _round_up(Sq, block_q) // block_q
+    nKb = _round_up(Sk, block_k) // block_k
+    sel = jnp.zeros((B * H, nQb, nKb), bool)
+    sel = sel.at[
+        jnp.arange(B * H)[:, None, None],
+        jnp.arange(nQb)[None, :, None],
+        idx,
+    ].set(True)
+    sel = sel.reshape(B, H, nQb, nKb)
+    # expand to token resolution
+    tok = jnp.repeat(jnp.repeat(sel, block_q, axis=2), block_k, axis=3)
+    tok = tok[:, :, :Sq, :Sk]
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32),
+                        k.astype(jnp.float32)) * scale
+    logits = jnp.where(tok, logits, NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs,
+                      v.astype(jnp.float32)).astype(q.dtype)

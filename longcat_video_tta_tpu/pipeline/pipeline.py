@@ -75,46 +75,82 @@ def load_hf_tokenizer(checkpoint_dir: str, max_length: int):
 
 @dataclass
 class ModelBundle:
-    """All model state for one backbone (params are jax pytrees)."""
+    """All model state for one backbone (params are jax pytrees).
+
+    ``cfg.arch`` selects the family: "longcat" (DiT + UMT5 cross-attn) or
+    "mmdit" (Open-Sora v2 dual/single stream + T5 tokens + CLIP y_vec).
+    """
 
     cfg: ModelConfig
     dit_params: Dict[str, Any]
     vae_params: Dict[str, Any]
     text_params: Dict[str, Any]
     tokenize: Callable[[str], Tuple[np.ndarray, np.ndarray]]
+    clip_params: Optional[Dict[str, Any]] = None
 
     @classmethod
     def init_random(cls, cfg: ModelConfig, seed: int = 0,
                     zero_init_dit: bool = False) -> "ModelBundle":
         """Random-weight bundle (tests / synthetic benchmarking)."""
-        from ..models.dit import init_dit
         from ..models.umt5 import init_umt5
         from ..models.vae import init_vae
 
-        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 3)
+        k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(seed), 4)
         # jitted inits: eager per-leaf dispatch is pathologically slow
         # through the TPU tunnel (see .claude/skills/verify/SKILL.md)
-        dit_params = jax.jit(
-            lambda k: init_dit(k, cfg.dit, zero_init=zero_init_dit)
-        )(k1)
+        if cfg.arch == "mmdit":
+            from ..models.mmdit import init_mmdit
+
+            dit_params = jax.jit(
+                lambda k: init_mmdit(k, cfg.dit, zero_init=zero_init_dit)
+            )(k1)
+        elif cfg.arch == "cogvideox":
+            from ..models.cogvideox import init_cogvideox
+
+            dit_params = jax.jit(
+                lambda k: init_cogvideox(k, cfg.dit,
+                                         zero_init=zero_init_dit)
+            )(k1)
+        else:
+            from ..models.dit import init_dit
+
+            dit_params = jax.jit(
+                lambda k: init_dit(k, cfg.dit, zero_init=zero_init_dit)
+            )(k1)
         vae_params = jax.jit(lambda k: init_vae(k, cfg.vae))(k2)
         text_params = jax.jit(lambda k: init_umt5(k, cfg.text))(k3)
+        clip_params = None
+        if cfg.clip is not None:
+            from ..models.clip_text import init_clip_text
+
+            clip_params = jax.jit(lambda k: init_clip_text(k, cfg.clip))(k4)
         return cls(
             cfg=cfg,
             dit_params=dit_params,
             vae_params=vae_params,
             text_params=text_params,
             tokenize=HashTokenizer(cfg.text.vocab_size, cfg.text.max_length),
+            clip_params=clip_params,
         )
 
     # ------------------------------------------------------------------
-    # Prompt encoding (reference: encode_prompt, common.py:228-255)
+    # Prompt encoding (reference: encode_prompt, common.py:228-255;
+    # MMDiT: encode_prompt_opensora, common_opensora.py:82-105)
     # ------------------------------------------------------------------
     def encode_prompt(self, prompt: str) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """-> (embeds [1, L, C], mask [1, L])."""
+        """longcat -> (embeds [1, L, C], mask [1, L]);
+        mmdit   -> (txt [1, L, C_t5], y_vec [1, C_clip])."""
         ids, mask = self.tokenize(prompt)
         emb = umt5_encode(self.text_params, self.cfg.text,
                           jnp.asarray(ids), jnp.asarray(mask))
+        if self.cfg.arch == "mmdit":
+            from ..models.clip_text import clip_text_pooled
+
+            clip_ids = np.minimum(ids, self.cfg.clip.vocab_size - 1)
+            clip_ids = clip_ids[:, : self.cfg.clip.max_length]
+            y_vec = clip_text_pooled(self.clip_params, self.cfg.clip,
+                                     jnp.asarray(clip_ids))
+            return emb, y_vec
         return emb, jnp.asarray(mask)
 
     # ------------------------------------------------------------------
@@ -167,6 +203,7 @@ def generate_vc(
     dit_params=None,
     attn_impl: Optional[str] = None,
     cp_mesh=None,
+    bsa_cfg=None,
 ) -> np.ndarray:
     """Video continuation. Returns generated frames [N, H, W, 3] in [0, 1]
     (N = num_frames rounded to 4k+1), matching the contract of
@@ -184,6 +221,60 @@ def generate_vc(
     nemb, nmask = bundle.encode_prompt(negative_prompt)
 
     lat_h, lat_w = cond_latents.shape[3], cond_latents.shape[4]
+
+    if cfg.arch == "cogvideox":
+        # CogVideoX-I2V path: DDIM v-pred, 2-batch CFG, image-latent
+        # channel conditioning (common_cogvideo.py:283-322). The sampler
+        # returns the full volume; cond region swapped for exact latents
+        # before decode.
+        from .sampler import sample_latents_cogvideox
+
+        emb2 = jnp.concatenate([nemb, emb], axis=0)
+        full = sample_latents_cogvideox(
+            bundle.dit_params if dit_params is None else dit_params,
+            cfg.dit, jax.random.PRNGKey(seed), emb2,
+            num_gen_latents=n_gen_latents,
+            num_steps=num_inference_steps,
+            lat_h=lat_h, lat_w=lat_w,
+            cond_latents=cond_latents,
+            adapters=adapters,
+            guidance=float(guidance_scale),
+            attn_impl=attn_impl,
+        )
+        full = full.at[:, :, : cond_latents.shape[2]].set(cond_latents)
+        tf = cfg.vae.temporal_factor
+        pixels = bundle.decode_latents(full)
+        t_cond_px = 1 + (cond_latents.shape[2] - 1) * tf
+        gen_px = pixels[0, :, t_cond_px:t_cond_px + nf]
+        return np.asarray(gen_px.transpose(1, 2, 3, 0))
+
+    if cfg.arch == "mmdit":
+        # Open-Sora v2 v2v path: triple-batch CFG [prompt, neg, neg] with
+        # cond_embed conditioning (run_full_tta_opensora.py:149-260);
+        # the sampler returns the full latent volume incl. the cond
+        # region, which we swap for the exact cond latents before decode.
+        from .sampler import sample_latents_mmdit
+
+        txt3 = jnp.concatenate([emb, nemb, nemb], axis=0)
+        yv3 = jnp.concatenate([mask, nmask, nmask], axis=0)
+        full = sample_latents_mmdit(
+            bundle.dit_params if dit_params is None else dit_params,
+            cfg.dit, jax.random.PRNGKey(seed), txt3, yv3,
+            num_gen_latents=n_gen_latents,
+            num_steps=num_inference_steps,
+            lat_h=lat_h, lat_w=lat_w,
+            cond_latents=cond_latents,
+            adapters=adapters,
+            guidance=float(guidance_scale),
+            attn_impl=attn_impl,
+        )
+        full = full.at[:, :, : cond_latents.shape[2]].set(cond_latents)
+        tf = cfg.vae.temporal_factor
+        pixels = bundle.decode_latents(full)
+        t_cond_px = 1 + (cond_latents.shape[2] - 1) * tf
+        gen_px = pixels[0, :, t_cond_px:t_cond_px + nf]
+        return np.asarray(gen_px.transpose(1, 2, 3, 0))
+
     gen_latents = sample_latents(
         bundle.dit_params if dit_params is None else dit_params,
         cfg.dit, cfg.scheduler,
@@ -197,6 +288,7 @@ def generate_vc(
         use_kv_cache=use_kv_cache,
         attn_impl=attn_impl,
         cp_mesh=cp_mesh,
+        bsa_cfg=bsa_cfg,
     )
 
     # Decode [cond | gen] together so the causal decoder sees the real

@@ -36,6 +36,7 @@ def _cfg_batch(x, neg_first=False):
     static_argnames=(
         "dit_cfg", "sched_cfg", "num_gen_latents", "num_steps",
         "use_kv_cache", "attn_impl", "lat_h", "lat_w", "cp_mesh",
+        "bsa_cfg",
     ),
 )
 def sample_latents(
@@ -58,6 +59,7 @@ def sample_latents(
     use_kv_cache: bool = True,
     attn_impl: Optional[str] = None,
     cp_mesh=None,
+    bsa_cfg=None,
 ) -> jnp.ndarray:
     """Returns denoised latents for the generated region
     [B, C, num_gen_latents, lat_h, lat_w] (normalized latent space).
@@ -106,7 +108,7 @@ def sample_latents(
                 dit_params, dit_cfg, x2.astype(jnp.float32),
                 jnp.full((2 * B,), t_val), emb2, mask2, kv_cache,
                 num_cond_latents=n_cond, adapters=adapters,
-                attn_impl=attn_impl, cp_mesh=cp_mesh,
+                attn_impl=attn_impl, cp_mesh=cp_mesh, bsa_cfg=bsa_cfg,
             )
         else:
             full2 = jnp.concatenate([cond2, x2], axis=2)
@@ -124,4 +126,185 @@ def sample_latents(
 
     sig_pairs = jnp.stack([sigmas[:-1], sigmas[1:]], axis=1)
     x, _ = jax.lax.scan(step, x, sig_pairs)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# MMDiT (Open-Sora v2) sampling
+# ---------------------------------------------------------------------------
+
+
+def flux_time_shift(ts: jnp.ndarray, image_seq_len: int) -> jnp.ndarray:
+    """Flux/Open-Sora resolution-shifted schedule: mu is linear in the
+    image token count between (256, 0.5) and (4096, 1.15); each t maps to
+    exp(mu) / (exp(mu) + (1/t - 1)) (Open-Sora get_schedule(shift=True),
+    used at run_full_tta_opensora.py:186-191)."""
+    import math
+
+    m = (1.15 - 0.5) / (4096 - 256)
+    mu = m * image_seq_len + (0.5 - m * 256)
+    e = math.exp(mu)
+    safe = jnp.where(ts > 0, ts, 1.0)
+    return jnp.where(ts > 0, e / (e + (1.0 / safe - 1.0)), 0.0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "num_gen_latents", "num_steps", "lat_h", "lat_w",
+                     "guidance", "guidance_img", "shift", "attn_impl"),
+)
+def sample_latents_mmdit(
+    params: Dict[str, Any],
+    cfg,                           # MMDiTConfig
+    rng: jax.Array,
+    txt3: jnp.ndarray,             # [3B, L, D_t5]: [prompt, neg, neg]
+    y_vec3: jnp.ndarray,           # [3B, D_clip]
+    *,
+    num_gen_latents: int,
+    num_steps: int,
+    lat_h: int,
+    lat_w: int,
+    cond_latents: Optional[jnp.ndarray] = None,  # [B, C, T_cond, H, W]
+    adapters=None,
+    guidance: float = 7.5,
+    guidance_img: float = 3.0,
+    shift: bool = True,
+    attn_impl: Optional[str] = None,
+) -> jnp.ndarray:
+    """Open-Sora v2 v2v/i2v denoise loop as one ``lax.scan``
+    (reference: run_full_tta_opensora.py:149-260): triple-batch CFG
+    [cond | txt-uncond+cond | no-cond], oscillating image/text guidance
+    combine, Euler updates on the shifted schedule. Returns the full
+    latent volume [B, C, T_cond + num_gen, H, W] (cond region included,
+    matching the reference's masked-conditioning layout)."""
+    from ..tta.losses import _mmdit_cond_input
+
+    B = txt3.shape[0] // 3
+    C = cfg.in_channels
+    t_cond = 0 if cond_latents is None else cond_latents.shape[2]
+    T = t_cond + num_gen_latents
+
+    x = jax.random.normal(rng, (B, C, T, lat_h, lat_w), jnp.float32)
+
+    if cond_latents is not None:
+        cond_in = _mmdit_cond_input(cond_latents, T)          # [B, 1+C, ...]
+        cond3 = jnp.concatenate(
+            [cond_in, cond_in, jnp.zeros_like(cond_in)], axis=0)
+    else:
+        cond3 = None
+
+    seq_len = T * (lat_h // cfg.patch_size) * (lat_w // cfg.patch_size)
+    ts = jnp.linspace(1.0, 0.0, num_steps + 1)
+    if shift:
+        ts = flux_time_shift(ts, seq_len)
+    t_pairs = jnp.stack([ts[:-1], ts[1:]], axis=1)
+
+    g_vec = jnp.full((3 * B,), guidance, jnp.float32)
+
+    def step(x, t_pair):
+        t_curr, t_prev = t_pair[0], t_pair[1]
+        x3 = jnp.concatenate([x, x, x], axis=0)
+
+        from ..models.mmdit import mmdit_forward
+
+        pred = mmdit_forward(
+            params, cfg, x3, jnp.broadcast_to(t_curr, (3 * B,)), txt3,
+            y_vec3, cond=cond3, guidance=g_vec, adapters=adapters,
+            attn_impl=attn_impl,
+        )
+        c_pred, u_pred, u2_pred = pred[:B], pred[B:2 * B], pred[2 * B:]
+        combined = (u2_pred + guidance_img * (u_pred - u2_pred)
+                    + guidance * (c_pred - u_pred))
+        return x + (t_prev - t_curr) * combined, None
+
+    x, _ = jax.lax.scan(step, x, t_pairs)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# CogVideoX sampling (DDIM, v-prediction, zero-terminal-SNR)
+# ---------------------------------------------------------------------------
+
+
+def cogvideox_alphas_cumprod(num_train_timesteps: int = 1000,
+                             beta_start: float = 0.00085,
+                             beta_end: float = 0.012) -> jnp.ndarray:
+    """CogVideoXDDIMScheduler constants: scaled-linear betas rescaled for
+    zero terminal SNR (Lin et al., the diffusers rescale_zero_terminal_snr
+    recipe the CogVideoX config enables)."""
+    betas = jnp.linspace(beta_start ** 0.5, beta_end ** 0.5,
+                         num_train_timesteps) ** 2
+    alphas_bar = jnp.cumprod(1.0 - betas)
+    # rescale so the final alpha_bar is exactly 0
+    sqrt_ab = jnp.sqrt(alphas_bar)
+    sqrt_ab = (sqrt_ab - sqrt_ab[-1]) * (
+        sqrt_ab[0] / (sqrt_ab[0] - sqrt_ab[-1]))
+    return sqrt_ab ** 2
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "num_gen_latents", "num_steps", "lat_h",
+                     "lat_w", "guidance", "attn_impl"),
+)
+def sample_latents_cogvideox(
+    params: Dict[str, Any],
+    cfg,                           # CogVideoXConfig
+    rng: jax.Array,
+    text_emb2: jnp.ndarray,        # [2B, L, 4096]: [neg, pos]
+    *,
+    num_gen_latents: int,
+    num_steps: int,
+    lat_h: int,
+    lat_w: int,
+    cond_latents: Optional[jnp.ndarray] = None,  # [B, C, T_cond, H, W]
+    adapters=None,
+    guidance: float = 6.0,
+    attn_impl: Optional[str] = None,
+) -> jnp.ndarray:
+    """CogVideoX-I2V DDIM (eta=0) v-prediction loop as one ``lax.scan``
+    (the diffusers CogVideoXImageToVideoPipeline denoise semantics used
+    at common_cogvideo.py:283-322): 2-batch CFG, image-latent channels
+    carry the conditioning frame. Returns the full latent volume
+    [B, C, T_cond + num_gen, H, W]."""
+    from ..tta.losses import _cogvideox_image_latents
+
+    B = text_emb2.shape[0] // 2
+    C = cfg.latent_channels
+    t_cond = 0 if cond_latents is None else cond_latents.shape[2]
+    T = t_cond + num_gen_latents
+
+    x = jax.random.normal(rng, (B, C, T, lat_h, lat_w), jnp.float32)
+    img_lat = (None if cond_latents is None
+               else _cogvideox_image_latents(cond_latents, T))
+    img_lat2 = None if img_lat is None else jnp.concatenate(
+        [img_lat, img_lat], axis=0)
+
+    ab = cogvideox_alphas_cumprod()
+    n_train = ab.shape[0]
+    step_idx = jnp.round(
+        jnp.linspace(n_train - 1, 0, num_steps)).astype(jnp.int32)
+    # pairs (t, t_prev); alpha_prev at t<0 is 1
+    ab_t = ab[step_idx]
+    ab_prev = jnp.concatenate([ab[step_idx[1:]], jnp.ones((1,))])
+
+    from ..models.cogvideox import cogvideox_forward
+
+    def step(x, inp):
+        t, a_t, a_prev = inp
+        x2 = jnp.concatenate([x, x], axis=0)
+        pred = cogvideox_forward(
+            params, cfg, x2, jnp.broadcast_to(t, (2 * B,)).astype(
+                jnp.float32), text_emb2,
+            image_latents=img_lat2, adapters=adapters, attn_impl=attn_impl,
+        )
+        uncond, cond = pred[:B], pred[B:]
+        v = uncond + guidance * (cond - uncond)
+        sq_a, sq_1a = jnp.sqrt(a_t), jnp.sqrt(1.0 - a_t)
+        x0 = sq_a * x - sq_1a * v
+        eps = sq_1a * x + sq_a * v
+        x = jnp.sqrt(a_prev) * x0 + jnp.sqrt(1.0 - a_prev) * eps
+        return x, None
+
+    x, _ = jax.lax.scan(step, x, (step_idx, ab_t, ab_prev))
     return x

@@ -40,7 +40,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--output-dir", required=True)
     p.add_argument("--preset", default="longcat_13b",
                    choices=["longcat_13b", "longcat_tiny", "longcat_bench",
-                            "cogvideox_5b", "opensora_v2"])
+                            "cogvideox_5b", "cogvideox_tiny",
+                            "opensora_v2", "opensora_v2_tiny"])
     p.add_argument("--synthetic", type=int, default=0,
                    help="Generate N synthetic clips instead of --data-dir")
     p.add_argument("--max-videos", type=int, default=100)
@@ -73,6 +74,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--num-inference-steps", type=int, default=50)
     p.add_argument("--guidance-scale", type=float, default=4.0)
     p.add_argument("--no-kv-cache", action="store_true")
+    p.add_argument("--bsa-keep-ratio", type=float, default=0.0,
+                   help="block-sparse decode attention: keep this "
+                        "fraction of k-blocks per q-block (0 = dense; "
+                        "cond cache always exact — ops/bsa.py)")
     p.add_argument("--skip-generation", action="store_true")
     p.add_argument("--no-save-videos", action="store_true")
     # method knobs
@@ -212,7 +217,7 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
     import jax.numpy as jnp
 
     from ..config import (
-        AdapterConfig, AugmentationConfig, CaptionGuardConfig,
+        AdapterConfig, AugmentationConfig, BSAConfig, CaptionGuardConfig,
         ClipGateConfig, EarlyStoppingConfig, FrameConfig, OptimConfig,
     )
     from ..data import (
@@ -316,19 +321,43 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
     bundle = load_bundle(args)
     dit_cfg = bundle.cfg.dit
 
+    # per-architecture loss dispatch (SURVEY.md §2.7: the backbone ports
+    # re-implement the loss layer per backbone; here it is one callable)
+    if bundle.cfg.arch == "mmdit":
+        from ..tta.losses import (
+            mmdit_flow_matching_loss_conditioned as arch_loss,
+            mmdit_flow_matching_loss_conditioned_fixed as arch_anchor,
+        )
+    elif bundle.cfg.arch == "cogvideox":
+        from ..tta.losses import (
+            cogvideox_flow_matching_loss_conditioned as arch_loss,
+            cogvideox_flow_matching_loss_conditioned_fixed as arch_anchor,
+        )
+    else:
+        from ..tta.losses import (
+            flow_matching_loss_conditioned as arch_loss,
+            flow_matching_loss_conditioned_fixed as arch_anchor,
+        )
+    if bundle.cfg.arch != "longcat" and args.bucket_shapes:
+        raise SystemExit("--bucket-shapes is only wired for the LongCat "
+                         "backbone")
+
     scheme = build_scheme(dit_cfg, acfg) if is_tta else None
     tx = build_optimizer(OptimConfig(
         optimizer=args.optimizer, lr=args.lr, steps=args.steps,
         warmup_steps=args.warmup_steps, weight_decay=args.weight_decay,
         grad_clip_norm=args.max_grad_norm))
-    step_fn = (make_train_step(scheme, dit_cfg, tx, attn_impl=args.attn_impl)
+    step_fn = (make_train_step(scheme, dit_cfg, tx, attn_impl=args.attn_impl,
+                               loss_fn=arch_loss)
                if is_tta else None)
     chunk_fn = (make_train_chunk(
         scheme, dit_cfg, tx, attn_impl=args.attn_impl,
         anchor_sigmas=tuple(float(x)
-                            for x in args.es_anchor_sigmas.split(",")))
+                            for x in args.es_anchor_sigmas.split(",")),
+        loss_fn=arch_loss, anchor_fn=arch_anchor)
         if is_tta else None)
-    stopper = (build_early_stopper(escfg, scheme, dit_cfg, args.attn_impl)
+    stopper = (build_early_stopper(escfg, scheme, dit_cfg, args.attn_impl,
+                                   anchor_fn=arch_anchor)
                if is_tta else None)
 
     gate_scorer = None
@@ -577,6 +606,8 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
                                 if dit_params_override is not bundle.dit_params
                                 else None),
                     attn_impl=args.attn_impl,
+                    bsa_cfg=(None if args.bsa_keep_ratio <= 0 else
+                             BSAConfig(keep_ratio=args.bsa_keep_ratio)),
                 )
                 gen_time = time.time() - t0
 

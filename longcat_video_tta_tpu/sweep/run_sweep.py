@@ -127,21 +127,71 @@ def build_argv(method: str, params: Dict[str, Any], output_dir: str,
 
 
 def estimate_minutes(method: str, params: Dict[str, Any]) -> float:
-    """Wall-time heuristic per row (the reference's SLURM --time logic,
-    run_sweep.py:259-339, rescaled to measured v5e timings)."""
+    """Wall-time heuristic per row, mirroring the reference's per-method
+    SLURM --time model (run_sweep.py:259-339: method base cost, ES and
+    CLIP-gate adders, extended-window factor) rescaled to measured v5e
+    per-step timings instead of H200 job-hours.
+
+    Components per video:
+      train  = steps x per-method step cost x window factor
+      ES     = (steps / check_every) anchor evals (sigmas x draws fwds),
+               folded into the train dispatch but still real FLOPs
+      gate   = CLIP-gate decode+score when enabled
+      gen    = inference steps x per-CFG-step decode cost
+    """
     n = int(params.get("max_videos", 100))
     steps = int(params.get("steps", 20))
     infer = int(params.get("num_inference_steps", 50))
-    per_step_s = {"full": 2.5, "lora": 1.0, "norm_tune": 1.5}.get(method, 0.5)
+    cond = int(params.get("num_cond_frames", 14))
+    tta_total = int(params.get("tta_total_frames") or cond)
+    # window factor: tokens scale ~linearly in TTA frames vs the
+    # canonical 32-frame window (reference extended_factor, :303)
+    wf = max(1.0, tta_total / 32.0)
+
+    per_step_s = {"full": 2.5, "lora": 1.0, "norm_tune": 1.5,
+                  "film": 0.7, "delta_b": 0.5, "delta_c": 0.45}.get(
+                      method, 0.5) * wf
+    train_s = steps * per_step_s
+
+    es_s = 0.0
+    if not params.get("es_disable", False):
+        check_every = int(params.get("es_check_every", 5))
+        sig = str(params.get("es_anchor_sigmas", "0.25,0.5,0.75"))
+        draws = int(params.get("es_noise_draws", 2))
+        n_anchor_fwd = len(sig.split(",")) * draws
+        # anchor fwd ~ 1/3 of a train step (no bwd)
+        es_s = (steps / max(1, check_every)) * n_anchor_fwd             * per_step_s / 3.0
+
+    gate_s = 4.0 if params.get("clip_gate_enabled", False) else 0.0
     gen_s = infer * 1.8
-    return n * (steps * per_step_s + gen_s) / 60.0
+    return n * (train_s + es_s + gate_s + gen_s) / 60.0
+
+
+def estimate_memory_gb(method: str, params: Dict[str, Any],
+                       model_gb: float = 27.2) -> Dict[str, float]:
+    """Device HBM + host RSS estimate per row (the reference's --mem
+    heuristic, run_sweep.py:342-351: 256G full/lora, 192G others — here
+    derived from what actually holds the memory).
+
+    device: params + grads/optimizer for the trainable set + remat
+    activations; host: the full-TTA base-state snapshot analogue (we
+    keep the frozen base on device, so host stays small)."""
+    steps_state = {"full": 3.0, "lora": 0.02}.get(method, 0.001)
+    device = model_gb * (1.0 + steps_state) + 6.0  # + activations/caches
+    host = 8.0 if method != "full" else 16.0
+    return {"device_hbm_gb": round(device, 1), "host_gb": host}
 
 
 def run_sweep(config_path: str, output_base: str,
               data_dir: Optional[str] = None,
               run_ids: Optional[List[str]] = None,
               dry_run: bool = False,
-              subprocess_mode: bool = False) -> List[Dict[str, Any]]:
+              subprocess_mode: bool = False,
+              max_retries: int = 0) -> List[Dict[str, Any]]:
+    """``max_retries``: re-dispatch failed rows up to N times — the local
+    analogue of SLURM preempt+requeue (run_sweep.sbatch:11-12); each
+    retry resumes from the row's checkpoint.json via the runner's
+    per-video resume."""
     cfg = load_config(config_path)
     method = cfg["method"]
     series = cfg.get("series_name") or cfg["series"]
@@ -173,24 +223,33 @@ def run_sweep(config_path: str, output_base: str,
                   f"run_tta {' '.join(argv)}")
             continue
         print(f"[sweep] RUN {run_id} (~{est:.0f} min)")
+        info["estimated_memory"] = estimate_memory_gb(method, params)
         t0 = time.time()
-        if subprocess_mode:
-            import subprocess
-            import sys
+        for attempt in range(max_retries + 1):
+            if subprocess_mode:
+                import subprocess
+                import sys
 
-            r = subprocess.run(
-                [sys.executable, "-m",
-                 "longcat_video_tta_tpu.runners.run_tta", *argv])
-            info["returncode"] = r.returncode
-            info["status"] = "ok" if r.returncode == 0 else "failed"
-        else:
-            from ..runners.run_tta import main as run_main
+                r = subprocess.run(
+                    [sys.executable, "-m",
+                     "longcat_video_tta_tpu.runners.run_tta", *argv])
+                info["returncode"] = r.returncode
+                info["status"] = "ok" if r.returncode == 0 else "failed"
+            else:
+                from ..runners.run_tta import main as run_main
 
-            try:
-                run_main(argv)
-                info["status"] = "ok"
-            except Exception as e:
-                info["status"] = f"failed: {type(e).__name__}: {e}"
+                try:
+                    run_main(argv)
+                    info["status"] = "ok"
+                except Exception as e:
+                    info["status"] = f"failed: {type(e).__name__}: {e}"
+            if info["status"] == "ok":
+                break
+            if attempt < max_retries:
+                print(f"[sweep] {run_id} failed; requeue "
+                      f"{attempt + 1}/{max_retries} (resumes from "
+                      f"checkpoint.json)")
+                info["retries"] = attempt + 1
         info["wall_minutes"] = round((time.time() - t0) / 60.0, 2)
         launched.append(info)
 
@@ -210,10 +269,15 @@ def main(argv=None):
     p.add_argument("--dry-run", action="store_true")
     p.add_argument("--subprocess", action="store_true",
                    help="isolate each row in its own process")
+    p.add_argument("--max-retries", type=int, default=0,
+                   help="requeue failed rows up to N times (the SLURM "
+                        "preempt+requeue analogue; rows resume from "
+                        "checkpoint.json)")
     args = p.parse_args(argv)
     run_ids = args.run_ids.split(",") if args.run_ids else None
     return run_sweep(args.config, args.output_base, args.data_dir, run_ids,
-                     args.dry_run, args.subprocess)
+                     args.dry_run, args.subprocess,
+                     max_retries=args.max_retries)
 
 
 if __name__ == "__main__":

@@ -472,16 +472,84 @@ MMDIT_SCHEMES = {
 }
 
 
+# ---------------------------------------------------------------------------
+# CogVideoX backbone schemes
+# ---------------------------------------------------------------------------
+
+_COGVIDEOX_LORA_SITES = {
+    "to_q": lambda c: (c.hidden_size, c.hidden_size),
+    "to_k": lambda c: (c.hidden_size, c.hidden_size),
+    "to_v": lambda c: (c.hidden_size, c.hidden_size),
+    "to_out": lambda c: (c.hidden_size, c.hidden_size),
+    "ff_in": lambda c: (c.hidden_size, c.ffn_dim),
+    "ff_out": lambda c: (c.ffn_dim, c.hidden_size),
+}
+
+
+class CogVideoXLoRAScheme(AdapterScheme):
+    """LoRA over the CogVideoX joint-attention blocks. Default sites
+    match the reference: to_q/to_k/to_v/to_out.0
+    (run_lora_tta_cogvideo.py:215); ``lora_target_ffn`` adds the ff
+    projections. Block scoping via the generic all/last_N/indices."""
+
+    method = "lora"
+
+    def __init__(self, cfg, acfg):
+        super().__init__(cfg, acfg)
+        sites: List[str] = []
+        if "qkv" in acfg.lora_target_modules:
+            sites += ["to_q", "to_k", "to_v"]
+        if "proj" in acfg.lora_target_modules:
+            sites += ["to_out"]
+        if acfg.lora_target_ffn:
+            sites += ["ff_in", "ff_out"]
+        self.sites = sites
+        self.targets = parse_target_blocks(acfg.target_blocks, cfg.depth)
+        self.rank = acfg.lora_rank
+        self.scale = acfg.lora_alpha / acfg.lora_rank
+
+    def init(self, rng, base_params=None):
+        L, r = self.cfg.depth, self.rank
+        p = {}
+        keys = jax.random.split(rng, max(1, len(self.sites)))
+        for key, site in zip(keys, self.sites):
+            din, dout = _COGVIDEOX_LORA_SITES[site](self.cfg)
+            bound = 1.0 / math.sqrt(din)
+            p[site] = {
+                "a": jax.random.uniform(key, (L, din, r), jnp.float32,
+                                        -bound, bound),
+                "b": jnp.zeros((L, r, dout), jnp.float32),
+            }
+        return p
+
+    def to_forward(self, train_params, base_params):
+        mask = _active_mask(self.cfg.depth, self.targets)[:, None, None]
+        lora = {site: {"a": ab["a"] * mask, "b": ab["b"]}
+                for site, ab in train_params.items()}
+        return base_params, {"lora": lora, "lora_scale": self.scale}
+
+
+COGVIDEOX_SCHEMES = {
+    "delta_a": DeltaAScheme,
+    "lora": CogVideoXLoRAScheme,
+    "full": FullScheme,
+}
+
+
 def build_scheme(dit_cfg, acfg: AdapterConfig) -> AdapterScheme:
     """Dispatch on architecture config: LongCat DiTConfig gets all seven
-    methods; MMDiTConfig gets the three the reference ports
-    (SURVEY.md §2.7)."""
-    from ..config import MMDiTConfig
+    methods; the MMDiT / CogVideoX backbones get the three the reference
+    ports (SURVEY.md §2.7)."""
+    from ..config import CogVideoXConfig, MMDiTConfig
 
     if isinstance(dit_cfg, MMDiTConfig):
-        if acfg.method not in MMDIT_SCHEMES:
-            raise ValueError(
-                f"method {acfg.method} is not ported to the MMDiT backbone "
-                "(reference ports delta_a/lora/full — SURVEY.md §2.7)")
-        return MMDIT_SCHEMES[acfg.method](dit_cfg, acfg)
-    return SCHEMES[acfg.method](dit_cfg, acfg)
+        table, name = MMDIT_SCHEMES, "MMDiT"
+    elif isinstance(dit_cfg, CogVideoXConfig):
+        table, name = COGVIDEOX_SCHEMES, "CogVideoX"
+    else:
+        return SCHEMES[acfg.method](dit_cfg, acfg)
+    if acfg.method not in table:
+        raise ValueError(
+            f"method {acfg.method} is not ported to the {name} backbone "
+            "(reference ports delta_a/lora/full — SURVEY.md §2.7)")
+    return table[acfg.method](dit_cfg, acfg)

@@ -32,11 +32,13 @@ def fixed_noise_seed(video_id: str) -> int:
 
 class AnchoredEarlyStopper:
     def __init__(self, escfg: EarlyStoppingConfig, scheme: AdapterScheme,
-                 dit_cfg: DiTConfig, attn_impl: Optional[str] = None):
+                 dit_cfg, attn_impl: Optional[str] = None,
+                 anchor_fn=flow_matching_loss_conditioned_fixed):
         self.cfg = escfg
         self.scheme = scheme
         self.dit_cfg = dit_cfg
         self.attn_impl = attn_impl
+        self.anchor_fn = anchor_fn
         self._reset()
 
     def _reset(self):
@@ -80,7 +82,7 @@ class AnchoredEarlyStopper:
         dit_params, adapters = self.scheme.to_forward(
             train_params, self.base_params
         )
-        loss = flow_matching_loss_conditioned_fixed(
+        loss = self.anchor_fn(
             dit_params, self.dit_cfg, self.cond_latents, self.val_latents,
             self.text_emb, self.text_mask, self.fixed_noises,
             fixed_sigmas=tuple(self.cfg.anchor_sigmas),
@@ -153,9 +155,11 @@ class AnchoredEarlyStopper:
 
 
 def build_early_stopper(
-    escfg: EarlyStoppingConfig, scheme: AdapterScheme, dit_cfg: DiTConfig,
+    escfg: EarlyStoppingConfig, scheme: AdapterScheme, dit_cfg,
     attn_impl: Optional[str] = None,
+    anchor_fn=flow_matching_loss_conditioned_fixed,
 ) -> Optional[AnchoredEarlyStopper]:
     if not escfg.enabled:
         return None
-    return AnchoredEarlyStopper(escfg, scheme, dit_cfg, attn_impl)
+    return AnchoredEarlyStopper(escfg, scheme, dit_cfg, attn_impl,
+                                anchor_fn=anchor_fn)

@@ -52,17 +52,24 @@ def build_optimizer(ocfg: OptimConfig) -> optax.GradientTransformation:
 
 def make_train_step(
     scheme: AdapterScheme,
-    cfg: DiTConfig,
+    cfg,
     tx: optax.GradientTransformation,
     attn_impl: Optional[str] = None,
     cp_mesh=None,
+    loss_fn: Callable = flow_matching_loss_conditioned,
 ) -> Callable:
     """Build the jitted conditioned-loss train step for one method.
 
     step(train_params, opt_state, base_params, cond_latents,
          target_latents, text_emb, text_mask, rng)
       -> (train_params, opt_state, loss)
+
+    ``loss_fn`` follows the conditioned-loss calling convention
+    (dit_params, cfg, cond, target, text_a, text_b, rng, adapters=,
+    attn_impl=, cp_mesh=, num_valid_target=); the LongCat loss binds
+    (text_a, text_b) = (emb, mask), the MMDiT loss = (txt, y_vec).
     """
+    cond_loss = loss_fn
 
     @jax.jit
     def step(train_params, opt_state, base_params, cond_latents,
@@ -70,7 +77,7 @@ def make_train_step(
              num_valid_target=None):
         def loss_fn(tp):
             dit_params, adapters = scheme.to_forward(tp, base_params)
-            return flow_matching_loss_conditioned(
+            return cond_loss(
                 dit_params, cfg, cond_latents, target_latents,
                 text_emb, text_mask, rng,
                 adapters=adapters, attn_impl=attn_impl, cp_mesh=cp_mesh,
@@ -87,11 +94,13 @@ def make_train_step(
 
 def make_train_chunk(
     scheme: AdapterScheme,
-    cfg: DiTConfig,
+    cfg,
     tx: optax.GradientTransformation,
     attn_impl: Optional[str] = None,
     cp_mesh=None,
     anchor_sigmas: Tuple[float, ...] = (),
+    loss_fn: Callable = flow_matching_loss_conditioned,
+    anchor_fn: Callable = flow_matching_loss_conditioned_fixed,
 ) -> Callable:
     """Device-side multi-step trainer: one XLA dispatch per k steps.
 
@@ -129,9 +138,9 @@ def make_train_chunk(
             tp, ost = carry
             i, r = xs
 
-            def loss_fn(tp_):
+            def step_loss(tp_):
                 dit_params, adapters = scheme.to_forward(tp_, base_params)
-                return flow_matching_loss_conditioned(
+                return loss_fn(
                     dit_params, cfg, cond_stack[i], train_stack[i],
                     emb_stack[i], mask_stack[i], r,
                     adapters=adapters, attn_impl=attn_impl, cp_mesh=cp_mesh,
@@ -139,7 +148,7 @@ def make_train_chunk(
                                       else valid_stack[i]),
                 )
 
-            loss, grads = jax.value_and_grad(loss_fn)(tp)
+            loss, grads = jax.value_and_grad(step_loss)(tp)
             updates, ost = tx.update(grads, ost, tp)
             tp = optax.apply_updates(tp, updates)
             return (tp, ost), loss
@@ -151,7 +160,7 @@ def make_train_chunk(
         if val_latents is not None:
             dit_params, adapters = scheme.to_forward(train_params,
                                                      base_params)
-            anchor = flow_matching_loss_conditioned_fixed(
+            anchor = anchor_fn(
                 dit_params, cfg, cond_stack[0], val_latents,
                 emb_stack[0], mask_stack[0], fixed_noises,
                 fixed_sigmas=anchor_sigmas,

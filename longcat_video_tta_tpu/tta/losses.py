@@ -233,3 +233,235 @@ def flow_matching_loss_conditioned_fixed(
 
     total, _ = jax.lax.scan(body, jnp.zeros(()), (sig, noi))
     return total / sig.shape[0]
+
+
+# ---------------------------------------------------------------------------
+# MMDiT (Open-Sora v2) backbone losses
+# ---------------------------------------------------------------------------
+
+
+def _mmdit_cond_input(cond_latents, t_total):
+    """[masks | masked_ref] channel input for v2v conditioning
+    (common_opensora.py:314-357 build_cond_embed): masks are 1 on the
+    conditioning frames, masked_ref carries the clean cond latents."""
+    B, C, t_cond, H, W = cond_latents.shape
+    masks = jnp.concatenate(
+        [jnp.ones((B, 1, t_cond, H, W), jnp.float32),
+         jnp.zeros((B, 1, t_total - t_cond, H, W), jnp.float32)], axis=2)
+    ref = jnp.concatenate(
+        [cond_latents.astype(jnp.float32),
+         jnp.zeros((B, C, t_total - t_cond, H, W), jnp.float32)], axis=2)
+    return jnp.concatenate([masks, ref], axis=1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "sigma_min", "sigma_max", "guidance",
+                              "attn_impl", "cp_mesh"),
+)
+def mmdit_flow_matching_loss_conditioned(
+    dit_params: Dict[str, Any],
+    cfg,                            # MMDiTConfig
+    cond_latents: jnp.ndarray,      # [B, C, T_cond, H, W] clean context
+    target_latents: jnp.ndarray,    # [B, C, T_target, H, W]
+    txt: jnp.ndarray,               # [B, L, context_in_dim] (T5)
+    y_vec: jnp.ndarray,             # [B, vec_in_dim] (CLIP pooled)
+    rng: jax.Array,
+    *,
+    adapters=None,
+    sigma_min: float = 0.001,
+    sigma_max: float = 1.0,
+    guidance: float = 7.5,
+    attn_impl: Optional[str] = None,
+    cp_mesh=None,
+    num_valid_target=None,
+) -> jnp.ndarray:
+    """Conditioning-aware flow-matching loss for the MMDiT backbone
+    (reference: common_opensora.py:360-411): conditioning rides the
+    cond_embed channel input (masks + masked_ref), the timestep is a
+    single per-batch sigma, noise is applied only to the target frames,
+    MSE on the target slice. Engine-compatible signature (the (emb,
+    mask) slots of the LongCat loss carry (txt, y_vec) here)."""
+    if cp_mesh is not None or num_valid_target is not None:
+        raise NotImplementedError(
+            "CP / shape bucketing are not wired for the MMDiT backbone")
+    B, C, t_cond = cond_latents.shape[:3]
+    t_tgt = target_latents.shape[2]
+    k_sig, k_noise = jax.random.split(rng)
+    sigma = jax.random.uniform(k_sig, (B,), minval=sigma_min,
+                               maxval=sigma_max)
+    noise = jax.random.normal(k_noise, target_latents.shape, jnp.float32)
+    tgt32 = target_latents.astype(jnp.float32)
+    noisy = (1.0 - sigma.reshape(B, 1, 1, 1, 1)) * tgt32 \
+        + sigma.reshape(B, 1, 1, 1, 1) * noise
+    full = jnp.concatenate([cond_latents.astype(jnp.float32), noisy], axis=2)
+    cond_in = _mmdit_cond_input(cond_latents, t_cond + t_tgt)
+
+    from ..models.mmdit import mmdit_forward
+
+    pred = mmdit_forward(
+        dit_params, cfg, full, sigma, txt, y_vec, cond=cond_in,
+        guidance=jnp.full((B,), guidance, jnp.float32),
+        adapters=adapters, attn_impl=attn_impl,
+    )
+    return jnp.mean((pred[:, :, t_cond:] - (noise - tgt32)) ** 2)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "fixed_sigmas", "guidance", "attn_impl")
+)
+def mmdit_flow_matching_loss_conditioned_fixed(
+    dit_params: Dict[str, Any],
+    cfg,
+    cond_latents: jnp.ndarray,
+    target_latents: jnp.ndarray,
+    txt: jnp.ndarray,
+    y_vec: jnp.ndarray,
+    fixed_noises: jnp.ndarray,      # [n_draws, B, C, T_target, H, W]
+    *,
+    fixed_sigmas: Tuple[float, ...],
+    adapters=None,
+    guidance: float = 7.5,
+    attn_impl: Optional[str] = None,
+) -> jnp.ndarray:
+    """Deterministic MMDiT anchor loss (early-stopper analogue of
+    flow_matching_loss_conditioned_fixed for the Open-Sora backbone)."""
+    B, C, t_cond = cond_latents.shape[:3]
+    t_tgt = target_latents.shape[2]
+    tgt32 = target_latents.astype(jnp.float32)
+    cond_in = _mmdit_cond_input(cond_latents, t_cond + t_tgt)
+    sig = jnp.repeat(jnp.asarray(fixed_sigmas, jnp.float32),
+                     fixed_noises.shape[0])
+    noi = jnp.concatenate([fixed_noises] * len(fixed_sigmas), axis=0)
+
+    from ..models.mmdit import mmdit_forward
+
+    def body(acc, sn):
+        sigma, noise = sn
+        noisy = (1.0 - sigma) * tgt32 + sigma * noise
+        full = jnp.concatenate(
+            [cond_latents.astype(jnp.float32), noisy], axis=2)
+        pred = mmdit_forward(
+            dit_params, cfg, full, jnp.broadcast_to(sigma, (B,)), txt,
+            y_vec, cond=cond_in,
+            guidance=jnp.full((B,), guidance, jnp.float32),
+            adapters=adapters, attn_impl=attn_impl,
+        )
+        return acc + jnp.mean((pred[:, :, t_cond:] - (noise - tgt32)) ** 2), None
+
+    total, _ = jax.lax.scan(body, jnp.zeros(()), (sig, noi))
+    return total / sig.shape[0]
+
+
+# ---------------------------------------------------------------------------
+# CogVideoX backbone losses
+# ---------------------------------------------------------------------------
+
+
+def _cogvideox_image_latents(cond_latents, t_total):
+    """I2V conditioning channels: first latent frame = the encoded
+    conditioning image, remaining frames zero (the CogVideoX-I2V
+    channel-concat convention)."""
+    B, C, _, H, W = cond_latents.shape
+    return jnp.concatenate(
+        [cond_latents[:, :, :1].astype(jnp.float32),
+         jnp.zeros((B, C, t_total - 1, H, W), jnp.float32)], axis=2)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "sigma_min", "sigma_max", "attn_impl",
+                              "cp_mesh"),
+)
+def cogvideox_flow_matching_loss_conditioned(
+    dit_params: Dict[str, Any],
+    cfg,                            # CogVideoXConfig
+    cond_latents: jnp.ndarray,      # [B, C, T_cond, H, W]
+    target_latents: jnp.ndarray,    # [B, C, T_target, H, W]
+    text_emb: jnp.ndarray,          # [B, L, 4096]
+    text_mask,                      # unused (engine slot)
+    rng: jax.Array,
+    *,
+    adapters=None,
+    sigma_min: float = 0.001,
+    sigma_max: float = 1.0,
+    attn_impl: Optional[str] = None,
+    cp_mesh=None,
+    num_valid_target=None,
+) -> jnp.ndarray:
+    """Rectified-flow TTA loss for CogVideoX
+    (reference: common_cogvideo.py:184-218 — whole-window noise + MSE,
+    timestep = sigma*1000; conditioning rides the I2V image-latent
+    channels built from the first conditioning frame). The (cond,
+    target) split follows the runner's window contract; per the
+    reference this loss noises and scores the FULL window."""
+    if cp_mesh is not None or num_valid_target is not None:
+        raise NotImplementedError(
+            "CP / shape bucketing are not wired for the CogVideoX backbone")
+    B = cond_latents.shape[0]
+    full = jnp.concatenate([cond_latents.astype(jnp.float32),
+                            target_latents.astype(jnp.float32)], axis=2)
+    T = full.shape[2]
+    k_sig, k_noise = jax.random.split(rng)
+    sigma = jax.random.uniform(k_sig, (B,), minval=sigma_min,
+                               maxval=sigma_max)
+    noise = jax.random.normal(k_noise, full.shape, jnp.float32)
+    noisy = (1.0 - sigma.reshape(B, 1, 1, 1, 1)) * full \
+        + sigma.reshape(B, 1, 1, 1, 1) * noise
+
+    from ..models.cogvideox import cogvideox_forward
+
+    img_lat = (None if cfg.in_channels == cfg.latent_channels
+               else _cogvideox_image_latents(cond_latents, T))
+    pred = cogvideox_forward(
+        dit_params, cfg, noisy, sigma * NUM_TRAIN_TIMESTEPS, text_emb,
+        image_latents=img_lat, adapters=adapters, attn_impl=attn_impl,
+    )
+    return jnp.mean((pred - (noise - full)) ** 2)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "fixed_sigmas", "attn_impl")
+)
+def cogvideox_flow_matching_loss_conditioned_fixed(
+    dit_params: Dict[str, Any],
+    cfg,
+    cond_latents: jnp.ndarray,
+    target_latents: jnp.ndarray,
+    text_emb: jnp.ndarray,
+    text_mask,
+    fixed_noises: jnp.ndarray,      # [n_draws, B, C, T_target, H, W]
+    *,
+    fixed_sigmas: Tuple[float, ...],
+    adapters=None,
+    attn_impl: Optional[str] = None,
+) -> jnp.ndarray:
+    """Deterministic CogVideoX anchor loss (early-stopper analogue):
+    fixed noise on the target slice, conditioning frames kept clean, MSE
+    on the target slice."""
+    B = cond_latents.shape[0]
+    t_cond = cond_latents.shape[2]
+    tgt32 = target_latents.astype(jnp.float32)
+    cond32 = cond_latents.astype(jnp.float32)
+    T = t_cond + target_latents.shape[2]
+    sig = jnp.repeat(jnp.asarray(fixed_sigmas, jnp.float32),
+                     fixed_noises.shape[0])
+    noi = jnp.concatenate([fixed_noises] * len(fixed_sigmas), axis=0)
+
+    from ..models.cogvideox import cogvideox_forward
+
+    img_lat = (None if cfg.in_channels == cfg.latent_channels
+               else _cogvideox_image_latents(cond_latents, T))
+
+    def body(acc, sn):
+        sigma, noise = sn
+        noisy = (1.0 - sigma) * tgt32 + sigma * noise
+        full = jnp.concatenate([cond32, noisy], axis=2)
+        pred = cogvideox_forward(
+            dit_params, cfg, full,
+            jnp.broadcast_to(sigma * NUM_TRAIN_TIMESTEPS, (B,)), text_emb,
+            image_latents=img_lat, adapters=adapters, attn_impl=attn_impl,
+        )
+        return acc + jnp.mean(
+            (pred[:, :, t_cond:] - (noise - tgt32)) ** 2), None
+
+    total, _ = jax.lax.scan(body, jnp.zeros(()), (sig, noi))
+    return total / sig.shape[0]

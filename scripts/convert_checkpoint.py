@@ -83,12 +83,28 @@ def main():
     # fallback weights under --allow-partial)
     bundle = ModelBundle.init_random(cfg, seed=0)
     converted = []
-    plan = (
-        ("dit", "dit", convert_torch_dit_state, cfg.dit, "dit_params"),
-        ("vae", "vae", convert_torch_vae_state, cfg.vae, "vae_params"),
-        ("text_encoder", "text_encoder", convert_torch_umt5_state,
-         cfg.text, "text_params"),
-    )
+    if cfg.arch == "mmdit":
+        from longcat_video_tta_tpu.models.convert import (
+            convert_torch_clip_text_state,
+            convert_torch_mmdit_state,
+        )
+
+        plan = (
+            ("dit", "dit", convert_torch_mmdit_state, cfg.dit,
+             "dit_params"),
+            ("vae", "vae", convert_torch_vae_state, cfg.vae, "vae_params"),
+            ("text_encoder", "text_encoder", convert_torch_umt5_state,
+             cfg.text, "text_params"),
+            ("clip", "clip", convert_torch_clip_text_state, cfg.clip,
+             "clip_params"),
+        )
+    else:
+        plan = (
+            ("dit", "dit", convert_torch_dit_state, cfg.dit, "dit_params"),
+            ("vae", "vae", convert_torch_vae_state, cfg.vae, "vae_params"),
+            ("text_encoder", "text_encoder", convert_torch_umt5_state,
+             cfg.text, "text_params"),
+        )
     for name, subdir, fn, sub_cfg, attr in plan:
         try:
             print(f"[convert] {name}: loading state dict ...")

@@ -1,0 +1,94 @@
+"""Block-sparse attention: kernel vs dense-masked oracle, full-selection
+exactness vs plain attention, forced cond/diagonal blocks."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from longcat_video_tta_tpu.ops.attention import attention_xla
+from longcat_video_tta_tpu.ops.bsa import (
+    bsa_attention,
+    bsa_reference,
+    select_blocks,
+)
+
+
+def _qkv(key, B=1, Sq=96, Sk=160, H=2, D=32):
+    kq, kk, kv = jax.random.split(key, 3)
+    return (jax.random.normal(kq, (B, Sq, H, D)),
+            jax.random.normal(kk, (B, Sk, H, D)),
+            jax.random.normal(kv, (B, Sk, H, D)))
+
+
+def test_full_topk_equals_dense():
+    q, k, v = _qkv(jax.random.PRNGKey(0))
+    out = bsa_attention(q, k, v, top_k=5, block_q=32, block_k=32,
+                        interpret=True)  # 160/32 = 5 blocks = all
+    ref = attention_xla(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_sparse_matches_masked_oracle():
+    q, k, v = _qkv(jax.random.PRNGKey(1))
+    idx = select_blocks(q, k, block_q=32, block_k=32, top_k=3,
+                        num_cond_tokens=32, q_token_offset=64)
+    out = bsa_attention(q, k, v, top_k=3, block_q=32, block_k=32,
+                        num_cond_tokens=32, q_token_offset=64,
+                        interpret=True)
+    ref = bsa_reference(q, k, v, idx, block_q=32, block_k=32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_selection_forces_cond_and_diagonal():
+    q, k, v = _qkv(jax.random.PRNGKey(2), Sq=64, Sk=192)
+    # cond prefix = 64 tokens = blocks 0,1 with block_k=32
+    idx = select_blocks(q, k, block_q=32, block_k=32, top_k=4,
+                        num_cond_tokens=64, q_token_offset=128)
+    idx = np.asarray(idx)  # [BH, nQb=2, 4]
+    for bh in range(idx.shape[0]):
+        for qi in range(idx.shape[1]):
+            sel = set(idx[bh, qi].tolist())
+            assert {0, 1} <= sel, f"cond blocks missing: {sel}"
+            diag = (128 + qi * 32) // 32
+            assert diag in sel, f"diagonal block {diag} missing: {sel}"
+
+
+def test_ragged_tail_block_masked():
+    # Sk not a multiple of block_k: padded keys of the last block must
+    # not contribute
+    q, k, v = _qkv(jax.random.PRNGKey(3), Sq=64, Sk=150)
+    out = bsa_attention(q, k, v, top_k=5, block_q=32, block_k=32,
+                        interpret=True)  # all 5 blocks -> dense
+    ref = attention_xla(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_sampler_bsa_full_keep_equals_dense():
+    """sample_latents with keep_ratio=1.0 BSA must bit-match the dense
+    KV-cache decode (all blocks selected; selection is order-preserving)."""
+    from longcat_video_tta_tpu.config import BSAConfig, longcat_tiny
+    from longcat_video_tta_tpu.models.dit import init_dit
+    from longcat_video_tta_tpu.pipeline.sampler import sample_latents
+
+    cfg = longcat_tiny()
+    params = init_dit(jax.random.PRNGKey(0), cfg.dit, zero_init=False)
+    B, L = 1, cfg.dit.text_len
+    emb = jax.random.normal(jax.random.PRNGKey(1), (B, L, cfg.dit.text_dim))
+    mask = jnp.ones((B, L), jnp.int32)
+    cond = jax.random.normal(jax.random.PRNGKey(2),
+                             (B, cfg.dit.in_channels, 2, 8, 12))
+    common = dict(num_gen_latents=2, num_steps=2, lat_h=8, lat_w=12,
+                  cond_latents=cond, use_kv_cache=True)
+    dense = sample_latents(params, cfg.dit, cfg.scheduler,
+                           jax.random.PRNGKey(3), emb, mask, emb, mask,
+                           4.0, **common)
+    bsa = sample_latents(params, cfg.dit, cfg.scheduler,
+                         jax.random.PRNGKey(3), emb, mask, emb, mask,
+                         4.0, bsa_cfg=BSAConfig(keep_ratio=1.0, block_q=32,
+                                                block_k=32, min_blocks=1),
+                         **common)
+    np.testing.assert_allclose(np.asarray(bsa), np.asarray(dense),
+                               atol=2e-5, rtol=2e-5)

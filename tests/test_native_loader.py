@@ -53,3 +53,43 @@ def test_pad_last_frame_semantics(clips):
                         width=32)
     _, clip = next(iter(pf))
     np.testing.assert_allclose(clip[:, 2], clip[:, 5])  # padded region
+
+
+def test_native_mp4_decode_matches_python_loader(tmp_path):
+    """mp4 path: the libav-built prefetcher must match the Python cv2
+    loader closely (same libav lineage; bilinear resize) and honor the
+    start-skip + pad-last-frame contract (common.py:121-133)."""
+    import cv2
+
+    from longcat_video_tta_tpu.data.native_loader import (
+        ClipPrefetcher,
+        _build_lib,
+    )
+    from longcat_video_tta_tpu.data.video_io import load_video_frames
+
+    lib = _build_lib()
+    if lib is None or not lib.pf_has_libav():
+        pytest.skip("libav build unavailable")
+
+    T, H, W = 12, 48, 64
+    rng = np.random.RandomState(0)
+    frames = (rng.rand(T, H, W, 3) * 255).astype(np.uint8)
+    for t in range(T):
+        frames[t] = cv2.GaussianBlur(frames[t], (11, 11), 5)
+    path = str(tmp_path / "clip.mp4")
+    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 24, (W, H))
+    for t in range(T):
+        vw.write(cv2.cvtColor(frames[t], cv2.COLOR_RGB2BGR))
+    vw.release()
+
+    pf = ClipPrefetcher([path], 8, 2, 32, 48)
+    assert pf._native
+    idx, clip = next(iter(pf))
+    assert idx == 0 and clip.shape == (3, 8, 32, 48)
+    ref = np.asarray(load_video_frames(path, 8, 32, 48, start_frame=2)[0])
+    err = np.abs(clip - ref)
+    assert err.mean() < 0.03 and err.max() < 0.4
+
+    # pad-last-frame beyond EOF
+    _, clip2 = next(iter(ClipPrefetcher([path], 16, 2, 32, 48)))
+    np.testing.assert_array_equal(clip2[:, 10], clip2[:, 15])
