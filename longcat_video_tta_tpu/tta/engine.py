@@ -174,3 +174,95 @@ def make_train_chunk(
 def adapter_norm(train_params) -> float:
     """delta_norm-style diagnostic (run_delta_a.py:302)."""
     return float(global_norm(train_params))
+
+
+def make_batched_train_chunk(
+    scheme: AdapterScheme,
+    cfg,
+    tx: optax.GradientTransformation,
+    attn_impl: Optional[str] = None,
+    anchor_sigmas: Tuple[float, ...] = (),
+    loss_fn: Callable = flow_matching_loss_conditioned,
+    anchor_fn: Callable = flow_matching_loss_conditioned_fixed,
+    mesh=None,
+) -> Callable:
+    """Video-parallel TTA: vmap the per-video optimizer over a leading
+    video axis and (optionally) shard that axis over the mesh "data"
+    dimension — the reference's SLURM-array data parallelism
+    (SURVEY.md §2.10 DP row: "per-video loop is embarrassingly parallel
+    across a pod slice") as ONE compiled program instead of a job fleet.
+
+    chunk(tps, opt_states, base_params,
+          cond, train,     # [V, B, C, T, H, W]
+          emb, mask,       # [V, B, ...]
+          rngs,            # [V, k] PRNG keys
+          val_latents=None,   # [V, B, C, Tv, H, W]
+          fixed_noises=None)  # [V, n_draws, B, ...]
+      -> (tps, opt_states, losses [V, k], anchors [V] | None)
+
+    ``tps``/``opt_states`` carry a leading V axis on every leaf (stack
+    per-video scheme.init / tx.init results). ``base_params`` is shared
+    (broadcast — the frozen backbone is one copy, replicated or sharded
+    however the caller laid it out).
+    """
+
+    def one_video(tp, ost, base_params, cond, train, emb, mask, rngs,
+                  val, noises):
+        def body(carry, r):
+            tp, ost = carry
+
+            def step_loss(tp_):
+                dit_params, adapters = scheme.to_forward(tp_, base_params)
+                return loss_fn(
+                    dit_params, cfg, cond, train, emb, mask, r,
+                    adapters=adapters, attn_impl=attn_impl,
+                )
+
+            loss, grads = jax.value_and_grad(step_loss)(tp)
+            updates, ost = tx.update(grads, ost, tp)
+            tp = optax.apply_updates(tp, updates)
+            return (tp, ost), loss
+
+        (tp, ost), losses = jax.lax.scan(body, (tp, ost), rngs)
+        anchor = jnp.zeros(())
+        if val is not None:
+            dit_params, adapters = scheme.to_forward(tp, base_params)
+            anchor = anchor_fn(
+                dit_params, cfg, cond, val, emb, mask, noises,
+                fixed_sigmas=anchor_sigmas,
+                adapters=adapters, attn_impl=attn_impl,
+            )
+        return tp, ost, losses, anchor
+
+    def chunk(tps, opt_states, base_params, cond, train, emb, mask, rngs,
+              val_latents=None, fixed_noises=None):
+        out = jax.vmap(
+            one_video,
+            in_axes=(0, 0, None, 0, 0, 0, 0, 0,
+                     None if val_latents is None else 0,
+                     None if fixed_noises is None else 0),
+        )(tps, opt_states, base_params, cond, train, emb, mask, rngs,
+          val_latents, fixed_noises)
+        tps, opt_states, losses, anchors = out
+        if val_latents is None:
+            anchors = None
+        return tps, opt_states, losses, anchors
+
+    if mesh is None:
+        return jax.jit(chunk, donate_argnums=(1,))
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    vspec = NamedSharding(mesh, P("data"))
+
+    def sharded(tps, opt_states, base_params, cond, train, emb, mask,
+                rngs, val_latents=None, fixed_noises=None):
+        shard = lambda t: jax.lax.with_sharding_constraint(
+            t, vspec) if hasattr(t, "shape") else t
+        cond, train, emb, mask = (jax.tree.map(shard, x)
+                                  for x in (cond, train, emb, mask))
+        tps = jax.tree.map(shard, tps)
+        return chunk(tps, opt_states, base_params, cond, train, emb,
+                     mask, rngs, val_latents, fixed_noises)
+
+    return jax.jit(sharded, donate_argnums=(1,))

@@ -244,3 +244,72 @@ def test_factorize_devices_prefers_context():
     cfg = factorize_devices(8)
     assert cfg.context >= cfg.tensor
     assert cfg.context == 8 and cfg.data == 1 and cfg.tensor == 1
+
+
+def test_video_parallel_chunk_matches_sequential(inputs):
+    """make_batched_train_chunk (vmap over videos) must equal running
+    each video's per-step loop independently — and sharding the video
+    axis over the mesh 'data' dimension must not change the math."""
+    from longcat_video_tta_tpu.tta.engine import (
+        make_batched_train_chunk,
+        make_train_step,
+    )
+    from longcat_video_tta_tpu.tta import split_tta_latents
+
+    params, latents, text, mask = inputs
+    V, k = 2, 3
+    scheme = build_scheme(CFG, AdapterConfig(method="delta_b",
+                                             num_groups=2))
+    tx = build_optimizer(OptimConfig(lr=1e-2, optimizer="adamw"))
+
+    conds, trains, vids = [], [], []
+    for v in range(V):
+        lat = latents * (0.8 + 0.2 * v)
+        c, t, _ = split_tta_latents(lat, 2, 0.25)
+        conds.append(c)
+        trains.append(t)
+    rngs = jnp.stack([
+        jnp.stack([jax.random.PRNGKey(v * 100 + s) for s in range(k)])
+        for v in range(V)])
+
+    # sequential reference
+    step = make_train_step(scheme, CFG, tx)
+    seq_tp, seq_losses = [], []
+    for v in range(V):
+        tp = scheme.init(jax.random.PRNGKey(7 + v), base_params=params)
+        ost = tx.init(tp)
+        ls = []
+        for s in range(k):
+            tp, ost, loss = step(tp, ost, params, conds[v], trains[v],
+                                 text, mask, rngs[v, s])
+            ls.append(float(loss))
+        seq_tp.append(tp)
+        seq_losses.append(ls)
+
+    # batched (unsharded)
+    tps = jax.tree.map(lambda *x: jnp.stack(x), *[
+        scheme.init(jax.random.PRNGKey(7 + v), base_params=params)
+        for v in range(V)])
+    osts = jax.tree.map(lambda *x: jnp.stack(x),
+                        *[tx.init(jax.tree.map(lambda a: a[v], tps))
+                          for v in range(V)])
+    cond_b = jnp.stack(conds)
+    train_b = jnp.stack(trains)
+    emb_b = jnp.stack([text] * V)
+    mask_b = jnp.stack([mask] * V)
+
+    for mesh in (None, build_mesh(MeshConfig(data=2, context=1, tensor=1))):
+        chunk = make_batched_train_chunk(scheme, CFG, tx, mesh=mesh)
+        tps_o, _, losses, anchors = chunk(
+            tps, jax.tree.map(jnp.copy, osts), params, cond_b, train_b,
+            emb_b, mask_b, rngs)
+        assert anchors is None
+        np.testing.assert_allclose(np.asarray(losses),
+                                   np.asarray(seq_losses),
+                                   rtol=2e-5, atol=1e-6)
+        for v in range(V):
+            for a, b in zip(jax.tree.leaves(
+                    jax.tree.map(lambda x: x[v], tps_o)),
+                    jax.tree.leaves(seq_tp[v])):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           rtol=2e-5, atol=1e-6)
