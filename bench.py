@@ -99,7 +99,7 @@ def main():
     # (run_delta_a.py:118-120)
     from longcat_video_tta_tpu.config import BSAConfig
 
-    bsa_cfg = BSAConfig(keep_ratio=0.35, block_q=512, block_k=512)
+    bsa_cfg = BSAConfig(keep_ratio=0.35)
     gen_bsa_s = None
     try:
         kwargs = dict(num_gen_latents=8, num_steps=50, lat_h=lat_h,

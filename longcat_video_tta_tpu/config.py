@@ -206,8 +206,8 @@ class BSAConfig:
     and the diagonal are always kept exact)."""
 
     keep_ratio: float = 0.35
-    block_q: int = 512
-    block_k: int = 512
+    block_q: int = 1024
+    block_k: int = 1024
     min_blocks: int = 4
 
 
