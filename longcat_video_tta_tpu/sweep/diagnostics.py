@@ -9,6 +9,12 @@ Rebuilds the reference's triage layer (SURVEY.md §2.5/2.6, §5):
   vs the matched baseline run (phase1_diagnostics.py)
 - ``clip_gate_calibration``: threshold simulation over per-video CLIP
   scores vs metric deltas (analyze_clip_gate_calibration.py)
+- ``check_stalled_runs``: in-progress runs whose checkpoint.json has
+  not advanced within a staleness window (check_stalled_runs.sh)
+- ``investigate_failures``: classify failed runs by per-video error
+  strings + log-file scan (investigate_failed_jobs.sh)
+- ``xclip_threshold_rows``: per-threshold CSV rows for X-CLIP-gated
+  sweeps (extract_xclip_sweep_results.py:1-140)
 """
 
 from __future__ import annotations
@@ -145,6 +151,145 @@ def clip_gate_calibration(run_dir: str, baseline_dir: str,
     return rows
 
 
+def check_stalled_runs(results_roots: List[str],
+                       stale_minutes: float = 90.0) -> List[Dict[str, Any]]:
+    """In-progress runs (checkpoint.json, no summary.json) whose
+    checkpoint mtime is older than ``stale_minutes`` — the reference's
+    check_stalled_runs.sh heuristic, on file mtimes instead of squeue."""
+    import time
+
+    now = time.time()
+    stalled = []
+    status = {k: v for k, v in check_status(results_roots).items()}
+    for d in status["in_progress"]:
+        ck = os.path.join(d, "checkpoint.json")
+        age_min = (now - os.path.getmtime(ck)) / 60.0
+        if age_min >= stale_minutes:
+            with open(ck) as f:
+                next_idx = json.load(f).get("next_idx")
+            stalled.append({"run_dir": d, "stale_minutes": round(age_min, 1),
+                            "next_idx": next_idx})
+    for r in stalled:
+        print(f"STALLED {r['run_dir']} (idle {r['stale_minutes']} min, "
+              f"next video {r['next_idx']})")
+    if not stalled:
+        print("no stalled runs")
+    return stalled
+
+
+_ERROR_CLASSES = [
+    ("oom", ("RESOURCE_EXHAUSTED", "out of memory", "OOM")),
+    ("nan", ("nan", "NaN", "FloatingPointError")),
+    ("decode", ("decode", "cv2", "Undecodable", "corrupt")),
+    ("shape", ("shape", "dimension", "broadcast")),
+    ("io", ("No such file", "FileNotFound", "Permission")),
+]
+
+
+def investigate_failures(results_roots: List[str],
+                         log_glob: Optional[str] = None
+                         ) -> Dict[str, List[Dict[str, Any]]]:
+    """Classify failures by error text — per-video ``error`` fields in
+    checkpoints/summaries plus optional log files — into coarse classes
+    (oom/nan/decode/shape/io/other), the investigate_failed_jobs.sh
+    workflow."""
+    def classify(msg: str) -> str:
+        for cls, needles in _ERROR_CLASSES:
+            if any(n in msg for n in needles):
+                return cls
+        return "other"
+
+    buckets: Dict[str, List[Dict[str, Any]]] = {}
+    for root in results_roots:
+        for path in sorted(
+                glob.glob(os.path.join(root, "*", "*", "checkpoint.json"))
+                + glob.glob(os.path.join(root, "*", "*", "summary.json"))):
+            with open(path) as f:
+                try:
+                    doc = json.load(f)
+                except json.JSONDecodeError:
+                    buckets.setdefault("corrupt_json", []).append(
+                        {"path": path})
+                    continue
+            for r in doc.get("results", []):
+                if r.get("success") is False and r.get("error"):
+                    buckets.setdefault(classify(str(r["error"])), []).append(
+                        {"path": os.path.dirname(path),
+                         "video": r.get("video"),
+                         "error": str(r["error"])[:200]})
+    for lp in sorted(glob.glob(log_glob)) if log_glob else []:
+        with open(lp, errors="replace") as f:
+            text = f.read()
+        for needle in ("Traceback (most recent call last)",):
+            if needle in text:
+                tail = text[text.rindex(needle):][:400]
+                buckets.setdefault(classify(tail), []).append(
+                    {"path": lp, "error": tail.splitlines()[-1][:200]})
+    for cls, rows in sorted(buckets.items()):
+        print(f"{cls}: {len(rows)}")
+        for r in rows[:5]:
+            print(f"  {r.get('path')} {r.get('video', '')}: "
+                  f"{r.get('error', '')[:120]}")
+    if not buckets:
+        print("no recorded failures")
+    return buckets
+
+
+def xclip_threshold_rows(
+    root: str,
+    patterns: Optional[List[str]] = None,
+) -> List[Dict[str, Any]]:
+    """One CSV-able row per gate-threshold sweep summary:
+    series,run,thr,backend,n_ok,psnr,ssim,lpips,skip_rate,num_skipped,
+    num_scored (extract_xclip_sweep_results.py). Threshold and backend
+    come from the run config; the directory pattern captures the
+    reference's results_xclip_gate_thr_* layout by default."""
+    patterns = patterns or ["results_*gate*thr*/*/*/summary.json",
+                            "results_*gate*/*/*/summary.json"]
+    rows: List[Dict[str, Any]] = []
+    seen = set()
+    for pat in patterns:
+        for sp in sorted(glob.glob(os.path.join(root, pat))):
+            if sp in seen:
+                continue
+            seen.add(sp)
+            with open(sp) as f:
+                doc = json.load(f)
+            cfg = doc.get("config", {})
+            ok = [r for r in doc.get("results", []) if r.get("success")]
+            scored = [r for r in ok if not r.get("skip_tta")]
+            skipped = [r for r in ok if r.get("skip_tta")]
+
+            def _mean(key):
+                vals = [r[key] for r in scored
+                        if isinstance(r.get(key), (int, float))
+                        and np.isfinite(r[key])]
+                return float(np.mean(vals)) if vals else None
+
+            run_dir = os.path.dirname(sp)
+            rows.append({
+                "series": os.path.basename(os.path.dirname(run_dir)),
+                "run": os.path.basename(run_dir),
+                "thr": cfg.get("clip_gate_threshold"),
+                "backend": cfg.get("clip_gate_backend", "clip"),
+                "n_ok": len(ok),
+                "psnr": _mean("psnr"), "ssim": _mean("ssim"),
+                "lpips": _mean("lpips"),
+                "skip_rate": (len(skipped) / len(ok)) if ok else None,
+                "num_skipped": len(skipped),
+                "num_scored": len(scored),
+            })
+    hdr = ("series,run,thr,backend,n_ok,psnr,ssim,lpips,skip_rate,"
+           "num_skipped,num_scored")
+    print(hdr)
+    for r in rows:
+        print(",".join("nan" if r[k] is None
+                       else (f"{r[k]:.6f}" if isinstance(r[k], float)
+                             else str(r[k]))
+                       for k in hdr.split(",")))
+    return rows
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description="Run diagnostics")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -162,9 +307,24 @@ def main(argv=None):
     c.add_argument("run_dir")
     c.add_argument("baseline_dir")
     c.add_argument("--metric", default="psnr")
+    st = sub.add_parser("stalled")
+    st.add_argument("--results-roots", nargs="+", default=["results"])
+    st.add_argument("--stale-minutes", type=float, default=90.0)
+    iv = sub.add_parser("failures")
+    iv.add_argument("--results-roots", nargs="+", default=["results"])
+    iv.add_argument("--log-glob")
+    xc = sub.add_parser("xclip")
+    xc.add_argument("--root", default=".")
+    xc.add_argument("--patterns", nargs="*")
     args = p.parse_args(argv)
     if args.cmd == "status":
         return check_status(args.results_roots)
+    if args.cmd == "stalled":
+        return check_stalled_runs(args.results_roots, args.stale_minutes)
+    if args.cmd == "failures":
+        return investigate_failures(args.results_roots, args.log_glob)
+    if args.cmd == "xclip":
+        return xclip_threshold_rows(args.root, args.patterns or None)
     if args.cmd == "audit":
         return audit_run_pair(args.old_dir, args.new_dir, args.metric)
     if args.cmd == "regressions":
