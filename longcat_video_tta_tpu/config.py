@@ -74,6 +74,10 @@ class DiTConfig:
     # remat ("gradient checkpointing") per block for training
     # (reference: run_delta_a.py:469-473 non-reentrant torch checkpoint)
     remat: bool = True
+    # "full": recompute the whole block in bwd (min memory);
+    # "dots": save matmul outputs, recompute only elementwise/norms —
+    # ~10% faster TTA step on v5e at bench scale when HBM allows
+    remat_policy: str = "full"
 
     @property
     def head_dim(self) -> int:
@@ -368,6 +372,7 @@ def longcat_bench() -> ModelConfig:
             text_dim=2048,
             text_len=512,
             rope_dims=(32, 48, 48),
+            remat_policy="dots",
         ),
         vae=VAEConfig(param_dtype="bfloat16", compute_dtype="bfloat16"),
         text=TextEncoderConfig(

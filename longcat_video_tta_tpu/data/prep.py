@@ -75,18 +75,36 @@ def transcode_to_bucket(src: str, dst: str, max_frames: int = 0) -> bool:
         return False
 
 
+def load_ucf_split_file(split_file: str) -> List[str]:
+    """Official UCF-101 split list: one 'Class/v_Class_gXX_cXX.avi [label]'
+    per line -> basenames without extension (reference:
+    sweep_experiment/scripts/prepare_ucf101.py official-split variant)."""
+    names = []
+    with open(split_file) as f:
+        for line in f:
+            entry = line.strip().split()[0] if line.strip() else ""
+            if entry:
+                names.append(Path(entry).stem)
+    return names
+
+
 def prepare_ucf101_subset(
     src_dir: str, out_dir: str, videos_per_category: int = 2,
     max_categories: int = 0, min_frames: int = 0, seed: int = 42,
+    split_file: str = "",
 ) -> List[Dict]:
     """Per-category sampling + transcode + metadata.csv
-    (prepare_ucf101_subset.py + prepare_ucf101_500.py frame filter)."""
+    (prepare_ucf101_subset.py + prepare_ucf101_500.py frame filter +
+    prepare_ucf101.py official-split restriction)."""
     import random
 
     rng = random.Random(seed)
+    allowed = set(load_ucf_split_file(split_file)) if split_file else None
     by_class: Dict[str, List[str]] = defaultdict(list)
     for p in sorted(Path(src_dir).rglob("*")):
         if p.suffix.lower() in (".avi", ".mp4", ".npy"):
+            if allowed is not None and p.stem not in allowed:
+                continue
             by_class[ucf_class_of(str(p))].append(str(p))
 
     classes = sorted(by_class)
@@ -217,6 +235,9 @@ def main(argv=None):
     u.add_argument("--max-categories", type=int, default=0)
     u.add_argument("--min-frames", type=int, default=0)
     u.add_argument("--seed", type=int, default=42)
+    u.add_argument("--split-file", default="",
+                   help="official UCF trainlist/testlist file; restricts "
+                        "candidates to its entries")
 
     pa = sub.add_parser("panda70m")
     pa.add_argument("--clips-dir", required=True)
@@ -238,7 +259,7 @@ def main(argv=None):
         return prepare_ucf101_subset(args.src_dir, args.out_dir,
                                      args.videos_per_category,
                                      args.max_categories, args.min_frames,
-                                     args.seed)
+                                     args.seed, args.split_file)
     if args.cmd == "panda70m":
         return prepare_panda70m_subset(args.clips_dir, args.metadata_csv,
                                        args.out_dir, args.num_videos,

@@ -453,7 +453,14 @@ def dit_forward(
         )
         return out, None
 
-    body_fn = jax.checkpoint(body) if cfg.remat else body
+    if cfg.remat and cfg.remat_policy == "dots":
+        body_fn = jax.checkpoint(
+            body,
+            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+    elif cfg.remat:
+        body_fn = jax.checkpoint(body)
+    else:
+        body_fn = body
     x, _ = jax.lax.scan(body_fn, x, (params["blocks"], scan_xs))
 
     if adapters and "delta_h_final" in adapters:

@@ -20,3 +20,10 @@ import jax  # noqa: E402
 # env var) is what reliably pins tests to the virtual 8-device CPU mesh.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+# Persistent compilation cache: the suite's wall time is dominated by
+# CPU-backend XLA compiles, which repeat identically across runs (and
+# across xdist workers). Safe to share — keyed by HLO + backend.
+_cache_dir = os.environ.get("JAX_TEST_CACHE_DIR", "/tmp/jax_test_compile_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

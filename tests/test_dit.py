@@ -140,3 +140,25 @@ def test_flagship_param_count_matches_reference():
                             jax.random.PRNGKey(0))
     n = sum(int(np.prod(s.shape)) for s in jax.tree_util.tree_leaves(shapes))
     assert 13.0e9 < n < 14.2e9, f"param count {n/1e9:.2f}B outside 13-14.2B"
+
+
+def test_remat_policy_dots_matches_full(setup):
+    """remat_policy='dots' must be numerically identical to 'full' in
+    both the forward value and adapter gradients (it only changes which
+    residuals the bwd recomputes)."""
+    import dataclasses
+
+    params, latents, t, text, mask = setup
+    cfg_dots = dataclasses.replace(CFG, remat_policy="dots")
+
+    def loss(delta, cfg):
+        out = dit_mod.dit_forward(params, cfg, latents, t, text, mask,
+                                  adapters={"delta_t": delta})
+        return jnp.mean(out ** 2)
+
+    d0 = jnp.zeros((CFG.adaln_tembed_dim,))
+    v_full, g_full = jax.value_and_grad(loss)(d0, CFG)
+    v_dots, g_dots = jax.value_and_grad(loss)(d0, cfg_dots)
+    np.testing.assert_allclose(float(v_full), float(v_dots), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_full), np.asarray(g_dots),
+                               rtol=1e-4, atol=1e-6)

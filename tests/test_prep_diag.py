@@ -120,3 +120,20 @@ def test_clip_gate_calibration(tmp_path):
     # optimal threshold skips the two regressing low-score videos
     assert 0.2 < best["threshold"] <= 0.8
     assert best["mean_metric"] == pytest.approx((20 + 20 + 22 + 23) / 4)
+
+
+def test_prepare_ucf101_split_file(tmp_path):
+    src = _make_ucf_src(tmp_path / "src")
+    split = tmp_path / "trainlist01.txt"
+    # official-split format: Class/v_Class_gXX_cXX.avi <label>
+    split.write_text(
+        "ApplyEyeMakeup/v_ApplyEyeMakeup_g01_c00.avi 1\n"
+        "YoYo/v_YoYo_g01_c01.avi 2\n")
+    from longcat_video_tta_tpu.data.prep import prepare_ucf101_subset
+    rows = prepare_ucf101_subset(src, str(tmp_path / "out"),
+                                 videos_per_category=5,
+                                 split_file=str(split))
+    names = sorted(r["filename"] for r in rows)
+    assert len(rows) == 2
+    assert any("v_ApplyEyeMakeup_g01_c00" in n for n in names)
+    assert any("v_YoYo_g01_c01" in n for n in names)
