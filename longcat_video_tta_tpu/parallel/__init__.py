@@ -2,7 +2,13 @@ from .context_attention import (  # noqa: F401
     cp_self_attention,
     ring_self_attention,
 )
-from .mesh import AXES, build_mesh, factorize_devices, single_device_mesh  # noqa: F401
+from .mesh import (  # noqa: F401
+    AXES,
+    build_mesh,
+    factorize_devices,
+    init_distributed,
+    single_device_mesh,
+)
 from .sharding import (  # noqa: F401
     LATENT_SPEC,
     param_shardings,

@@ -27,6 +27,34 @@ from ..config import MeshConfig
 AXES = ("data", "context", "tensor")
 
 
+def init_distributed(coordinator: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> bool:
+    """Multi-host bootstrap (the analogue of the reference's NCCL
+    process-group init, run_baseline.py:55-79, which it ran even for one
+    GPU). On TPU pods the runtime usually self-discovers; explicit args
+    or ``JAX_COORDINATOR_ADDRESS``/``JAX_NUM_PROCESSES``/
+    ``JAX_PROCESS_ID`` env vars drive DCN bootstrap across hosts.
+    Single-host (no coordinator configured): no-op, returns False —
+    unlike the reference there is no degenerate world_size=1 backend to
+    spin up."""
+    import os
+
+    coordinator = coordinator or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if coordinator is None:
+        return False
+    if getattr(jax.distributed, "is_initialized", lambda: False)():
+        return True
+    num_processes = num_processes if num_processes is not None else int(
+        os.environ.get("JAX_NUM_PROCESSES", "1"))
+    process_id = process_id if process_id is not None else int(
+        os.environ.get("JAX_PROCESS_ID", "0"))
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    return True
+
+
 def build_mesh(cfg: MeshConfig, devices: Optional[Sequence] = None) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
     n = cfg.num_devices
