@@ -266,7 +266,7 @@ def _self_attention(bp, x, rope_cos, rope_sin, cfg: DiTConfig,
         # [cached cond ++ noise] — both token-sharded over "context"
         o = ring_self_attention(q, k, v, cp_mesh,
                                 num_cond_tokens=num_cond_tokens,
-                                impl=attn_impl)
+                                impl=attn_impl, kv_valid=kv_valid)
     elif bsa_cfg is not None and kv_cache is not None:
         # decode-path block-sparse attention (ops/bsa.py): cond-cache
         # blocks stay exact, noise-noise interactions are sparsified
@@ -436,10 +436,8 @@ def dit_forward(
     num_cond_tokens = (num_cond_latents // cfg.patch_size[0]) * nh * nw
     kv_valid = None
     if num_valid_latents is not None:
-        if cp_mesh is not None:
-            raise NotImplementedError(
-                "shape bucketing under context parallelism is not wired; "
-                "pass exact shapes when cp_mesh is set")
+        # global valid-token bound; composes with ring CP (the bucket's
+        # pad tail lives on the trailing context shard(s))
         kv_valid = (num_valid_latents // cfg.patch_size[0]) * nh * nw
 
     scan_xs, lora_scale = _split_adapters(adapters)

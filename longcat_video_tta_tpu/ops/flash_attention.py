@@ -41,8 +41,9 @@ def _mask_tile(q_off, k_off, bq: int, bk: int, ncond: int, kvlen: int,
     parallelism — each device's shard starts at a traced global index).
     ``ncond``/``kvlen`` are static; the prefix rule uses global indices,
     the padded-key rule uses local ones. ``kv_dyn``, when given, is a
-    *traced* valid-key count (shape bucketing: one compile serves every
-    geometry in a bucket) that supersedes the static ``kvlen``. Returns
+    *traced* valid-key count over GLOBAL key indices (shape bucketing:
+    one compile serves every geometry in a bucket — composes with ring
+    CP, where the bucket's pad tail lives on the last shard(s)). Returns
     None (python-level) only when statically all-allowed."""
     need_cond = ncond > 0
     need_pad = (kvlen < sk_pad) or (kv_dyn is not None)
@@ -54,7 +55,14 @@ def _mask_tile(q_off, k_off, bq: int, bk: int, ncond: int, kvlen: int,
     if need_cond:
         allowed = ((q_glob + q_loc) >= ncond) | ((k_glob + k_loc) < ncond)
     if need_pad:
-        allowed = allowed & (k_loc < (kvlen if kv_dyn is None else kv_dyn))
+        if kv_dyn is None:
+            allowed = allowed & (k_loc < kvlen)
+        else:
+            allowed = allowed & ((k_glob + k_loc) < kv_dyn)
+            if kvlen < sk_pad:
+                # chunk-local tile padding is independent of the global
+                # valid bound (ring: this chunk may sit entirely below it)
+                allowed = allowed & (k_loc < kvlen)
     return allowed
 
 
@@ -498,18 +506,22 @@ def _offs_arr(q_offset, k_offset, kv_dyn=0):
 
 def flash_chunk_fwd(q, k, v, q_offset, k_offset, *, num_cond_tokens: int,
                     scale: Optional[float] = None, block_q: int = 1024,
-                    block_k: int = 1024, interpret: bool = False):
+                    block_k: int = 1024, interpret: bool = False,
+                    kv_valid=None):
     """One ring step: local q [B,Sq,H,D] x chunk K/V [B,Sk,H,D] ->
-    (o normalized [B,Sq,H,D], lse [B,Sq,H] fp32). Offsets are traced."""
+    (o normalized [B,Sq,H,D], lse [B,Sq,H] fp32). Offsets are traced.
+    ``kv_valid``: optional traced GLOBAL valid-key count (bucketing)."""
     B, Sq, H, D = q.shape
     Sk = k.shape[1]
     if scale is None:
         scale = D ** -0.5
+    dyn = kv_valid is not None
     bq, bk, sq_pad, sk_pad = _chunk_geom(Sq, Sk, block_q, block_k)
     o, lse = _flash_fwd_impl(
         _pack_bhsd(q, sq_pad), _pack_bhsd(k, sk_pad), _pack_bhsd(v, sk_pad),
         int(num_cond_tokens), Sk, float(scale), bq, bk, interpret,
-        offs=_offs_arr(q_offset, k_offset),
+        offs=_offs_arr(q_offset, k_offset, kv_valid if dyn else 0),
+        dyn_kvlen=dyn,
     )
     o = jnp.swapaxes(o[:, :Sq].reshape(B, H, Sq, D), 1, 2)
     lse = lse[:, 0, :Sq].reshape(B, H, Sq).transpose(0, 2, 1)
@@ -519,20 +531,22 @@ def flash_chunk_fwd(q, k, v, q_offset, k_offset, *, num_cond_tokens: int,
 def flash_chunk_dq(q, k, v, do, lse, delta, q_offset, k_offset, *,
                    num_cond_tokens: int, scale: Optional[float] = None,
                    block_q: int = 1024, block_k: int = 1024,
-                   interpret: bool = False):
+                   interpret: bool = False, kv_valid=None):
     """dq of local queries vs one chunk. lse/delta: [B, Sq, H] fp32
     (globally combined)."""
     B, Sq, H, D = q.shape
     Sk = k.shape[1]
     if scale is None:
         scale = D ** -0.5
+    dyn = kv_valid is not None
     bq, bk, sq_pad, sk_pad = _chunk_geom(Sq, Sk, block_q, block_k)
     dq = _flash_bwd_dq_impl(
         _pack_bhsd(q, sq_pad), _pack_bhsd(k, sk_pad), _pack_bhsd(v, sk_pad),
         _pack_bhsd(do, sq_pad), _pack_row(lse, sq_pad),
         _pack_row(delta, sq_pad),
         int(num_cond_tokens), Sk, float(scale), bq, bk, interpret,
-        offs=_offs_arr(q_offset, k_offset),
+        offs=_offs_arr(q_offset, k_offset, kv_valid if dyn else 0),
+        dyn_kvlen=dyn,
     )
     return jnp.swapaxes(dq[:, :Sq].reshape(B, H, Sq, D), 1, 2)
 
@@ -540,19 +554,21 @@ def flash_chunk_dq(q, k, v, do, lse, delta, q_offset, k_offset, *,
 def flash_chunk_dkv(q, k, v, do, lse, delta, q_offset, k_offset, *,
                     num_cond_tokens: int, scale: Optional[float] = None,
                     block_q: int = 1024, block_k: int = 1024,
-                    interpret: bool = False):
+                    interpret: bool = False, kv_valid=None):
     """This device's (dk, dv) contribution to one chunk."""
     B, Sq, H, D = q.shape
     Sk = k.shape[1]
     if scale is None:
         scale = D ** -0.5
+    dyn = kv_valid is not None
     bq, bk, sq_pad, sk_pad = _chunk_geom(Sq, Sk, block_q, block_k)
     dk, dv = _flash_bwd_dkv_impl(
         _pack_bhsd(q, sq_pad), _pack_bhsd(k, sk_pad), _pack_bhsd(v, sk_pad),
         _pack_bhsd(do, sq_pad), _pack_row(lse, sq_pad),
         _pack_row(delta, sq_pad),
         int(num_cond_tokens), Sk, float(scale), bq, bk, interpret,
-        offs=_offs_arr(q_offset, k_offset),
+        offs=_offs_arr(q_offset, k_offset, kv_valid if dyn else 0),
+        dyn_kvlen=dyn,
     )
     dk = jnp.swapaxes(dk[:, :Sk].reshape(B, H, Sk, D), 1, 2)
     dv = jnp.swapaxes(dv[:, :Sk].reshape(B, H, Sk, D), 1, 2)

@@ -107,23 +107,31 @@ def cp_self_attention(
 # ---------------------------------------------------------------------------
 
 
-def _xla_chunk_mask(q_off, k_off, Sq, Sk, ncond):
+def _xla_chunk_mask(q_off, k_off, Sq, Sk, ncond, kv=None):
     q_idx = q_off + jnp.arange(Sq)[:, None]
     k_idx = k_off + jnp.arange(Sk)[None, :]
-    return (q_idx >= ncond) | (k_idx < ncond)
+    allowed = jnp.ones((Sq, Sk), jnp.bool_)
+    if ncond > 0:
+        allowed = (q_idx >= ncond) | (k_idx < ncond)
+    if kv is not None:
+        # traced GLOBAL valid-key bound (shape bucketing under CP)
+        allowed = allowed & (k_idx < kv)
+    return allowed
 
 
-def _xla_chunk_fwd(q, k, v, q_off, k_off, ncond, scale):
+def _xla_chunk_fwd(q, k, v, q_off, k_off, ncond, scale, kv=None):
     """jnp reference of the per-chunk flash pass: returns (o normalized,
     lse [B, Sq, H]); fully-masked rows give o=0, lse=NEG_INF (combinable)."""
     s = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32),
                    k.astype(jnp.float32)) * scale
-    if ncond > 0:
-        allowed = _xla_chunk_mask(q_off, k_off, q.shape[1], k.shape[1], ncond)
+    masked = ncond > 0 or kv is not None
+    if masked:
+        allowed = _xla_chunk_mask(q_off, k_off, q.shape[1], k.shape[1],
+                                  ncond, kv)
         s = jnp.where(allowed[None, None], s, NEG_INF)
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
-    if ncond > 0:
+    if masked:
         p = jnp.where(allowed[None, None], p, 0.0)
     l = jnp.sum(p, axis=-1, keepdims=True)
     l_safe = jnp.where(l == 0.0, 1.0, l)
@@ -132,12 +140,14 @@ def _xla_chunk_fwd(q, k, v, q_off, k_off, ncond, scale):
     return o.astype(q.dtype), lse
 
 
-def _xla_chunk_p_ds(q, k, v, do, lse, delta, q_off, k_off, ncond, scale):
+def _xla_chunk_p_ds(q, k, v, do, lse, delta, q_off, k_off, ncond, scale,
+                    kv=None):
     s = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32),
                    k.astype(jnp.float32)) * scale
     p = jnp.exp(s - lse.transpose(0, 2, 1)[..., None])
-    if ncond > 0:
-        allowed = _xla_chunk_mask(q_off, k_off, q.shape[1], k.shape[1], ncond)
+    if ncond > 0 or kv is not None:
+        allowed = _xla_chunk_mask(q_off, k_off, q.shape[1], k.shape[1],
+                                  ncond, kv)
         p = jnp.where(allowed[None, None], p, 0.0)
     dp = jnp.einsum("bqhd,bkhd->bhqk", do.astype(jnp.float32),
                     v.astype(jnp.float32))
@@ -145,29 +155,35 @@ def _xla_chunk_p_ds(q, k, v, do, lse, delta, q_off, k_off, ncond, scale):
     return p, ds
 
 
-def _xla_chunk_dq(q, k, v, do, lse, delta, q_off, k_off, ncond, scale):
+def _xla_chunk_dq(q, k, v, do, lse, delta, q_off, k_off, ncond, scale,
+                  kv=None):
     _, ds = _xla_chunk_p_ds(q, k, v, do, lse, delta, q_off, k_off, ncond,
-                            scale)
+                            scale, kv)
     return jnp.einsum("bhqk,bkhd->bqhd", ds,
                       k.astype(jnp.float32)) * scale
 
 
-def _xla_chunk_dkv(q, k, v, do, lse, delta, q_off, k_off, ncond, scale):
+def _xla_chunk_dkv(q, k, v, do, lse, delta, q_off, k_off, ncond, scale,
+                   kv=None):
     p, ds = _xla_chunk_p_ds(q, k, v, do, lse, delta, q_off, k_off, ncond,
-                            scale)
+                            scale, kv)
     dv = jnp.einsum("bhqk,bqhd->bkhd", p, do.astype(jnp.float32))
     dk = jnp.einsum("bhqk,bqhd->bkhd", ds,
                     q.astype(jnp.float32)) * scale
     return dk, dv
 
 
-def _chunk_fns(impl: str, ncond: int, scale: float, interpret: bool):
+def _chunk_fns(impl: str, ncond: int, scale: float, interpret: bool,
+               kv=None):
+    """``kv``: optional traced GLOBAL valid-key count threaded into every
+    chunk mask (bucketing under ring CP)."""
     if impl == "pallas":
         from ..ops.flash_attention import (
             flash_chunk_dkv, flash_chunk_dq, flash_chunk_fwd,
         )
 
-        kw = dict(num_cond_tokens=ncond, scale=scale, interpret=interpret)
+        kw = dict(num_cond_tokens=ncond, scale=scale, interpret=interpret,
+                  kv_valid=kv)
         return (
             lambda q, k, v, qo, ko: flash_chunk_fwd(q, k, v, qo, ko, **kw),
             lambda q, k, v, do, lse, dl, qo, ko: flash_chunk_dq(
@@ -176,11 +192,12 @@ def _chunk_fns(impl: str, ncond: int, scale: float, interpret: bool):
                 q, k, v, do, lse, dl, qo, ko, **kw),
         )
     return (
-        lambda q, k, v, qo, ko: _xla_chunk_fwd(q, k, v, qo, ko, ncond, scale),
+        lambda q, k, v, qo, ko: _xla_chunk_fwd(q, k, v, qo, ko, ncond, scale,
+                                               kv),
         lambda q, k, v, do, lse, dl, qo, ko: _xla_chunk_dq(
-            q, k, v, do, lse, dl, qo, ko, ncond, scale),
+            q, k, v, do, lse, dl, qo, ko, ncond, scale, kv),
         lambda q, k, v, do, lse, dl, qo, ko: _xla_chunk_dkv(
-            q, k, v, do, lse, dl, qo, ko, ncond, scale),
+            q, k, v, do, lse, dl, qo, ko, ncond, scale, kv),
     )
 
 
@@ -191,8 +208,8 @@ def _ring_perm(n: int):
 
 
 def _ring_fwd_impl(q, k, v, axis: str, n: int, ncond: int, scale: float,
-                   impl: str, interpret: bool):
-    chunk_fwd, _, _ = _chunk_fns(impl, ncond, scale, interpret)
+                   impl: str, interpret: bool, kv=None):
+    chunk_fwd, _, _ = _chunk_fns(impl, ncond, scale, interpret, kv)
     B, Sq, H, D = q.shape
     Sk = k.shape[1]
     my = jax.lax.axis_index(axis)
@@ -217,9 +234,9 @@ def _ring_fwd_impl(q, k, v, axis: str, n: int, ncond: int, scale: float,
     return o.astype(q.dtype), lse
 
 
-def _ring_bwd_impl(axis, n, ncond, scale, impl, interpret, res, do):
-    q, k, v, o, lse = res
-    _, chunk_dq, chunk_dkv = _chunk_fns(impl, ncond, scale, interpret)
+def _ring_bwd_core(axis, n, ncond, scale, impl, interpret, q, k, v, o, lse,
+                   do, kv=None):
+    _, chunk_dq, chunk_dkv = _chunk_fns(impl, ncond, scale, interpret, kv)
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
                     axis=-1)  # [B, Sq, H]
     my = jax.lax.axis_index(axis)
@@ -260,7 +277,40 @@ def _ring_core_fwd(q, k, v, axis, n, ncond, scale, impl, interpret):
     return o, (q, k, v, o, lse)
 
 
+def _ring_bwd_impl(axis, n, ncond, scale, impl, interpret, res, do):
+    q, k, v, o, lse = res
+    return _ring_bwd_core(axis, n, ncond, scale, impl, interpret,
+                          q, k, v, o, lse, do)
+
+
 _ring_core.defvjp(_ring_core_fwd, _ring_bwd_impl)
+
+
+# Bucketed variant: the traced valid-key bound rides as a float32 scalar
+# operand (integer operands have float0 cotangents, which custom_vjp
+# can't return portably).
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+def _ring_core_kv(q, k, v, kvf, axis, n, ncond, scale, impl, interpret):
+    o, _ = _ring_fwd_impl(q, k, v, axis, n, ncond, scale, impl, interpret,
+                          kv=kvf.astype(jnp.int32))
+    return o
+
+
+def _ring_core_kv_fwd(q, k, v, kvf, axis, n, ncond, scale, impl, interpret):
+    o, lse = _ring_fwd_impl(q, k, v, axis, n, ncond, scale, impl, interpret,
+                            kv=kvf.astype(jnp.int32))
+    return o, (q, k, v, kvf, o, lse)
+
+
+def _ring_core_kv_bwd(axis, n, ncond, scale, impl, interpret, res, do):
+    q, k, v, kvf, o, lse = res
+    dq, dk, dv = _ring_bwd_core(axis, n, ncond, scale, impl, interpret,
+                                q, k, v, o, lse, do,
+                                kv=kvf.astype(jnp.int32))
+    return dq, dk, dv, jnp.zeros((), jnp.float32)
+
+
+_ring_core_kv.defvjp(_ring_core_kv_fwd, _ring_core_kv_bwd)
 
 
 def ring_self_attention(
@@ -273,11 +323,17 @@ def ring_self_attention(
     scale: Optional[float] = None,
     impl: Optional[str] = None,
     interpret: bool = False,
+    kv_valid=None,
 ) -> jnp.ndarray:
     """Ring flash attention with q/k/v token-sharded over mesh axis
     "context". Sq may differ from Sk (KV-cache decode: q = noise tokens,
     k/v = cond-cache ++ noise). Equivalent to ``cp_self_attention`` and
-    the unsharded oracle (tested, including gradients)."""
+    the unsharded oracle (tested, including gradients).
+
+    ``kv_valid``: optional traced GLOBAL valid-key count (shape
+    bucketing, SURVEY.md §7 hard-part 3): keys at global index >=
+    kv_valid are masked on every ring chunk, so one compile serves every
+    geometry padding into the bucket even under CP."""
     shard_map = _shard_map_fn()
 
     n = int(mesh.shape["context"])
@@ -286,13 +342,28 @@ def ring_self_attention(
     if impl is None:
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
 
-    def local(ql, kl, vl):
-        return _ring_core(ql, kl, vl, "context", n, int(num_cond_tokens),
-                          float(scale), impl, interpret)
+    if kv_valid is None:
+        def local(ql, kl, vl):
+            return _ring_core(ql, kl, vl, "context", n, int(num_cond_tokens),
+                              float(scale), impl, interpret)
+
+        f = shard_map(
+            local, mesh=mesh,
+            in_specs=(TOKEN_SPEC, TOKEN_SPEC, TOKEN_SPEC),
+            out_specs=TOKEN_SPEC,
+        )
+        return f(q, k, v)
+
+    kvf = jnp.asarray(kv_valid, jnp.float32)
+
+    def local_kv(ql, kl, vl, kvl):
+        return _ring_core_kv(ql, kl, vl, kvl, "context", n,
+                             int(num_cond_tokens), float(scale), impl,
+                             interpret)
 
     f = shard_map(
-        local, mesh=mesh,
-        in_specs=(TOKEN_SPEC, TOKEN_SPEC, TOKEN_SPEC),
+        local_kv, mesh=mesh,
+        in_specs=(TOKEN_SPEC, TOKEN_SPEC, TOKEN_SPEC, P()),
         out_specs=TOKEN_SPEC,
     )
-    return f(q, k, v)
+    return f(q, k, v, kvf)

@@ -313,3 +313,78 @@ def test_video_parallel_chunk_matches_sequential(inputs):
                     jax.tree.leaves(seq_tp[v])):
                 np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                            rtol=2e-5, atol=1e-6)
+
+
+def test_ring_attention_kv_valid_bucketing():
+    """Shape bucketing under ring CP: a traced global valid-key bound
+    masks keys across ring chunks; valid-region outputs and gradients
+    equal the unsharded oracle on the unpadded slice, and pad tokens
+    contribute zero gradient to k/v."""
+    from longcat_video_tta_tpu.ops.attention import attention_xla
+    from longcat_video_tta_tpu.parallel.context_attention import (
+        ring_self_attention,
+    )
+
+    mesh = build_mesh(MeshConfig(data=1, context=4, tensor=1))
+    B, S, H, D = 1, 64, 2, 16
+    valid, ncond = 44, 16
+    kq, kk, kv, kw = jax.random.split(jax.random.PRNGKey(11), 4)
+    q = jax.random.normal(kq, (B, S, H, D))
+    k = jax.random.normal(kk, (B, S, H, D))
+    v = jax.random.normal(kv, (B, S, H, D))
+    w = jax.random.normal(kw, (B, valid, H, D))
+
+    ref = attention_xla(q[:, :valid], k[:, :valid], v[:, :valid],
+                        num_cond_tokens=ncond)
+    with mesh:
+        ring = ring_self_attention(q, k, v, mesh, num_cond_tokens=ncond,
+                                   impl="xla", kv_valid=jnp.int32(valid))
+    np.testing.assert_allclose(np.asarray(ring[:, :valid]),
+                               np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+    def loss_ref(q, k, v):
+        o = attention_xla(q[:, :valid], k[:, :valid], v[:, :valid],
+                          num_cond_tokens=ncond)
+        return jnp.sum(o * w)
+
+    def loss_ring(q, k, v):
+        with mesh:
+            o = ring_self_attention(q, k, v, mesh, num_cond_tokens=ncond,
+                                    impl="xla", kv_valid=jnp.int32(valid))
+        return jnp.sum(o[:, :valid] * w)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    g_ring = jax.grad(loss_ring, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_ring, g_ref, "qkv"):
+        np.testing.assert_allclose(np.asarray(a[:, :valid]),
+                                   np.asarray(b[:, :valid]),
+                                   atol=5e-5, rtol=5e-5,
+                                   err_msg=f"d{name} valid region")
+    # pad keys/values are masked out of every key set -> zero grads
+    for a, name in zip(g_ring[1:], "kv"):
+        np.testing.assert_allclose(np.asarray(a[:, valid:]), 0.0,
+                                   atol=1e-7, err_msg=f"d{name} pad")
+
+
+def test_dit_forward_bucketed_context_parallel_matches(inputs):
+    """num_valid_latents composes with cp_mesh: the bucketed CP forward
+    equals the bucketed single-device forward on the valid region."""
+    params, latents, text, mask = inputs
+    mesh = build_mesh(MeshConfig(data=1, context=4, tensor=1))
+    B = latents.shape[0]
+    # pad 4 valid latent frames to 8 with junk
+    pad = jnp.full((B, latents.shape[1], 4, 8, 16), 13.5, latents.dtype)
+    lat_p = jnp.concatenate([latents, pad], axis=2)
+    ts = jnp.concatenate(
+        [jnp.zeros((B, 2)), jnp.full((B, 6), 500.0)], axis=1)
+    nv = jnp.int32(4)
+    ref = M.dit_forward(params, CFG, lat_p, ts, text, mask,
+                        num_cond_latents=2, attn_impl="xla",
+                        num_valid_latents=nv)
+    with mesh:
+        out = M.dit_forward(params, CFG, lat_p, ts, text, mask,
+                            num_cond_latents=2, attn_impl="xla",
+                            cp_mesh=mesh, num_valid_latents=nv)
+    np.testing.assert_allclose(np.asarray(out[:, :, :4]),
+                               np.asarray(ref[:, :, :4]),
+                               atol=2e-4, rtol=1e-3)
