@@ -122,6 +122,7 @@ class MMDiTConfig:
     param_dtype: str = "bfloat16"
     compute_dtype: str = "bfloat16"
     remat: bool = True
+    remat_policy: str = "full"  # "full" | "dots" (see DiTConfig)
 
     @property
     def head_dim(self) -> int:
@@ -182,6 +183,7 @@ class CogVideoXConfig:
     param_dtype: str = "bfloat16"
     compute_dtype: str = "bfloat16"
     remat: bool = True
+    remat_policy: str = "full"  # "full" | "dots" (see DiTConfig)
 
     @property
     def head_dim(self) -> int:

@@ -39,7 +39,7 @@ import jax.numpy as jnp
 from ..config import CogVideoXConfig, resolve_dtype
 from ..ops.attention import attention
 from ..ops.layers import layer_norm, linear, mlp_embedder, \
-    timestep_embedding
+    remat_wrap, timestep_embedding
 from .dit import apply_rope, rope_3d_angles
 
 AdapterDict = Optional[Dict[str, Any]]
@@ -238,7 +238,7 @@ def cogvideox_forward(
         vid = vid + g * h[:, L:]
         return (vid, txt), None
 
-    body_fn = jax.checkpoint(body) if cfg.remat else body
+    body_fn = remat_wrap(body, cfg.remat, cfg.remat_policy)
     (vid, txt), _ = jax.lax.scan(body_fn, (vid, txt),
                                  (params["blocks"], lora_stack))
 

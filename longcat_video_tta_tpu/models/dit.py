@@ -58,6 +58,7 @@ from ..ops.layers import (
     linear,
     mlp_embedder,
     modulate,
+    remat_wrap,
     rms_norm,
     rope_3d_angles,
     timestep_embedding,
@@ -451,14 +452,7 @@ def dit_forward(
         )
         return out, None
 
-    if cfg.remat and cfg.remat_policy == "dots":
-        body_fn = jax.checkpoint(
-            body,
-            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
-    elif cfg.remat:
-        body_fn = jax.checkpoint(body)
-    else:
-        body_fn = body
+    body_fn = remat_wrap(body, cfg.remat, cfg.remat_policy)
     x, _ = jax.lax.scan(body_fn, x, (params["blocks"], scan_xs))
 
     if adapters and "delta_h_final" in adapters:

@@ -37,8 +37,8 @@ import jax.numpy as jnp
 
 from ..config import MMDiTConfig, resolve_dtype
 from ..ops.attention import attention
-from ..ops.layers import layer_norm, mlp_embedder, modulate, rms_norm, \
-    timestep_embedding
+from ..ops.layers import layer_norm, mlp_embedder, modulate, \
+    remat_wrap, rms_norm, timestep_embedding
 
 AdapterDict = Optional[Dict[str, Any]]
 
@@ -333,8 +333,8 @@ def mmdit_forward(
         return _single_block(bp, lora, lscale, carry, vec, cos, sin, cfg,
                              attn_impl), None
 
-    dbl_body_fn = jax.checkpoint(dbl_body) if cfg.remat else dbl_body
-    sgl_body_fn = jax.checkpoint(sgl_body) if cfg.remat else sgl_body
+    dbl_body_fn = remat_wrap(dbl_body, cfg.remat, cfg.remat_policy)
+    sgl_body_fn = remat_wrap(sgl_body, cfg.remat, cfg.remat_policy)
 
     # {} is a leafless pytree: valid scan xs, statically "no lora"
     lora_d = adapters.get("lora_double") or {}

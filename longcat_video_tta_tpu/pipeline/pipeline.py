@@ -204,6 +204,7 @@ def generate_vc(
     attn_impl: Optional[str] = None,
     cp_mesh=None,
     bsa_cfg=None,
+    quantize_decode: str = "none",
 ) -> np.ndarray:
     """Video continuation. Returns generated frames [N, H, W, 3] in [0, 1]
     (N = num_frames rounded to 4k+1), matching the contract of
@@ -211,7 +212,11 @@ def generate_vc(
 
     ``dit_params`` overrides the bundle's weights (full/norm-tune TTA
     generate with their adapted weights; adapter methods pass
-    ``adapters`` instead — both flow through the same forward)."""
+    ``adapters`` instead — both flow through the same forward).
+
+    ``quantize_decode="int8"``: run the denoise loop with W8A8 per-block
+    matmuls (ops/quant.py) — a decode-only FLOP cut on top of the KV
+    cache and BSA; training and the VAE stay bf16."""
     cfg = bundle.cfg
     nf = round_frames_4k1(num_frames)
     n_gen_latents = (nf - 1) // 4 + 1
@@ -275,8 +280,13 @@ def generate_vc(
         gen_px = pixels[0, :, t_cond_px:t_cond_px + nf]
         return np.asarray(gen_px.transpose(1, 2, 3, 0))
 
+    decode_params = bundle.dit_params if dit_params is None else dit_params
+    if quantize_decode == "int8":
+        from ..ops.quant import quantize_dit_blocks_int8
+
+        decode_params = jax.jit(quantize_dit_blocks_int8)(decode_params)
     gen_latents = sample_latents(
-        bundle.dit_params if dit_params is None else dit_params,
+        decode_params,
         cfg.dit, cfg.scheduler,
         jax.random.PRNGKey(seed),
         emb, mask, nemb, nmask, guidance_scale,

@@ -78,6 +78,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="block-sparse decode attention: keep this "
                         "fraction of k-blocks per q-block (0 = dense; "
                         "cond cache always exact — ops/bsa.py)")
+    p.add_argument("--quantize-decode", choices=["none", "int8"],
+                   default="none",
+                   help="W8A8 per-block matmuls in the denoise loop "
+                        "(ops/quant.py); training stays bf16")
     p.add_argument("--skip-generation", action="store_true")
     p.add_argument("--no-save-videos", action="store_true")
     # method knobs
@@ -608,6 +612,7 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
                     attn_impl=args.attn_impl,
                     bsa_cfg=(None if args.bsa_keep_ratio <= 0 else
                              BSAConfig(keep_ratio=args.bsa_keep_ratio)),
+                    quantize_decode=args.quantize_decode,
                 )
                 gen_time = time.time() - t0
 
