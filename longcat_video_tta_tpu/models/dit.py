@@ -538,6 +538,7 @@ def dit_forward_with_cache(
     attn_impl: Optional[str] = None,
     cp_mesh=None,
     bsa_cfg=None,
+    num_valid_latents: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Decode-phase forward: noise tokens only, self-attention against
     [cached cond K/V ++ fresh noise K/V]. Returns velocity for the noise
@@ -545,7 +546,21 @@ def dit_forward_with_cache(
 
     ``bsa_cfg``: optional BSAConfig — block-sparse attention over the
     cached+fresh key blocks (the reference pipeline's BSA decode lever,
-    run_delta_a.py:118-120; ops/bsa.py)."""
+    run_delta_a.py:118-120; ops/bsa.py).
+
+    ``num_valid_latents``: optional traced count of valid NOISE latent
+    frames (gen-horizon bucketing): fresh tokens at index >= the bound
+    are masked out of every key set; their outputs are garbage the
+    sampler discards. The cond cache is always fully valid — the key
+    layout [cache ++ fresh] makes the combined bound a prefix."""
+    if num_valid_latents is not None and bsa_cfg is not None:
+        raise NotImplementedError(
+            "BSA block selection is not bucketing-aware; use dense "
+            "attention with gen-horizon bucketing")
+    if num_valid_latents is not None and cp_mesh is not None:
+        raise NotImplementedError(
+            "bucketed decode under CP is not wired: the per-device "
+            "[cache ++ fresh] key layout breaks the global prefix bound")
     x, t_emb, y, (nt, nh, nw) = _embed_inputs(
         params, cfg, noise_latents, timesteps, text_emb, text_mask, adapters
     )
@@ -554,6 +569,11 @@ def dit_forward_with_cache(
     rope_cos, rope_sin = rope_3d_angles(
         nt, nh, nw, cfg.rope_dims, cfg.rope_theta, t_offset=nt_cond
     )
+    kv_valid = None
+    if num_valid_latents is not None:
+        s_cond = kv_cache[0].shape[2]
+        kv_valid = s_cond + \
+            (num_valid_latents // cfg.patch_size[0]) * nh * nw
 
     scan_xs, lora_scale = _split_adapters(adapters)
 
@@ -563,6 +583,7 @@ def dit_forward_with_cache(
         out, _ = _block(
             bp, blk_ad, carry, t_emb, y, rope_cos, rope_sin, cfg,
             0, attn_impl, kv_cache=kv, cp_mesh=cp_mesh, bsa_cfg=bsa_cfg,
+            kv_valid=kv_valid,
         )
         return out, None
 

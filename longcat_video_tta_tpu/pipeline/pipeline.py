@@ -205,6 +205,7 @@ def generate_vc(
     cp_mesh=None,
     bsa_cfg=None,
     quantize_decode: str = "none",
+    bucket_gen: bool = False,
 ) -> np.ndarray:
     """Video continuation. Returns generated frames [N, H, W, 3] in [0, 1]
     (N = num_frames rounded to 4k+1), matching the contract of
@@ -216,7 +217,12 @@ def generate_vc(
 
     ``quantize_decode="int8"``: run the denoise loop with W8A8 per-block
     matmuls (ops/quant.py) — a decode-only FLOP cut on top of the KV
-    cache and BSA; training and the VAE stay bf16."""
+    cache and BSA; training and the VAE stay bf16.
+
+    ``bucket_gen``: pad the generated-latent horizon to the tta.bucket
+    ladder with a traced valid count, so gen-horizon sweeps (exp4:
+    16/28/44/72 frames) share one compile per bucket (LongCat path;
+    incompatible with bsa_cfg)."""
     cfg = bundle.cfg
     nf = round_frames_4k1(num_frames)
     n_gen_latents = (nf - 1) // 4 + 1
@@ -285,12 +291,23 @@ def generate_vc(
         from ..ops.quant import quantize_dit_blocks_int8
 
         decode_params = jax.jit(quantize_dit_blocks_int8)(decode_params)
+    gen_bucket, num_valid = n_gen_latents, None
+    if bucket_gen:
+        if bsa_cfg is not None:
+            raise ValueError("bucket_gen is incompatible with bsa_cfg "
+                             "(BSA selection is not bucketing-aware)")
+        from ..tta.bucket import bucket_len
+
+        gen_bucket = bucket_len(n_gen_latents)
+        # always traced (even at exact bucket size) so every horizon in
+        # the bucket shares one trace
+        num_valid = jnp.int32(n_gen_latents)
     gen_latents = sample_latents(
         decode_params,
         cfg.dit, cfg.scheduler,
         jax.random.PRNGKey(seed),
         emb, mask, nemb, nmask, guidance_scale,
-        num_gen_latents=n_gen_latents,
+        num_gen_latents=gen_bucket,
         num_steps=num_inference_steps,
         lat_h=lat_h, lat_w=lat_w,
         cond_latents=cond_latents,
@@ -299,7 +316,9 @@ def generate_vc(
         attn_impl=attn_impl,
         cp_mesh=cp_mesh,
         bsa_cfg=bsa_cfg,
+        num_valid_gen_latents=num_valid,
     )
+    gen_latents = gen_latents[:, :, :n_gen_latents]
 
     # Decode [cond | gen] together so the causal decoder sees the real
     # temporal context, then return the generated region sliced from the

@@ -60,6 +60,7 @@ def sample_latents(
     attn_impl: Optional[str] = None,
     cp_mesh=None,
     bsa_cfg=None,
+    num_valid_gen_latents: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Returns denoised latents for the generated region
     [B, C, num_gen_latents, lat_h, lat_w] (normalized latent space).
@@ -67,6 +68,12 @@ def sample_latents(
     ``cond_latents=None`` gives the T2V path (generate_t2v); otherwise
     video-continuation (generate_vc) with per-token timesteps
     [0..0, t..t] and ``num_cond_latents`` semantics.
+
+    ``num_valid_gen_latents``: optional traced valid count for
+    gen-horizon bucketing — ``num_gen_latents`` is the (static) bucket
+    size, latents beyond the valid count are masked out of attention and
+    the caller slices the output. One compile serves every horizon in
+    the bucket (incompatible with bsa_cfg).
     """
     B = text_emb.shape[0]
     C = dit_cfg.in_channels
@@ -92,6 +99,8 @@ def sample_latents(
 
     nt_total = n_cond + Lg
 
+    nv = num_valid_gen_latents
+
     def step(x, sig_pair):
         sigma, sigma_next = sig_pair
         t_val = sched.sigma_to_timestep(sigma, sched_cfg)
@@ -101,7 +110,7 @@ def sample_latents(
                 dit_params, dit_cfg, x2.astype(jnp.float32),
                 jnp.full((2 * B,), t_val), emb2, mask2,
                 num_cond_latents=0, adapters=adapters, attn_impl=attn_impl,
-                cp_mesh=cp_mesh,
+                cp_mesh=cp_mesh, num_valid_latents=nv,
             )
         elif use_kv_cache:
             v2 = dit_forward_with_cache(
@@ -109,6 +118,7 @@ def sample_latents(
                 jnp.full((2 * B,), t_val), emb2, mask2, kv_cache,
                 num_cond_latents=n_cond, adapters=adapters,
                 attn_impl=attn_impl, cp_mesh=cp_mesh, bsa_cfg=bsa_cfg,
+                num_valid_latents=nv,
             )
         else:
             full2 = jnp.concatenate([cond2, x2], axis=2)
@@ -117,6 +127,8 @@ def sample_latents(
                 dit_params, dit_cfg, full2.astype(jnp.float32), tsteps,
                 emb2, mask2, num_cond_latents=n_cond, adapters=adapters,
                 attn_impl=attn_impl, cp_mesh=cp_mesh,
+                num_valid_latents=(None if nv is None
+                                   else jnp.int32(n_cond) + nv),
             )
             v2 = v_all[:, :, n_cond:]
         v_u, v_c = v2[:B], v2[B:]

@@ -78,6 +78,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="block-sparse decode attention: keep this "
                         "fraction of k-blocks per q-block (0 = dense; "
                         "cond cache always exact — ops/bsa.py)")
+    p.add_argument("--bucket-gen", action="store_true",
+                   help="pad the gen-latent horizon to the bucket ladder "
+                        "(one sampler compile per bucket across gen-"
+                        "horizon sweeps; incompatible with --bsa-keep-"
+                        "ratio)")
     p.add_argument("--quantize-decode", choices=["none", "int8"],
                    default="none",
                    help="W8A8 per-block matmuls in the denoise loop "
@@ -613,6 +618,7 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
                     bsa_cfg=(None if args.bsa_keep_ratio <= 0 else
                              BSAConfig(keep_ratio=args.bsa_keep_ratio)),
                     quantize_decode=args.quantize_decode,
+                    bucket_gen=args.bucket_gen,
                 )
                 gen_time = time.time() - t0
 

@@ -106,3 +106,58 @@ def test_one_compile_per_bucket():
                               num_valid_target=valid)
         assert np.isfinite(float(loss))
     assert step._cache_size() == 1
+
+
+def test_cached_decode_valid_region_independent_of_padding():
+    """Gen-horizon bucketing in the KV-cache decode path: the bucketed
+    forward's valid region equals the exact-shape forward — for ANY pad
+    content (fresh pad keys are masked; the cond cache is always
+    valid)."""
+    from longcat_video_tta_tpu.models.dit import (
+        dit_forward_with_cache,
+        dit_precompute_cond_cache,
+    )
+
+    params = init_dit(jax.random.PRNGKey(0), CFG, zero_init=False)
+    B, C = 1, CFG.in_channels
+    cond = jax.random.normal(jax.random.PRNGKey(1), (B, C, 2, 8, 12))
+    text = jax.random.normal(jax.random.PRNGKey(2),
+                             (B, CFG.text_len, CFG.text_dim))
+    mask = jnp.ones((B, CFG.text_len), jnp.int32)
+    cache = dit_precompute_cond_cache(params, CFG, cond, text, mask)
+
+    noise = jax.random.normal(jax.random.PRNGKey(3), (B, C, 3, 8, 12))
+    ts = jnp.full((B,), 500.0)
+    ref = dit_forward_with_cache(params, CFG, noise, ts, text, mask, cache,
+                                 num_cond_latents=2)
+    for fill in (0.0, 21.5):
+        pad = jnp.full((B, C, 1, 8, 12), fill)
+        out = dit_forward_with_cache(
+            params, CFG, jnp.concatenate([noise, pad], axis=2), ts, text,
+            mask, cache, num_cond_latents=2,
+            num_valid_latents=jnp.int32(3))
+        np.testing.assert_allclose(np.asarray(out[:, :, :3]),
+                                   np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+
+def test_generate_vc_bucket_gen_one_compile():
+    """Two gen horizons in the same bucket share ONE sampler compile
+    (exp4 gen-horizon sweeps through the tunnel)."""
+    from longcat_video_tta_tpu.config import longcat_tiny
+    from longcat_video_tta_tpu.pipeline.pipeline import (
+        ModelBundle, generate_vc,
+    )
+    from longcat_video_tta_tpu.pipeline.sampler import sample_latents
+
+    bundle = ModelBundle.init_random(longcat_tiny(), seed=0)
+    cond = jax.random.uniform(jax.random.PRNGKey(1), (1, 3, 5, 16, 32),
+                              minval=-1.0, maxval=1.0)
+    before = sample_latents._cache_size()
+    outs = {}
+    for nf in (9, 13):  # 3 and 4 gen latents -> both bucket to 4
+        outs[nf] = generate_vc(bundle, cond, "p", num_frames=nf,
+                               num_inference_steps=2, seed=0,
+                               attn_impl="xla", bucket_gen=True)
+        assert outs[nf].shape[0] == nf
+        assert np.all(np.isfinite(outs[nf]))
+    assert sample_latents._cache_size() - before == 1
