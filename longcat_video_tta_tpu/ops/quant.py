@@ -93,3 +93,61 @@ def quantize_dit_blocks_int8(params: Dict[str, Any]) -> Dict[str, Any]:
         else:
             new_blocks[group] = sub
     return {**params, "blocks": new_blocks}
+
+
+def _quantize_named(tree: Dict[str, Any],
+                    spec: Dict[str, Any]) -> Dict[str, Any]:
+    """Quantize leaves named by ``spec`` ({group: (names...)} or nested
+    dicts); everything else passes through."""
+    out = {}
+    for key, val in tree.items():
+        sel = spec.get(key)
+        if sel is None:
+            out[key] = val
+        elif isinstance(sel, dict):
+            out[key] = _quantize_named(val, sel)
+        else:
+            out[key] = {n: (quantize_linear_params(leaf) if n in sel
+                            else leaf)
+                        for n, leaf in val.items()}
+    return out
+
+
+def quantize_mmdit_blocks_int8(params: Dict[str, Any]) -> Dict[str, Any]:
+    """MMDiT (Open-Sora v2 / Flux layout): quantize the double-stream
+    img/txt attention + MLPs and the single-stream fused linears; mods,
+    embedders, and final stay bf16."""
+    spec = {
+        "double": {
+            "img_attn": ("qkv", "proj"),
+            "txt_attn": ("qkv", "proj"),
+            "img_mlp": ("w_in", "w_out"),
+            "txt_mlp": ("w_in", "w_out"),
+        },
+    }
+    out = _quantize_named(params, spec)
+    single = dict(params["single"])
+    for name in ("linear1", "linear2"):
+        single[name] = quantize_linear_params(single[name])
+    out["single"] = single
+    return out
+
+
+def quantize_cogvideox_blocks_int8(params: Dict[str, Any]
+                                   ) -> Dict[str, Any]:
+    """CogVideoX layout: quantize the joint-attention q/k/v/out and the
+    feed-forward; LayerNormZero mod linears and embedders stay bf16."""
+    spec = {
+        "blocks": {
+            "attn": ("to_q", "to_k", "to_v", "to_out"),
+            "ff": ("w_in", "w_out"),
+        },
+    }
+    return _quantize_named(params, spec)
+
+
+QUANTIZERS_BY_ARCH = {
+    "longcat": quantize_dit_blocks_int8,
+    "mmdit": quantize_mmdit_blocks_int8,
+    "cogvideox": quantize_cogvideox_blocks_int8,
+}

@@ -233,6 +233,14 @@ def generate_vc(
 
     lat_h, lat_w = cond_latents.shape[3], cond_latents.shape[4]
 
+    decode_params = bundle.dit_params if dit_params is None else dit_params
+    if quantize_decode == "int8":
+        from ..ops.quant import QUANTIZERS_BY_ARCH
+
+        decode_params = jax.jit(
+            QUANTIZERS_BY_ARCH[getattr(cfg, "arch", "longcat")]
+        )(decode_params)
+
     if cfg.arch == "cogvideox":
         # CogVideoX-I2V path: DDIM v-pred, 2-batch CFG, image-latent
         # channel conditioning (common_cogvideo.py:283-322). The sampler
@@ -242,7 +250,7 @@ def generate_vc(
 
         emb2 = jnp.concatenate([nemb, emb], axis=0)
         full = sample_latents_cogvideox(
-            bundle.dit_params if dit_params is None else dit_params,
+            decode_params,
             cfg.dit, jax.random.PRNGKey(seed), emb2,
             num_gen_latents=n_gen_latents,
             num_steps=num_inference_steps,
@@ -269,7 +277,7 @@ def generate_vc(
         txt3 = jnp.concatenate([emb, nemb, nemb], axis=0)
         yv3 = jnp.concatenate([mask, nmask, nmask], axis=0)
         full = sample_latents_mmdit(
-            bundle.dit_params if dit_params is None else dit_params,
+            decode_params,
             cfg.dit, jax.random.PRNGKey(seed), txt3, yv3,
             num_gen_latents=n_gen_latents,
             num_steps=num_inference_steps,
@@ -286,11 +294,6 @@ def generate_vc(
         gen_px = pixels[0, :, t_cond_px:t_cond_px + nf]
         return np.asarray(gen_px.transpose(1, 2, 3, 0))
 
-    decode_params = bundle.dit_params if dit_params is None else dit_params
-    if quantize_decode == "int8":
-        from ..ops.quant import quantize_dit_blocks_int8
-
-        decode_params = jax.jit(quantize_dit_blocks_int8)(decode_params)
     gen_bucket, num_valid = n_gen_latents, None
     if bucket_gen:
         if bsa_cfg is not None:

@@ -112,3 +112,22 @@ def test_generate_vc_quantize_decode_runs(tmp_path):
                       num_inference_steps=2, seed=0, attn_impl="xla",
                       quantize_decode="int8")
     assert out.shape == (5, 16, 32, 3) and np.all(np.isfinite(out))
+
+
+@pytest.mark.parametrize("preset_fn", ["opensora_v2_tiny", "cogvideox_tiny"])
+def test_backbone_quantize_decode_runs(preset_fn):
+    """int8 decode on the MMDiT and CogVideoX layouts: the per-arch
+    quantizers produce pytrees the shared forwards accept end-to-end."""
+    from longcat_video_tta_tpu.models import backbones
+    from longcat_video_tta_tpu.pipeline.pipeline import (
+        ModelBundle, generate_vc,
+    )
+
+    cfg = getattr(backbones, preset_fn)()
+    bundle = ModelBundle.init_random(cfg, seed=0)
+    cond = jax.random.uniform(jax.random.PRNGKey(1), (1, 3, 5, 16, 32),
+                              minval=-1.0, maxval=1.0)
+    out = generate_vc(bundle, cond, "a test", num_frames=5,
+                      num_inference_steps=2, seed=0, attn_impl="xla",
+                      quantize_decode="int8")
+    assert out.shape[0] == 5 and np.all(np.isfinite(out))
