@@ -115,20 +115,16 @@ def init_cogvideox(rng: jax.Array, cfg: CogVideoXConfig,
 # ---------------------------------------------------------------------------
 
 
-def _pack(latents: jnp.ndarray, p: int) -> jnp.ndarray:
-    """[B, C, T, H, W] -> [B, T*Hp*Wp, C*p*p] (t-major token order)."""
-    B, C, T, H, W = latents.shape
-    x = latents.reshape(B, C, T, H // p, p, W // p, p)
-    x = x.transpose(0, 2, 3, 5, 1, 4, 6)
-    return x.reshape(B, T * (H // p) * (W // p), C * p * p)
+# token packing is identical to the MMDiT contract (t-major token order,
+# c,ph,pw channel order) — one implementation, shared
+from .mmdit import pack_latents as _pack  # noqa: E402
 
 
 def _unpack(tokens: jnp.ndarray, T: int, H: int, W: int, p: int,
             C: int) -> jnp.ndarray:
-    B, N, _ = tokens.shape
-    x = tokens.reshape(B, T, H // p, W // p, C, p, p)
-    x = x.transpose(0, 4, 1, 2, 5, 3, 6)
-    return x.reshape(B, C, T, H, W)
+    from .mmdit import unpack_tokens
+
+    return unpack_tokens(tokens, T, H, W, p)
 
 
 def _ln_zero(npz, temb, hidden, enc, cdtype):

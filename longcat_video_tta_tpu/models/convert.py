@@ -98,11 +98,25 @@ def load_converted_bundle(ckpt_dir: str, cfg: ModelConfig):
         tokenize = load_hf_tokenizer(ckpt_dir, cfg.text.max_length)
     else:
         tokenize = HashTokenizer(cfg.text.vocab_size, cfg.text.max_length)
+    clip_tokenize = None
+    if cfg.clip is not None:
+        from ..pipeline.pipeline import load_hf_clip_tokenizer
+
+        clip_tokenize = load_hf_clip_tokenizer(ckpt_dir,
+                                               cfg.clip.max_length)
+        if clip_tokenize is None:
+            print(
+                "WARNING: no CLIP tokenizer subfolder in the bundle — "
+                "MMDiT y_vec conditioning will use hash ids clamped into "
+                "the CLIP vocab (meaningless with real CLIP weights). "
+                "Copy the checkpoint's CLIP tokenizer to "
+                f"{os.path.join(ckpt_dir, 'tokenizer_2')}.")
     return ModelBundle(cfg=cfg, dit_params=trees["dit"],
                        vae_params=trees["vae"],
                        text_params=trees["text_encoder"],
                        tokenize=tokenize,
-                       clip_params=trees.get("clip"))
+                       clip_params=trees.get("clip"),
+                       clip_tokenize=clip_tokenize)
 
 
 # ---------------------------------------------------------------------------

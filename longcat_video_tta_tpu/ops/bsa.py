@@ -175,6 +175,14 @@ def bsa_attention(
     if q_token_offset is None:
         q_token_offset = Sk - Sq  # decode: queries follow the cache
 
+    # The forced-keep set (cond-prefix blocks + each q-block's diagonal)
+    # must fit in top_k, or top-k tie-breaking silently drops the
+    # diagonal / trailing cond blocks and the "cond stays exact"
+    # contract breaks. Clamp up — keep_ratio is a floor, not a cap.
+    nKb = _round_up(Sk, block_k) // block_k
+    n_cond_blocks = -(-num_cond_tokens // block_k) if num_cond_tokens else 0
+    top_k = min(nKb, max(top_k, n_cond_blocks + 1))
+
     idx = select_blocks(q, k, block_q=block_q, block_k=block_k,
                         top_k=top_k, num_cond_tokens=num_cond_tokens,
                         q_token_offset=q_token_offset)

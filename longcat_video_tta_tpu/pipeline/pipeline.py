@@ -53,10 +53,11 @@ class HashTokenizer:
                 np.asarray(mask, np.int32)[None])
 
 
-def load_hf_tokenizer(checkpoint_dir: str, max_length: int):
+def load_hf_tokenizer(checkpoint_dir: str, max_length: int,
+                      subfolder: str = "tokenizer"):
     from transformers import AutoTokenizer
 
-    tok = AutoTokenizer.from_pretrained(checkpoint_dir, subfolder="tokenizer")
+    tok = AutoTokenizer.from_pretrained(checkpoint_dir, subfolder=subfolder)
 
     def tokenize(text: str):
         out = tok([text], padding="max_length", max_length=max_length,
@@ -66,6 +67,20 @@ def load_hf_tokenizer(checkpoint_dir: str, max_length: int):
             out["attention_mask"].astype(np.int32)
 
     return tokenize
+
+
+def load_hf_clip_tokenizer(checkpoint_dir: str, max_length: int):
+    """CLIP BPE tokenizer for the MMDiT y_vec path. Tries the common
+    checkpoint subfolder names (Flux/Open-Sora layouts). Returns None
+    when absent — callers fall back to the hash path with a loud
+    warning, since T5/hash ids are meaningless CLIP BPE ids."""
+    import os
+
+    for sub in ("tokenizer_2", "clip_tokenizer", "tokenizer_clip"):
+        if os.path.exists(os.path.join(checkpoint_dir, sub)):
+            return load_hf_tokenizer(checkpoint_dir, max_length,
+                                     subfolder=sub)
+    return None
 
 
 # ---------------------------------------------------------------------------
@@ -87,6 +102,10 @@ class ModelBundle:
     text_params: Dict[str, Any]
     tokenize: Callable[[str], Tuple[np.ndarray, np.ndarray]]
     clip_params: Optional[Dict[str, Any]] = None
+    # CLIP BPE tokenizer for the MMDiT y_vec path (real checkpoints);
+    # None = hash fallback (tests/synthetic only)
+    clip_tokenize: Optional[Callable[[str],
+                                     Tuple[np.ndarray, np.ndarray]]] = None
 
     @classmethod
     def init_random(cls, cfg: ModelConfig, seed: int = 0,
@@ -146,8 +165,17 @@ class ModelBundle:
         if self.cfg.arch == "mmdit":
             from ..models.clip_text import clip_text_pooled
 
-            clip_ids = np.minimum(ids, self.cfg.clip.vocab_size - 1)
-            clip_ids = clip_ids[:, : self.cfg.clip.max_length]
+            if self.clip_tokenize is not None:
+                clip_ids, _ = self.clip_tokenize(prompt)
+                clip_ids = np.asarray(clip_ids)[
+                    :, : self.cfg.clip.max_length]
+            else:
+                # synthetic/random-weight fallback ONLY: T5/hash ids are
+                # not CLIP BPE ids; with real CLIP weights the pooled
+                # vector would be garbage (load_converted_bundle wires
+                # clip_tokenize and warns when the tokenizer is absent)
+                clip_ids = np.minimum(ids, self.cfg.clip.vocab_size - 1)
+                clip_ids = clip_ids[:, : self.cfg.clip.max_length]
             y_vec = clip_text_pooled(self.clip_params, self.cfg.clip,
                                      jnp.asarray(clip_ids))
             return emb, y_vec
@@ -180,6 +208,27 @@ class ModelBundle:
 # ---------------------------------------------------------------------------
 # Generation entry points
 # ---------------------------------------------------------------------------
+
+
+# int8 decode quantization cache: adapter-method sweeps call generate_vc
+# per video with the SAME frozen base params — quantizing the full tree
+# each time would add a whole-params HBM pass per video. Keyed by object
+# identity; the value holds a reference to the source params so the id
+# stays valid.
+_QUANT_CACHE: dict = {}
+
+
+def _quantized_cached(params, arch: str):
+    from ..ops.quant import QUANTIZERS_BY_ARCH
+
+    key = (id(params), arch)
+    hit = _QUANT_CACHE.get(key)
+    if hit is not None and hit[0] is params:
+        return hit[1]
+    q = jax.jit(QUANTIZERS_BY_ARCH[arch])(params)
+    _QUANT_CACHE.clear()  # one live entry: sweeps reuse one base
+    _QUANT_CACHE[key] = (params, q)
+    return q
 
 
 def round_frames_4k1(num_frames: int) -> int:
@@ -233,13 +282,20 @@ def generate_vc(
 
     lat_h, lat_w = cond_latents.shape[3], cond_latents.shape[4]
 
+    if cfg.arch in ("cogvideox", "mmdit"):
+        # fail loudly instead of silently running dense/unbucketed
+        # (dit_forward_with_cache does the same for unsupported combos)
+        for flag, name in ((bsa_cfg, "bsa_cfg"), (bucket_gen, "bucket_gen"),
+                           (cp_mesh, "cp_mesh")):
+            if flag:
+                raise NotImplementedError(
+                    f"{name} is not supported on the {cfg.arch} decode "
+                    "path (LongCat only)")
+
     decode_params = bundle.dit_params if dit_params is None else dit_params
     if quantize_decode == "int8":
-        from ..ops.quant import QUANTIZERS_BY_ARCH
-
-        decode_params = jax.jit(
-            QUANTIZERS_BY_ARCH[getattr(cfg, "arch", "longcat")]
-        )(decode_params)
+        decode_params = _quantized_cached(decode_params,
+                                          getattr(cfg, "arch", "longcat"))
 
     if cfg.arch == "cogvideox":
         # CogVideoX-I2V path: DDIM v-pred, 2-batch CFG, image-latent

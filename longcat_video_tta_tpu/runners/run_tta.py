@@ -546,6 +546,7 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
                         k = min(k0, args.steps - s)
                         do_anchor = (es_active
                                      and (s + k) % escfg.check_every == 0)
+                        t_chunk = time.time()
                         tp, opt_state, loss_vec, anchor = chunk_fn(
                             tp, opt_state, bundle.dit_params,
                             cond_stack, train_stack, emb_stack, mask_stack,
@@ -557,6 +558,16 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
                             valid_stack=valid_stack)
                         s += k
                         loss_vec, anchor = jax.device_get((loss_vec, anchor))
+                        if do_anchor:
+                            # the anchor eval is fused into the dispatch;
+                            # attribute its share (each of the n_sigmas x
+                            # n_draws fwd-only passes ~ 1/3 of a train
+                            # step) so es_check_time stays comparable to
+                            # the per-step path's measured value
+                            n_anchor = (len(stopper.fixed_noises)
+                                        * len(escfg.anchor_sigmas)) / 3.0
+                            es_loop_time += ((time.time() - t_chunk)
+                                             * n_anchor / (k + n_anchor))
                         losses.extend(float(x) for x in loss_vec)
                         if do_anchor:
                             stop, _info = stopper.step_with_loss(

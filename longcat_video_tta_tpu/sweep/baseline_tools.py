@@ -205,9 +205,12 @@ def annotate_existing_videos(
 ) -> List[str]:
     """For each saved generation, prepend the matching original's
     conditioning frames (red border) and mark generated frames green
-    (reference annotate_existing_videos.py). Matching: leading integer
-    index in the generation filename -> sorted original list position,
-    falling back to stem-substring match."""
+    (reference annotate_existing_videos.py). Matching prefers
+    stem-substring (run_tta save names embed the source stem); the
+    leading-integer index into the sorted originals is only a fallback —
+    generation indices follow load_video_list's seeded/stratified sample
+    order, not the sorted directory order, so the index can pair the
+    wrong clip when orig_dir is the raw dataset."""
     gens = sorted(p for p in Path(gen_dir).iterdir()
                   if p.suffix.lower() in (".mp4", ".avi", ".npy"))
     origs = sorted(p for p in Path(orig_dir).rglob("*")
@@ -215,15 +218,15 @@ def annotate_existing_videos(
     os.makedirs(out_dir, exist_ok=True)
     written: List[str] = []
     for g in gens:
-        m = re.match(r"^(\d+)", g.stem)
         orig: Optional[Path] = None
-        if m and int(m.group(1)) < len(origs):
-            orig = origs[int(m.group(1))]
-        else:
-            for o in origs:
-                if o.stem in g.stem or g.stem in o.stem:
-                    orig = o
-                    break
+        for o in origs:
+            if o.stem in g.stem or g.stem in o.stem:
+                orig = o
+                break
+        if orig is None:
+            m = re.match(r"^(\d+)", g.stem)
+            if m and int(m.group(1)) < len(origs):
+                orig = origs[int(m.group(1))]
         if orig is None:
             print(f"[annotate] no original match for {g.name}; skipped")
             continue

@@ -392,7 +392,16 @@ def cogvideox_flow_matching_loss_conditioned(
     timestep = sigma*1000; conditioning rides the I2V image-latent
     channels built from the first conditioning frame). The (cond,
     target) split follows the runner's window contract; per the
-    reference this loss noises and scores the FULL window."""
+    reference this loss noises and scores the FULL window.
+
+    NOTE (deliberate behavior parity): CogVideoX is natively a v-pred
+    DDPM (the sampler uses zero-terminal-SNR DDIM v-pred algebra), yet
+    the reference fine-tunes it with THIS rectified-flow objective —
+    common_cogvideo.py:203-218 verbatim: noisy = (1-sigma)x + sigma*n,
+    target = noise - latents. The parameterization mismatch is the
+    reference's own experimental choice (its CogVideoX arm was never
+    run, NOT_RUN_YET.md:55-56); we reproduce it rather than 'fix' it so
+    cross-framework comparisons measure the same method."""
     if cp_mesh is not None or num_valid_target is not None:
         raise NotImplementedError(
             "CP / shape bucketing are not wired for the CogVideoX backbone")

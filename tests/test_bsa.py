@@ -92,3 +92,27 @@ def test_sampler_bsa_full_keep_equals_dense():
                          **common)
     np.testing.assert_allclose(np.asarray(bsa), np.asarray(dense),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_top_k_clamped_to_forced_set():
+    """When the forced-keep set (cond blocks + diagonal) exceeds the
+    requested top_k, bsa_attention must clamp top_k up rather than let
+    tie-breaking silently drop the diagonal (the default 480p decode
+    geometry hits this: 7 cond blocks + diag > ceil(19*0.35)=7)."""
+    # cond prefix 128 tokens = 4 blocks of 32; forced set = 4 cond + 1
+    # diagonal = 5 > requested top_k=2
+    q, k, v = _qkv(jax.random.PRNGKey(4), Sq=64, Sk=192)
+    out = bsa_attention(q, k, v, top_k=2, block_q=32, block_k=32,
+                        num_cond_tokens=128, q_token_offset=128,
+                        interpret=True)
+    idx = select_blocks(q, k, block_q=32, block_k=32, top_k=5,
+                        num_cond_tokens=128, q_token_offset=128)
+    idx_np = np.asarray(idx)
+    for bh in range(idx_np.shape[0]):
+        for qi in range(idx_np.shape[1]):
+            sel = set(idx_np[bh, qi].tolist())
+            assert {0, 1, 2, 3} <= sel
+            assert (128 + qi * 32) // 32 in sel
+    ref = bsa_reference(q, k, v, idx, block_q=32, block_k=32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
