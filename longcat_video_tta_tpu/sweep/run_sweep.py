@@ -73,6 +73,10 @@ _KEY_TO_FLAG = {
     "weight_decay": "--weight-decay",
     "max_grad_norm": "--max-grad-norm",
     "batch_method": "--batch-method",
+    # decode-lever flags (round 2)
+    "bsa_keep_ratio": "--bsa-keep-ratio",
+    "quantize_decode": "--quantize-decode",
+    "loss_fetch_every": "--loss-fetch-every",
 }
 # booleans: flag set iff true (reference convention, run_sweep.py:201-205)
 _BOOL_FLAGS = {
@@ -88,6 +92,9 @@ _BOOL_FLAGS = {
     "fvd_enabled": "--fvd-enabled",
     "also_tune_delta": "--also-tune-delta",
     "use_builtin_lora": "--use-builtin-lora",
+    "bucket_gen": "--bucket-gen",
+    "native_prefetch": "--native-prefetch",
+    "debug_nans": "--debug-nans",
 }
 
 
