@@ -281,6 +281,7 @@ def _self_attention(bp, x, rope_cos, rope_sin, cfg: DiTConfig,
             block_k=bsa_cfg.block_k,
             num_cond_tokens=kv_cache[0].shape[1],
             interpret=jax.default_backend() != "tpu",
+            kv_valid=kv_valid,
         )
     else:
         o = attention(q, k, v, num_cond_tokens=num_cond_tokens,
@@ -550,13 +551,10 @@ def dit_forward_with_cache(
 
     ``num_valid_latents``: optional traced count of valid NOISE latent
     frames (gen-horizon bucketing): fresh tokens at index >= the bound
-    are masked out of every key set; their outputs are garbage the
-    sampler discards. The cond cache is always fully valid — the key
-    layout [cache ++ fresh] makes the combined bound a prefix."""
-    if num_valid_latents is not None and bsa_cfg is not None:
-        raise NotImplementedError(
-            "BSA block selection is not bucketing-aware; use dense "
-            "attention with gen-horizon bucketing")
+    are masked out of every key set (dense flash AND the BSA block
+    selection/kernel); their outputs are garbage the sampler discards.
+    The cond cache is always fully valid — the key layout
+    [cache ++ fresh] makes the combined bound a prefix."""
     if num_valid_latents is not None and cp_mesh is not None:
         raise NotImplementedError(
             "bucketed decode under CP is not wired: the per-device "

@@ -55,8 +55,15 @@ def select_blocks(
     top_k: int,
     num_cond_tokens: int = 0,
     q_token_offset: int = 0,
+    kv_valid=None,
 ) -> jnp.ndarray:
     """-> int32 [B*H, nQb, top_k] selected k-block indices (sorted).
+
+    ``kv_valid``: optional traced valid-key count (bucketing) — k-blocks
+    that start at or beyond the bound are scored NEG so they are never
+    selected over a valid block (applied after force-keep: cond blocks
+    are always valid; a pad q-block's forced diagonal gets demoted,
+    which is harmless since its outputs are discarded).
 
     Pooled-similarity scoring with force-kept cond-prefix blocks and the
     diagonal block (each query's own neighborhood). ``q_token_offset``
@@ -94,6 +101,9 @@ def select_blocks(
     diag = q_starts // block_k                        # [nQb]
     keep_qk = keep[None, :] | (kb_idx[None, :] == diag[:, None])  # [nQb,nKb]
     scores = jnp.where(keep_qk[None, None], big, scores)
+    if kv_valid is not None:
+        invalid = (kb_idx * block_k) >= kv_valid      # fully-invalid blocks
+        scores = jnp.where(invalid[None, None, None], -big, scores)
 
     _, idx = jax.lax.top_k(scores, top_k)             # [B, H, nQb, top_k]
     idx = jnp.sort(idx, axis=-1)
@@ -107,7 +117,8 @@ def select_blocks(
 
 def _bsa_kernel(idx_ref, meta_ref, q_ref, k_ref, v_ref, o_ref,
                 m_scr, l_scr, acc_scr,
-                *, scale: float, bq: int, bk: int, sk: int):
+                *, scale: float, bq: int, bk: int, sk: int,
+                dyn_kvlen: bool = False):
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -121,10 +132,12 @@ def _bsa_kernel(idx_ref, meta_ref, q_ref, k_ref, v_ref, o_ref,
         q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * scale  # [bq, bk]
 
-    # mask padded keys of the final (ragged) k block
+    # mask padded keys of the final (ragged) k block — and, under shape
+    # bucketing, keys at global index >= the traced valid bound
     blk = idx_ref[pl.program_id(0), pl.program_id(1), ki]
     k_glob = blk * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
-    allowed = k_glob < sk
+    bound = jnp.minimum(sk, meta_ref[0, 0]) if dyn_kvlen else sk
+    allowed = k_glob < bound
     s = jnp.where(allowed, s, NEG_INF)
 
     m_prev = m_scr[:, :1]
@@ -159,6 +172,7 @@ def bsa_attention(
     q_token_offset: Optional[int] = None,
     scale: Optional[float] = None,
     interpret: bool = False,
+    kv_valid=None,
 ) -> jnp.ndarray:
     """Block-sparse attention: dense per-block top-k selection + gathered
     flash compute. Decode semantics: queries are noise tokens (attend-
@@ -167,6 +181,11 @@ def bsa_attention(
     When Sq == Sk (no-cache path) the cond-prefix query rule is NOT
     applied — BSA is a decode-path optimization; use flash_attention for
     training.
+
+    ``kv_valid``: optional traced valid-key count (gen-horizon
+    bucketing): invalid blocks are never selected and the kernel masks
+    keys at global index >= the bound, so BSA composes with
+    ``--bucket-gen``.
     """
     B, Sq, H, D = q.shape
     Sk = k.shape[1]
@@ -185,7 +204,7 @@ def bsa_attention(
 
     idx = select_blocks(q, k, block_q=block_q, block_k=block_k,
                         top_k=top_k, num_cond_tokens=num_cond_tokens,
-                        q_token_offset=q_token_offset)
+                        q_token_offset=q_token_offset, kv_valid=kv_valid)
 
     bq = min(block_q, _round_up(Sq, 8))
     bk = min(block_k, _round_up(Sk, 8))
@@ -205,9 +224,11 @@ def bsa_attention(
     nQb = sq_pad // bq
 
     grid = (BH, nQb, top_k)
+    dyn = kv_valid is not None
     kernel = functools.partial(_bsa_kernel, scale=float(scale), bq=bq,
-                               bk=bk, sk=Sk)
-    meta = jnp.zeros((1, 1), jnp.int32)  # reserved
+                               bk=bk, sk=Sk, dyn_kvlen=dyn)
+    meta = jnp.reshape(
+        jnp.asarray(kv_valid if dyn else 0, jnp.int32), (1, 1))
     o = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(

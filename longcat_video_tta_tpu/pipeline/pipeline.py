@@ -271,7 +271,7 @@ def generate_vc(
     ``bucket_gen``: pad the generated-latent horizon to the tta.bucket
     ladder with a traced valid count, so gen-horizon sweeps (exp4:
     16/28/44/72 frames) share one compile per bucket (LongCat path;
-    incompatible with bsa_cfg)."""
+    composes with bsa_cfg and quantize_decode)."""
     cfg = bundle.cfg
     nf = round_frames_4k1(num_frames)
     n_gen_latents = (nf - 1) // 4 + 1
@@ -352,9 +352,6 @@ def generate_vc(
 
     gen_bucket, num_valid = n_gen_latents, None
     if bucket_gen:
-        if bsa_cfg is not None:
-            raise ValueError("bucket_gen is incompatible with bsa_cfg "
-                             "(BSA selection is not bucketing-aware)")
         from ..tta.bucket import bucket_len
 
         gen_bucket = bucket_len(n_gen_latents)

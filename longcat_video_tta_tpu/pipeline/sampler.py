@@ -71,9 +71,9 @@ def sample_latents(
 
     ``num_valid_gen_latents``: optional traced valid count for
     gen-horizon bucketing — ``num_gen_latents`` is the (static) bucket
-    size, latents beyond the valid count are masked out of attention and
-    the caller slices the output. One compile serves every horizon in
-    the bucket (incompatible with bsa_cfg).
+    size, latents beyond the valid count are masked out of attention
+    (dense flash and BSA) and the caller slices the output. One compile
+    serves every horizon in the bucket.
     """
     B = text_emb.shape[0]
     C = dit_cfg.in_channels

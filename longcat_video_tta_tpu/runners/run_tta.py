@@ -81,8 +81,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--bucket-gen", action="store_true",
                    help="pad the gen-latent horizon to the bucket ladder "
                         "(one sampler compile per bucket across gen-"
-                        "horizon sweeps; incompatible with --bsa-keep-"
-                        "ratio)")
+                        "horizon sweeps; composes with --bsa-keep-ratio "
+                        "and --quantize-decode)")
     p.add_argument("--quantize-decode", choices=["none", "int8"],
                    default="none",
                    help="W8A8 per-block matmuls in the denoise loop "

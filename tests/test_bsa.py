@@ -116,3 +116,49 @@ def test_top_k_clamped_to_forced_set():
     ref = bsa_reference(q, k, v, idx, block_q=32, block_k=32)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_bsa_kv_valid_masks_invalid_keys():
+    """BSA + bucketing: with full keep, bucketed BSA over padded keys
+    equals dense attention over the valid slice (selection never picks
+    fully-invalid blocks; the kernel masks the boundary tail)."""
+    q, k, v = _qkv(jax.random.PRNGKey(5), Sq=64, Sk=192)
+    valid = 150  # blocks 0..4 (4 partial), block 5 fully invalid
+    out = bsa_attention(q, k, v, top_k=6, block_q=32, block_k=32,
+                        num_cond_tokens=64, q_token_offset=128,
+                        kv_valid=jnp.int32(valid), interpret=True)
+    ref = attention_xla(q, k[:, :valid], v[:, :valid])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_bsa_selection_skips_invalid_blocks():
+    q, k, v = _qkv(jax.random.PRNGKey(6), Sq=64, Sk=192)
+    idx = select_blocks(q, k, block_q=32, block_k=32, top_k=3,
+                        num_cond_tokens=32, q_token_offset=128,
+                        kv_valid=jnp.int32(96))  # blocks 3,4,5 invalid
+    idx_np = np.asarray(idx)
+    # valid q-block 0 (tokens 128..160 > valid — but its selection must
+    # still avoid invalid K blocks beyond index 2)
+    for bh in range(idx_np.shape[0]):
+        sel = set(idx_np[bh, 0].tolist())
+        assert sel <= {0, 1, 2, 4}, sel  # 4 = forced diagonal of q-block 0
+        assert 0 in sel  # cond block always kept
+
+
+def test_generate_vc_bucket_gen_with_bsa(tmp_path):
+    """bucket_gen composes with bsa_cfg end-to-end."""
+    from longcat_video_tta_tpu.config import BSAConfig, longcat_tiny
+    from longcat_video_tta_tpu.pipeline.pipeline import (
+        ModelBundle, generate_vc,
+    )
+
+    bundle = ModelBundle.init_random(longcat_tiny(), seed=0)
+    cond = jax.random.uniform(jax.random.PRNGKey(1), (1, 3, 5, 16, 32),
+                              minval=-1.0, maxval=1.0)
+    out = generate_vc(bundle, cond, "p", num_frames=9,
+                      num_inference_steps=2, seed=0, attn_impl="xla",
+                      bucket_gen=True,
+                      bsa_cfg=BSAConfig(keep_ratio=0.9, block_q=8,
+                                        block_k=8, min_blocks=1))
+    assert out.shape[0] == 9 and np.all(np.isfinite(out))
