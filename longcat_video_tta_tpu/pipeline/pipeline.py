@@ -225,8 +225,10 @@ def _quantized_cached(params, arch: str):
     hit = _QUANT_CACHE.get(key)
     if hit is not None and hit[0] is params:
         return hit[1]
+    # drop the stale entry BEFORE quantizing so two bf16 + two int8
+    # trees never coexist in HBM
+    _QUANT_CACHE.clear()
     q = jax.jit(QUANTIZERS_BY_ARCH[arch])(params)
-    _QUANT_CACHE.clear()  # one live entry: sweeps reuse one base
     _QUANT_CACHE[key] = (params, q)
     return q
 
@@ -294,8 +296,16 @@ def generate_vc(
 
     decode_params = bundle.dit_params if dit_params is None else dit_params
     if quantize_decode == "int8":
-        decode_params = _quantized_cached(decode_params,
-                                          getattr(cfg, "arch", "longcat"))
+        arch = getattr(cfg, "arch", "longcat")
+        if dit_params is None:
+            # frozen bundle base (adapter methods): cache across videos
+            decode_params = _quantized_cached(decode_params, arch)
+        else:
+            # per-video adapted weights (full/norm_tune): quantize
+            # uncached so the cache never pins a stale full-model tree
+            from ..ops.quant import QUANTIZERS_BY_ARCH
+
+            decode_params = jax.jit(QUANTIZERS_BY_ARCH[arch])(decode_params)
 
     if cfg.arch == "cogvideox":
         # CogVideoX-I2V path: DDIM v-pred, 2-batch CFG, image-latent

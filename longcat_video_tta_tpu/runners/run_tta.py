@@ -541,6 +541,7 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
                     mask_stack = jnp.stack([d["mask"] for d in stacks])
                     k0 = (escfg.check_every if es_active
                           else (args.loss_fetch_every or 25))
+                    first_anchor_done = False
                     s = 0
                     while s < args.steps:
                         k = min(k0, args.steps - s)
@@ -558,18 +559,21 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
                             valid_stack=valid_stack)
                         s += k
                         loss_vec, anchor = jax.device_get((loss_vec, anchor))
+                        losses.extend(float(x) for x in loss_vec)
                         if do_anchor:
                             # the anchor eval is fused into the dispatch;
                             # attribute its share (each of the n_sigmas x
                             # n_draws fwd-only passes ~ 1/3 of a train
                             # step) so es_check_time stays comparable to
-                            # the per-step path's measured value
-                            n_anchor = (len(stopper.fixed_noises)
-                                        * len(escfg.anchor_sigmas)) / 3.0
-                            es_loop_time += ((time.time() - t_chunk)
-                                             * n_anchor / (k + n_anchor))
-                        losses.extend(float(x) for x in loss_vec)
-                        if do_anchor:
+                            # the per-step path's measured value. The
+                            # FIRST anchor chunk is excluded: its wall
+                            # time is dominated by XLA compilation.
+                            if first_anchor_done:
+                                n_anchor = (len(stopper.fixed_noises)
+                                            * len(escfg.anchor_sigmas)) / 3.0
+                                es_loop_time += ((time.time() - t_chunk)
+                                                 * n_anchor / (k + n_anchor))
+                            first_anchor_done = True
                             stop, _info = stopper.step_with_loss(
                                 s, tp, float(anchor))
                             if stop:

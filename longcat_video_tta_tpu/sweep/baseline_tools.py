@@ -217,12 +217,18 @@ def annotate_existing_videos(
                    if p.suffix.lower() in (".mp4", ".avi", ".npy"))
     os.makedirs(out_dir, exist_ok=True)
     written: List[str] = []
+    by_stem = {o.stem: o for o in origs}
     for g in gens:
-        orig: Optional[Path] = None
-        for o in origs:
-            if o.stem in g.stem or g.stem in o.stem:
-                orig = o
-                break
+        # run_tta save names are '<idx>_<source-stem>'; exact stem match
+        # first, then LONGEST substring (a first-hit substring scan
+        # would pair 'video_12' with 'video_1'), then the index fallback
+        bare = re.sub(r"^\d+_", "", g.stem)
+        orig: Optional[Path] = by_stem.get(bare) or by_stem.get(g.stem)
+        if orig is None:
+            matches = [o for o in origs
+                       if o.stem in g.stem or g.stem in o.stem]
+            if matches:
+                orig = max(matches, key=lambda o: len(o.stem))
         if orig is None:
             m = re.match(r"^(\d+)", g.stem)
             if m and int(m.group(1)) < len(origs):
