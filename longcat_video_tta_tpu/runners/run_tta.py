@@ -87,6 +87,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    default="none",
                    help="W8A8 per-block matmuls in the denoise loop "
                         "(ops/quant.py); training stays bf16")
+    p.add_argument("--save-adapters", action="store_true",
+                   help="persist each video's trained adapter state "
+                        "(orbax) for post-hoc re-evaluation "
+                        "(run_eval_adapters)")
     p.add_argument("--skip-generation", action="store_true")
     p.add_argument("--no-save-videos", action="store_true")
     # method knobs
@@ -606,6 +610,16 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
                 res["losses"] = losses
                 res["adapter_norm"] = adapter_norm(tp)
                 res["trainable_params"] = scheme.num_params(tp)
+                if args.save_adapters:
+                    # per-video adapter artifact (reference: run_lora_tta
+                    # torch.save of LoRA weights, run_lora_tta.py:412-418;
+                    # consumed by runners/run_eval_adapters.py)
+                    from ..utils.checkpoint import save_adapter_state
+
+                    ap = os.path.join(args.output_dir, "adapters",
+                                      f"{idx:04d}_{vid_id}")
+                    save_adapter_state(ap, tp)
+                    res["adapter_path"] = ap
 
             # ---- generation -------------------------------------------
             gen_time = 0.0

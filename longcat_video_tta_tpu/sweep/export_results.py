@@ -167,11 +167,79 @@ def print_report(runs: List[Dict]) -> str:
     return report
 
 
+def compare_method_dirs(labeled_dirs: List[tuple],
+                        output_dir: Optional[str] = None) -> Dict[str, Any]:
+    """Cross-method comparison table from per-method run dirs —
+    the reference's compare_methods.py (delta_experiment/scripts/
+    compare_methods.py:1-205): each dir holds a summary.json (or
+    eval_summary.json from run_eval_adapters); emits a table + JSON."""
+    rows = []
+    for label, d in labeled_dirs:
+        doc = None
+        for name in ("summary.json", "eval_summary.json"):
+            path = os.path.join(d, name)
+            if os.path.exists(path):
+                with open(path) as f:
+                    doc = json.load(f)
+                break
+        if doc is None:
+            rows.append({"label": label, "dir": d, "missing": True})
+            continue
+        ok = [r for r in doc.get("results", []) if r.get("success")]
+
+        def _mean(key):
+            vals = [r[key] for r in ok
+                    if isinstance(r.get(key), (int, float))
+                    and np.isfinite(r[key])]
+            return float(np.mean(vals)) if vals else None
+
+        rows.append({
+            "label": label, "dir": d,
+            "method": doc.get("method") or doc.get("mode"),
+            "n": len(ok),
+            "psnr": _mean("psnr"), "ssim": _mean("ssim"),
+            "lpips": _mean("lpips"),
+            "avg_train_s": doc.get("avg_train_time"),
+            "avg_gen_s": (doc.get("avg_gen_time")
+                          or _mean("gen_time")),
+        })
+    hdr = (f"{'label':<20} {'method':<10} {'n':>4} {'PSNR':>7} "
+           f"{'SSIM':>6} {'LPIPS':>6} {'train_s':>8} {'gen_s':>7}")
+    print(hdr)
+    print("-" * len(hdr))
+    for r in rows:
+        if r.get("missing"):
+            print(f"{r['label']:<20} (no summary in {r['dir']})")
+            continue
+
+        def fmt(v, w, nd=3):
+            return f"{v:>{w}.{nd}f}" if isinstance(v, float) else " " * w
+
+        print(f"{r['label']:<20} {str(r.get('method')):<10} "
+              f"{r['n']:>4} {fmt(r['psnr'], 7)} {fmt(r['ssim'], 6)} "
+              f"{fmt(r['lpips'], 6)} {fmt(r['avg_train_s'], 8, 1)} "
+              f"{fmt(r['avg_gen_s'], 7, 1)}")
+    out = {"comparison": rows}
+    if output_dir:
+        os.makedirs(output_dir, exist_ok=True)
+        with open(os.path.join(output_dir, "method_comparison.json"),
+                  "w") as f:
+            json.dump(out, f, indent=2)
+    return out
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description="Aggregate sweep results")
     p.add_argument("--results-roots", nargs="+", default=["results"])
     p.add_argument("--output", default="all_results.json")
+    p.add_argument("--compare", nargs="+", metavar="LABEL=DIR",
+                   help="cross-method comparison mode "
+                        "(compare_methods.py): labeled run dirs")
+    p.add_argument("--compare-output-dir")
     args = p.parse_args(argv)
+    if args.compare:
+        pairs = [tuple(s.split("=", 1)) for s in args.compare]
+        return compare_method_dirs(pairs, args.compare_output_dir)
     runs = collect_all_runs(args.results_roots)
     match_baselines(runs)
     with open(args.output, "w") as f:

@@ -257,3 +257,26 @@ def test_xclip_threshold_rows(tmp_path):
     assert r["num_skipped"] == 1 and r["num_scored"] == 1
     assert r["skip_rate"] == pytest.approx(0.5)
     assert r["psnr"] == pytest.approx(22.0)  # only the scored video
+
+
+def test_compare_method_dirs(tmp_path):
+    """Cross-method comparison table (compare_methods.py analogue)."""
+    from longcat_video_tta_tpu.sweep.export_results import (
+        compare_method_dirs,
+    )
+
+    a = _summary(str(tmp_path / "baseline"), [("a", 20.0), ("b", 21.0)])
+    with open(os.path.join(a, "summary.json")) as f:
+        doc = json.load(f)
+    doc["method"] = "none"
+    json.dump(doc, open(os.path.join(a, "summary.json"), "w"))
+    b = _summary(str(tmp_path / "delta_a"), [("a", 22.0), ("b", 23.0)])
+    out = compare_method_dirs(
+        [("Baseline", a), ("Delta-A", b), ("Missing", str(tmp_path / "x"))],
+        output_dir=str(tmp_path / "cmp"))
+    rows = out["comparison"]
+    assert rows[0]["psnr"] == pytest.approx(20.5)
+    assert rows[1]["psnr"] == pytest.approx(22.5)
+    assert rows[2]["missing"] is True
+    assert os.path.exists(
+        os.path.join(str(tmp_path / "cmp"), "method_comparison.json"))

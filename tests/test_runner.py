@@ -157,3 +157,36 @@ def test_convert_roundtrip(tmp_path):
 def test_native_prefetch_run(tmp_path):
     out, summary = _run(tmp_path, "delta_c", extra=("--native-prefetch",))
     assert summary["num_success"] == 2
+
+
+def test_save_adapters_and_eval_runner(tmp_path):
+    """run_tta --save-adapters persists per-video adapter state; the
+    evaluate_delta analogue re-generates in adapted and baseline modes
+    from the saved run (reference: evaluate_delta.py:1-301)."""
+    import json
+    import os
+
+    from longcat_video_tta_tpu.runners import run_eval_adapters
+
+    out, summary = _run(tmp_path, "delta_a", extra=("--save-adapters",))
+    rows = [r for r in summary["results"] if r.get("success")]
+    assert all(r.get("adapter_path") for r in rows)
+    assert os.path.isdir(os.path.join(out, "adapters"))
+
+    ev_out = str(tmp_path / "eval_adapted")
+    ev = run_eval_adapters.main([
+        "--results-dir", out, "--output-dir", ev_out, "--mode", "adapted",
+        "--num-inference-steps", "2", "--no-save-videos",
+        "--attn-impl", "xla",
+    ])
+    assert ev["num_success"] == 2
+    assert "psnr" in ev["metrics"]
+    on_disk = json.load(open(os.path.join(ev_out, "eval_summary.json")))
+    assert on_disk["mode"] == "adapted"
+
+    ev_b = run_eval_adapters.main([
+        "--results-dir", out, "--output-dir", str(tmp_path / "eval_base"),
+        "--mode", "baseline", "--num-inference-steps", "2",
+        "--no-save-videos", "--attn-impl", "xla",
+    ])
+    assert ev_b["num_success"] == 2
