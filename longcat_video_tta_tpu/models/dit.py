@@ -551,14 +551,12 @@ def dit_forward_with_cache(
 
     ``num_valid_latents``: optional traced count of valid NOISE latent
     frames (gen-horizon bucketing): fresh tokens at index >= the bound
-    are masked out of every key set (dense flash AND the BSA block
-    selection/kernel); their outputs are garbage the sampler discards.
-    The cond cache is always fully valid — the key layout
-    [cache ++ fresh] makes the combined bound a prefix."""
-    if num_valid_latents is not None and cp_mesh is not None:
-        raise NotImplementedError(
-            "bucketed decode under CP is not wired: the per-device "
-            "[cache ++ fresh] key layout breaks the global prefix bound")
+    are masked out of every key set (dense flash, the BSA block
+    selection/kernel, AND the ring under CP — the concatenated
+    [cache ++ fresh] sequence is split contiguously over the context
+    axis, so the combined bound stays a global prefix); their outputs
+    are garbage the sampler discards. The cond cache is always fully
+    valid."""
     x, t_emb, y, (nt, nh, nw) = _embed_inputs(
         params, cfg, noise_latents, timesteps, text_emb, text_mask, adapters
     )

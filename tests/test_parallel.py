@@ -388,3 +388,35 @@ def test_dit_forward_bucketed_context_parallel_matches(inputs):
     np.testing.assert_allclose(np.asarray(out[:, :, :4]),
                                np.asarray(ref[:, :, :4]),
                                atol=2e-4, rtol=1e-3)
+
+
+def test_bucketed_cached_decode_under_cp(inputs):
+    """Gen-horizon bucketing composes with ring-CP cached decode: the
+    concatenated [cache ++ fresh] sequence is contiguously sharded, so
+    the global prefix bound holds across ring chunks."""
+    params, latents, text, mask = inputs
+    mesh = build_mesh(MeshConfig(data=1, context=4, tensor=1))
+    B = latents.shape[0]
+    cond = latents[:, :, :2]
+    noise = latents[:, :, :3]
+    pad = jnp.full((B, latents.shape[1], 1, 8, 16), 9.5, latents.dtype)
+    noise_p = jnp.concatenate([noise, pad], axis=2)
+    ts = jnp.full((B,), 500.0)
+    nv = jnp.int32(3)
+
+    cache = M.dit_precompute_cond_cache(params, CFG, cond, text, mask,
+                                        attn_impl="xla")
+    ref = M.dit_forward_with_cache(params, CFG, noise_p, ts, text, mask,
+                                   cache, num_cond_latents=2,
+                                   attn_impl="xla", num_valid_latents=nv)
+    with mesh:
+        cache_cp = M.dit_precompute_cond_cache(params, CFG, cond, text,
+                                               mask, attn_impl="xla",
+                                               cp_mesh=mesh)
+        out = M.dit_forward_with_cache(params, CFG, noise_p, ts, text,
+                                       mask, cache_cp, num_cond_latents=2,
+                                       attn_impl="xla", cp_mesh=mesh,
+                                       num_valid_latents=nv)
+    np.testing.assert_allclose(np.asarray(out[:, :, :3]),
+                               np.asarray(ref[:, :, :3]),
+                               atol=2e-4, rtol=1e-3)
