@@ -171,6 +171,16 @@ def estimate_minutes(method: str, params: Dict[str, Any]) -> float:
 
     gate_s = 4.0 if params.get("clip_gate_enabled", False) else 0.0
     gen_s = infer * 1.8
+    # decode levers (measured v5e ratios, ARCHITECTURE.md): BSA 1.37x,
+    # int8+BSA 1.53x, int8 alone 1.08x
+    bsa = float(params.get("bsa_keep_ratio", 0) or 0) > 0
+    int8 = params.get("quantize_decode") == "int8"
+    if bsa and int8:
+        gen_s /= 1.53
+    elif bsa:
+        gen_s /= 1.37
+    elif int8:
+        gen_s /= 1.08
     return n * (train_s + es_s + gate_s + gen_s) / 60.0
 
 
