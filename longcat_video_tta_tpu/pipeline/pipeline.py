@@ -257,6 +257,7 @@ def generate_vc(
     bsa_cfg=None,
     quantize_decode: str = "none",
     bucket_gen: bool = False,
+    gen_segment_steps: int = 0,
 ) -> np.ndarray:
     """Video continuation. Returns generated frames [N, H, W, 3] in [0, 1]
     (N = num_frames rounded to 4k+1), matching the contract of
@@ -368,11 +369,7 @@ def generate_vc(
         # always traced (even at exact bucket size) so every horizon in
         # the bucket shares one trace
         num_valid = jnp.int32(n_gen_latents)
-    gen_latents = sample_latents(
-        decode_params,
-        cfg.dit, cfg.scheduler,
-        jax.random.PRNGKey(seed),
-        emb, mask, nemb, nmask, guidance_scale,
+    sample_kwargs = dict(
         num_gen_latents=gen_bucket,
         num_steps=num_inference_steps,
         lat_h=lat_h, lat_w=lat_w,
@@ -384,6 +381,21 @@ def generate_vc(
         bsa_cfg=bsa_cfg,
         num_valid_gen_latents=num_valid,
     )
+    if gen_segment_steps > 0:
+        # bounded per-dispatch execution time (long-horizon decode on
+        # runtimes that kill minute-long single executions)
+        from .sampler import sample_latents_segmented
+
+        gen_latents = sample_latents_segmented(
+            decode_params, cfg.dit, cfg.scheduler,
+            jax.random.PRNGKey(seed), emb, mask, nemb, nmask,
+            guidance_scale, segment_steps=gen_segment_steps,
+            **sample_kwargs)
+    else:
+        gen_latents = sample_latents(
+            decode_params, cfg.dit, cfg.scheduler,
+            jax.random.PRNGKey(seed), emb, mask, nemb, nmask,
+            guidance_scale, **sample_kwargs)
     gen_latents = gen_latents[:, :, :n_gen_latents]
 
     # Decode [cond | gen] together so the causal decoder sees the real

@@ -33,6 +33,62 @@ def _cfg_batch(x, neg_first=False):
 
 @functools.partial(
     jax.jit,
+    static_argnames=("dit_cfg", "sched_cfg", "n_cond", "use_kv_cache",
+                     "attn_impl", "cp_mesh", "bsa_cfg"),
+    donate_argnums=(3,),
+)
+def _denoise_scan(dit_params, dit_cfg, sched_cfg, x, sig_pairs, emb2,
+                  mask2, g, cond2, kv_cache, adapters, nv, *,
+                  n_cond, use_kv_cache, attn_impl, cp_mesh, bsa_cfg):
+    """The CFG euler denoise loop over ``sig_pairs`` (one lax.scan, x
+    donated). Shared by the one-dispatch ``sample_latents`` and the
+    segmented driver (``segment_steps``) — segmenting bounds single
+    device executions, which this runtime kills past ~1-2 min (see
+    .claude/skills/verify/SKILL.md long-execution fault)."""
+    B = x.shape[0]
+    nt_total = n_cond + x.shape[2]
+
+    def step(x, sig_pair):
+        sigma, sigma_next = sig_pair
+        t_val = sched.sigma_to_timestep(sigma, sched_cfg)
+        x2 = jnp.concatenate([x, x], axis=0)
+        if n_cond == 0:
+            v2 = dit_forward(
+                dit_params, dit_cfg, x2.astype(jnp.float32),
+                jnp.full((2 * B,), t_val), emb2, mask2,
+                num_cond_latents=0, adapters=adapters, attn_impl=attn_impl,
+                cp_mesh=cp_mesh, num_valid_latents=nv,
+            )
+        elif use_kv_cache:
+            v2 = dit_forward_with_cache(
+                dit_params, dit_cfg, x2.astype(jnp.float32),
+                jnp.full((2 * B,), t_val), emb2, mask2, kv_cache,
+                num_cond_latents=n_cond, adapters=adapters,
+                attn_impl=attn_impl, cp_mesh=cp_mesh, bsa_cfg=bsa_cfg,
+                num_valid_latents=nv,
+            )
+        else:
+            full2 = jnp.concatenate([cond2, x2], axis=2)
+            tsteps = jnp.zeros((2 * B, nt_total)).at[:, n_cond:].set(t_val)
+            v_all = dit_forward(
+                dit_params, dit_cfg, full2.astype(jnp.float32), tsteps,
+                emb2, mask2, num_cond_latents=n_cond, adapters=adapters,
+                attn_impl=attn_impl, cp_mesh=cp_mesh,
+                num_valid_latents=(None if nv is None
+                                   else jnp.int32(n_cond) + nv),
+            )
+            v2 = v_all[:, :, n_cond:]
+        v_u, v_c = v2[:B], v2[B:]
+        v = v_u + g * (v_c - v_u)
+        x = sched.euler_step(x, v, sigma, sigma_next)
+        return x, None
+
+    x, _ = jax.lax.scan(step, x, sig_pairs)
+    return x
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=(
         "dit_cfg", "sched_cfg", "num_gen_latents", "num_steps",
         "use_kv_cache", "attn_impl", "lat_h", "lat_w", "cp_mesh",
@@ -89,6 +145,7 @@ def sample_latents(
     mask2 = jnp.concatenate([neg_text_mask, text_mask], axis=0)
     g = jnp.asarray(guidance_scale, jnp.float32)
 
+    cond2 = kv_cache = None
     if n_cond > 0:
         cond2 = jnp.concatenate([cond_latents, cond_latents], axis=0)
         if use_kv_cache:
@@ -97,47 +154,68 @@ def sample_latents(
                 adapters=adapters, attn_impl=attn_impl, cp_mesh=cp_mesh,
             )
 
-    nt_total = n_cond + Lg
+    sig_pairs = jnp.stack([sigmas[:-1], sigmas[1:]], axis=1)
+    return _denoise_scan(
+        dit_params, dit_cfg, sched_cfg, x, sig_pairs, emb2, mask2, g,
+        cond2 if (n_cond > 0 and not use_kv_cache) else None,
+        kv_cache if (n_cond > 0 and use_kv_cache) else None,
+        adapters, num_valid_gen_latents,
+        n_cond=n_cond, use_kv_cache=use_kv_cache, attn_impl=attn_impl,
+        cp_mesh=cp_mesh, bsa_cfg=bsa_cfg,
+    )
 
-    nv = num_valid_gen_latents
 
-    def step(x, sig_pair):
-        sigma, sigma_next = sig_pair
-        t_val = sched.sigma_to_timestep(sigma, sched_cfg)
-        x2 = jnp.concatenate([x, x], axis=0)
-        if n_cond == 0:
-            v2 = dit_forward(
-                dit_params, dit_cfg, x2.astype(jnp.float32),
-                jnp.full((2 * B,), t_val), emb2, mask2,
-                num_cond_latents=0, adapters=adapters, attn_impl=attn_impl,
-                cp_mesh=cp_mesh, num_valid_latents=nv,
+def sample_latents_segmented(
+    dit_params, dit_cfg, sched_cfg, rng, text_emb, text_mask,
+    neg_text_emb, neg_text_mask, guidance_scale, *,
+    num_gen_latents, num_steps, lat_h, lat_w, segment_steps,
+    cond_latents=None, adapters=None, use_kv_cache=True, attn_impl=None,
+    cp_mesh=None, bsa_cfg=None, num_valid_gen_latents=None,
+):
+    """``sample_latents`` split into ceil(num_steps/segment_steps)
+    device dispatches with the denoised carry fetched between segments.
+
+    Numerically identical to the one-dispatch path (same noise init,
+    same per-step math; tested). Use when single executions must stay
+    short — long-horizon decode (93 frames) runs minutes in one
+    execution, which some runtimes kill (the axon tunnel's
+    long-execution fault); the cost is one host round-trip per segment.
+    The last partial segment compiles separately.
+    """
+    B = text_emb.shape[0]
+    C = dit_cfg.in_channels
+    n_cond = 0 if cond_latents is None else cond_latents.shape[2]
+
+    sigmas = sched.build_sigmas(num_steps, sched_cfg)
+    x = jax.random.normal(rng, (B, C, num_gen_latents, lat_h, lat_w),
+                          jnp.float32)
+    x = x * sigmas[0]
+    emb2 = jnp.concatenate([neg_text_emb, text_emb], axis=0)
+    mask2 = jnp.concatenate([neg_text_mask, text_mask], axis=0)
+    g = jnp.asarray(guidance_scale, jnp.float32)
+
+    cond2 = kv_cache = None
+    if n_cond > 0:
+        cond2 = jnp.concatenate([cond_latents, cond_latents], axis=0)
+        if use_kv_cache:
+            kv_cache = dit_precompute_cond_cache(
+                dit_params, dit_cfg, cond2, emb2, mask2,
+                adapters=adapters, attn_impl=attn_impl, cp_mesh=cp_mesh,
             )
-        elif use_kv_cache:
-            v2 = dit_forward_with_cache(
-                dit_params, dit_cfg, x2.astype(jnp.float32),
-                jnp.full((2 * B,), t_val), emb2, mask2, kv_cache,
-                num_cond_latents=n_cond, adapters=adapters,
-                attn_impl=attn_impl, cp_mesh=cp_mesh, bsa_cfg=bsa_cfg,
-                num_valid_latents=nv,
-            )
-        else:
-            full2 = jnp.concatenate([cond2, x2], axis=2)
-            tsteps = jnp.zeros((2 * B, nt_total)).at[:, n_cond:].set(t_val)
-            v_all = dit_forward(
-                dit_params, dit_cfg, full2.astype(jnp.float32), tsteps,
-                emb2, mask2, num_cond_latents=n_cond, adapters=adapters,
-                attn_impl=attn_impl, cp_mesh=cp_mesh,
-                num_valid_latents=(None if nv is None
-                                   else jnp.int32(n_cond) + nv),
-            )
-            v2 = v_all[:, :, n_cond:]
-        v_u, v_c = v2[:B], v2[B:]
-        v = v_u + g * (v_c - v_u)
-        x = sched.euler_step(x, v, sigma, sigma_next)
-        return x, None
 
     sig_pairs = jnp.stack([sigmas[:-1], sigmas[1:]], axis=1)
-    x, _ = jax.lax.scan(step, x, sig_pairs)
+    seg = max(1, int(segment_steps))
+    for s in range(0, num_steps, seg):
+        x = _denoise_scan(
+            dit_params, dit_cfg, sched_cfg, x, sig_pairs[s:s + seg],
+            emb2, mask2, g,
+            cond2 if (n_cond > 0 and not use_kv_cache) else None,
+            kv_cache if (n_cond > 0 and use_kv_cache) else None,
+            adapters, num_valid_gen_latents,
+            n_cond=n_cond, use_kv_cache=use_kv_cache, attn_impl=attn_impl,
+            cp_mesh=cp_mesh, bsa_cfg=bsa_cfg,
+        )
+        jax.block_until_ready(x)  # bound the in-flight execution
     return x
 
 

@@ -87,6 +87,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    default="none",
                    help="W8A8 per-block matmuls in the denoise loop "
                         "(ops/quant.py); training stays bf16")
+    p.add_argument("--gen-segment-steps", type=int, default=0,
+                   help="split the denoise loop into N-step dispatches "
+                        "(bounds single-execution time for long-horizon "
+                        "decode; 0 = one dispatch)")
     p.add_argument("--save-adapters", action="store_true",
                    help="persist each video's trained adapter state "
                         "(orbax) for post-hoc re-evaluation "
@@ -648,6 +652,7 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
                              BSAConfig(keep_ratio=args.bsa_keep_ratio)),
                     quantize_decode=args.quantize_decode,
                     bucket_gen=args.bucket_gen,
+                    gen_segment_steps=args.gen_segment_steps,
                 )
                 gen_time = time.time() - t0
 

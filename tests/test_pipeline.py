@@ -154,3 +154,49 @@ def test_generate_vc_frame_alignment(monkeypatch):
     np.testing.assert_allclose(
         out[:, 0, 0, 0], np.arange(anchor, anchor + nf, dtype=np.float32),
         atol=0)
+
+
+def test_segmented_sampler_equals_one_dispatch(bundle):
+    """sample_latents_segmented must be numerically identical to the
+    one-dispatch sampler (same noise init, same per-step math) — it only
+    bounds per-dispatch execution time (the axon long-execution fault
+    workaround, --gen-segment-steps)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from longcat_video_tta_tpu.pipeline.sampler import (
+        sample_latents, sample_latents_segmented,
+    )
+
+    cfg = bundle.cfg
+    B = 1
+    emb, mask = bundle.encode_prompt("a dog")
+    nemb, nmask = bundle.encode_prompt("")
+    cond = jax.random.normal(jax.random.PRNGKey(7),
+                             (B, cfg.dit.in_channels, 2, 4, 8))
+    kw = dict(num_gen_latents=3, num_steps=5, lat_h=4, lat_w=8,
+              cond_latents=cond, use_kv_cache=True, attn_impl="xla")
+    ref = sample_latents(bundle.dit_params, cfg.dit, cfg.scheduler,
+                         jax.random.PRNGKey(0), emb, mask, nemb, nmask,
+                         4.0, **kw)
+    seg = sample_latents_segmented(bundle.dit_params, cfg.dit,
+                                   cfg.scheduler, jax.random.PRNGKey(0),
+                                   emb, mask, nemb, nmask, 4.0,
+                                   segment_steps=2, **kw)
+    np.testing.assert_allclose(np.asarray(seg), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_generate_vc_segmented(bundle):
+    import jax
+    import numpy as np
+
+    cond = jax.random.uniform(jax.random.PRNGKey(1), (1, 3, 5, 16, 32),
+                              minval=-1.0, maxval=1.0)
+    a = generate_vc(bundle, cond, "a dog", num_frames=5,
+                    num_inference_steps=3, seed=0)
+    b = generate_vc(bundle, cond, "a dog", num_frames=5,
+                    num_inference_steps=3, seed=0, gen_segment_steps=2)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                               atol=1e-4, rtol=1e-4)
