@@ -180,6 +180,12 @@ class CogVideoXConfig:
     rope_dims: Tuple[int, int, int] = (16, 24, 24)
     rope_theta: float = 10000.0
     norm_eps: float = 1e-5
+    # CogVideoX-5B-I2V carries a learned joint-sequence positional
+    # embedding (diffusers use_learned_positional_embeddings; key
+    # patch_embed.pos_embedding) on top of 3D RoPE. >0 = param tree
+    # includes "pos_embed" [len, hidden] added to [txt | vid] tokens;
+    # len must cover text_len + max video tokens.
+    learned_pos_embed_len: int = 0
     param_dtype: str = "bfloat16"
     compute_dtype: str = "bfloat16"
     remat: bool = True

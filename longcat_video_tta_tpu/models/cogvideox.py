@@ -73,7 +73,13 @@ def init_cogvideox(rng: jax.Array, cfg: CogVideoXConfig,
         return {"weight": jnp.ones(shape, pdtype),
                 "bias": jnp.zeros(shape, pdtype)}
 
+    pos_embed = (
+        {"pos_embed": (jax.random.normal(
+            key(), (cfg.learned_pos_embed_len, D), jnp.float32) * 0.02
+        ).astype(pdtype)}
+        if cfg.learned_pos_embed_len > 0 else {})
     return {
+        **pos_embed,
         # per-frame Conv2d p=2 expressed as a dense over packed patches
         "patch_embed": dense(cfg.in_channels * cfg.patch_size ** 2, D),
         "text_proj": dense(cfg.text_dim, D),
@@ -177,6 +183,19 @@ def cogvideox_forward(
         x = jnp.concatenate([x, image_latents], axis=1)
     vid = linear(params["patch_embed"], _pack(x.astype(cdtype), p))
     txt = linear(params["text_proj"], text_emb.astype(cdtype))
+
+    pe = params.get("pos_embed")
+    if pe is not None:
+        # learned joint-sequence positional embedding sliced to
+        # [text | video] length (diffusers CogVideoXPatchEmbed with
+        # use_learned_positional_embeddings, I2V checkpoints)
+        S = L + vid.shape[1]
+        if S > pe.shape[0]:
+            raise ValueError(
+                f"sequence {S} exceeds learned pos-embed table "
+                f"{pe.shape[0]} (text {L} + video {vid.shape[1]})")
+        txt = txt + pe[None, :L].astype(cdtype)
+        vid = vid + pe[None, L:S].astype(cdtype)
 
     # time embedding in fp32 (sinusoid width = hidden, diffusers
     # Timesteps(inner_dim) with flip_sin_to_cos, shift 0)

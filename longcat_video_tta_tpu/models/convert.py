@@ -124,6 +124,34 @@ def load_converted_bundle(ckpt_dir: str, cfg: ModelConfig):
 # ---------------------------------------------------------------------------
 
 
+class _TrackedStateDict(dict):
+    """State-dict wrapper recording key access, so converters can assert
+    they consumed every source parameter — a real-weight conversion must
+    never silently drop keys (advisor finding r2: a checkpoint carrying
+    e.g. patch_embed.pos_embedding would otherwise convert to a tree
+    missing learned parameters and produce wrong outputs)."""
+
+    def __init__(self, sd):
+        super().__init__(sd)
+        self.accessed = set()
+
+    def __getitem__(self, k):
+        self.accessed.add(k)
+        return super().__getitem__(k)
+
+    def assert_fully_consumed(self, what: str) -> None:
+        leftover = sorted(set(self) - self.accessed)
+        if leftover:
+            shown = ", ".join(leftover[:8])
+            more = f" (+{len(leftover) - 8} more)" if len(leftover) > 8 \
+                else ""
+            raise ValueError(
+                f"{what} conversion left {len(leftover)} state-dict "
+                f"key(s) unconsumed: {shown}{more} — the converter does "
+                "not understand this checkpoint layout; refusing a "
+                "silently-partial conversion")
+
+
 def _stack(sd, fmt: str, depth: int, transpose: bool = False):
     mats = []
     for i in range(depth):
@@ -734,7 +762,12 @@ def convert_torch_cogvideox_state(sd: Dict[str, Any], cfg) -> Dict[str, Any]:
     apply_rotary_emb use_real_unbind_dim=-1 with repeat_interleave'd
     cos/sin); to_q/to_k output rows and the q/k LayerNorm affines are
     permuted per head by _rope_perm for our half-split rotation
-    (see convert_torch_mmdit_state)."""
+    (see convert_torch_mmdit_state).
+
+    Consumes ``patch_embed.pos_embedding`` (the learned positional
+    table CogVideoX-5B-I2V carries) into ``pos_embed``; refuses any
+    checkpoint with keys the converter does not consume."""
+    sd = _TrackedStateDict(sd)
     nH, dh = cfg.num_heads, cfg.head_dim
     L = cfg.depth
     perm = _rope_perm(dh)
@@ -830,6 +863,14 @@ def convert_torch_cogvideox_state(sd: Dict[str, Any], cfg) -> Dict[str, Any]:
         "proj_out": {"kernel": t("proj_out.weight"),
                      "bias": v("proj_out.bias")},
     }
+    if "patch_embed.pos_embedding" in sd:
+        pe = np.asarray(sd["patch_embed.pos_embedding"])
+        params["pos_embed"] = jnp.asarray(pe.reshape(-1, pe.shape[-1]))
+    elif cfg.learned_pos_embed_len > 0:
+        raise ValueError(
+            "cfg.learned_pos_embed_len > 0 but the checkpoint has no "
+            "patch_embed.pos_embedding key")
+    sd.assert_fully_consumed("CogVideoXTransformer3DModel")
     pdtype = resolve_dtype(cfg.param_dtype)
     out = jax.tree.map(lambda x: x.astype(pdtype), params)
     out["time_embed"] = params["time_embed"]  # fp32 t-embed contract

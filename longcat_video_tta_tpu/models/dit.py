@@ -260,6 +260,12 @@ def _self_attention(bp, x, rope_cos, rope_sin, cfg: DiTConfig,
         k = jnp.concatenate([kv_cache[0].astype(k.dtype), k], axis=1)
         v = jnp.concatenate([kv_cache[1].astype(v.dtype), v], axis=1)
 
+    if cp_mesh is not None and bsa_cfg is not None:
+        # fail loudly (the generate_vc convention) instead of silently
+        # running dense ring attention with the BSA flag dropped
+        raise NotImplementedError(
+            "bsa_cfg does not compose with cp_mesh: block-sparse "
+            "attention is single-chip only; drop one of the two")
     if cp_mesh is not None:
         from ..parallel.context_attention import ring_self_attention
 

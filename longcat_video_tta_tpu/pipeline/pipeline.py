@@ -274,7 +274,12 @@ def generate_vc(
     ``bucket_gen``: pad the generated-latent horizon to the tta.bucket
     ladder with a traced valid count, so gen-horizon sweeps (exp4:
     16/28/44/72 frames) share one compile per bucket (LongCat path;
-    composes with bsa_cfg and quantize_decode)."""
+    composes with bsa_cfg and quantize_decode). Seed caveat: the
+    initial noise is drawn at the padded bucket shape, so for the same
+    seed the bucketed and exact paths produce *different* (equally
+    valid) samples — toggling bucket_gen changes sample identity, not
+    just compile count. Metrics comparisons across the flag must
+    compare distributions, not per-video values."""
     cfg = bundle.cfg
     nf = round_frames_4k1(num_frames)
     n_gen_latents = (nf - 1) // 4 + 1
@@ -289,7 +294,8 @@ def generate_vc(
         # fail loudly instead of silently running dense/unbucketed
         # (dit_forward_with_cache does the same for unsupported combos)
         for flag, name in ((bsa_cfg, "bsa_cfg"), (bucket_gen, "bucket_gen"),
-                           (cp_mesh, "cp_mesh")):
+                           (cp_mesh, "cp_mesh"),
+                           (gen_segment_steps, "gen_segment_steps")):
             if flag:
                 raise NotImplementedError(
                     f"{name} is not supported on the {cfg.arch} decode "

@@ -120,7 +120,12 @@ def prune_and_summarize(
     removed: List[str] = []
     if vid_dir.is_dir():
         for mp4 in sorted(vid_dir.glob("*.mp4")):
-            if not any(k in mp4.stem for k in keep):
+            # exact stem or the '<idx>_<stem>' save pattern (as
+            # annotate_existing_videos matches) — raw substring
+            # containment would keep 'v12' for keep-key 'v1' and
+            # deletion is irreversible
+            bare = re.sub(r"^\d+_", "", mp4.stem)
+            if not (mp4.stem in keep or bare in keep):
                 removed.append(mp4.name)
                 if not dry_run:
                     mp4.unlink()

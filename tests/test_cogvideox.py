@@ -182,6 +182,49 @@ def test_convert_torch_cogvideox_state_structure(setup):
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_convert_cogvideox_learned_pos_embedding(setup):
+    """I2V checkpoints carry patch_embed.pos_embedding (advisor r2):
+    the converter must consume it and the model must apply it."""
+    import dataclasses
+
+    from longcat_video_tta_tpu.models.convert import (
+        convert_torch_cogvideox_state,
+    )
+
+    _, lat, txt = setup
+    pe_len = CFG.text_len + 80  # >= text 6 + video 3*(8/2)*(12/2)=72
+    cfg = dataclasses.replace(CFG, learned_pos_embed_len=pe_len)
+    sd = _synthetic_cogvideox_state_dict(CFG)
+    sd["patch_embed.pos_embedding"] = np.random.RandomState(7).randn(
+        1, pe_len, CFG.hidden_size).astype(np.float32) * 0.02
+    params = convert_torch_cogvideox_state(sd, cfg)
+    assert params["pos_embed"].shape == (pe_len, CFG.hidden_size)
+    out = cogvideox_forward(params, cfg, lat, jnp.array([500.0]), txt,
+                            image_latents=jnp.zeros_like(lat))
+    no_pe = {k: v for k, v in params.items() if k != "pos_embed"}
+    out0 = cogvideox_forward(no_pe, cfg, lat, jnp.array([500.0]), txt,
+                             image_latents=jnp.zeros_like(lat))
+    assert np.isfinite(np.asarray(out)).all()
+    assert not np.allclose(np.asarray(out), np.asarray(out0))
+    # cfg declares a table but the checkpoint lacks one -> loud failure
+    with pytest.raises(ValueError, match="pos_embedding"):
+        convert_torch_cogvideox_state(
+            _synthetic_cogvideox_state_dict(CFG), cfg)
+
+
+def test_convert_cogvideox_refuses_unconsumed_keys():
+    """Unknown checkpoint keys (e.g. ofs_embedding from 1.5 models) must
+    fail the conversion, never silently drop parameters."""
+    from longcat_video_tta_tpu.models.convert import (
+        convert_torch_cogvideox_state,
+    )
+
+    sd = _synthetic_cogvideox_state_dict(CFG)
+    sd["ofs_embedding.linear_1.weight"] = np.zeros((8, 8), np.float32)
+    with pytest.raises(ValueError, match="unconsumed"):
+        convert_torch_cogvideox_state(sd, CFG)
+
+
 def test_cogvideox_5b_param_count():
     """Full 5B geometry sanity (42 layers, 48x64 heads)."""
     cfg = CogVideoXConfig()
