@@ -5,6 +5,13 @@ from .frechet import (  # noqa: F401
     load_i3d_model,
     pad_for_i3d,
 )
+from .lpips import (  # noqa: F401
+    convert_torch_lpips_state,
+    init_lpips_alex,
+    load_lpips_params,
+    lpips_alex,
+    make_lpips_feature_fn,
+)
 from .metrics import (  # noqa: F401
     compute_lpips,
     compute_psnr,

@@ -1,0 +1,169 @@
+"""LPIPS (AlexNet backbone) as a TPU-native JAX tower.
+
+The reference computes LPIPS-AlexNet per generated/GT frame pair for
+every video (/root/reference/delta_experiment/scripts/common.py:648-667,
+via the ``lpips`` pip package) — every BASELINE.md quality table has an
+LPIPS column. Round 2 left this as an external ``lpips_feature_fn``
+hook; this module is the real implementation:
+
+- AlexNet feature trunk (torchvision ``alexnet().features`` geometry:
+  conv 11/4/2 -> 5/1/2 -> 3x 3/1/1 with 3x2 floor-mode maxpools) with
+  taps after each of the five ReLUs
+- the LPIPS head: input scaling layer, per-tap channel-unit
+  normalization (x / (||x||_c + 1e-10)), squared diff, learned
+  non-negative 1x1 per-channel weights, spatial mean, sum over taps
+- ``convert_torch_lpips_state``: maps the ``lpips.LPIPS(net='alex')``
+  state_dict (scaling_layer.shift/scale, net.sliceK.<idx>.weight/bias,
+  linK.model.1.weight) into the functional tree, refusing layouts with
+  unconsumed keys
+- ``make_lpips_feature_fn``: adapts a param tree to the
+  ``evaluate_generation_metrics`` hook signature
+
+Everything is jitted; frames run as one [T, H, W, 3] batch on device.
+Numerics are validated against a torch.nn.functional forward on random
+weights (tests/test_lpips.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# (kernel, stride, pad, cin, cout) for the five AlexNet convs;
+# floor-mode 3x2 maxpools sit after taps 0 and 1.
+_CONV_SPECS = (
+    (11, 4, 2, 3, 64),
+    (5, 1, 2, 64, 192),
+    (3, 1, 1, 192, 384),
+    (3, 1, 1, 384, 256),
+    (3, 1, 1, 256, 256),
+)
+_POOL_AFTER = (0, 1)
+# lpips package ScalingLayer constants (ImageNet-ish, in [-1,1] space)
+_SHIFT = (-0.030, -0.088, -0.188)
+_SCALE = (0.458, 0.448, 0.450)
+# torchvision alexnet.features module indices of the conv layers, as
+# preserved by the lpips package's slice wrappers (net.slice1.0, ...)
+_SLICE_CONV_IDX = (("slice1", 0), ("slice2", 3), ("slice3", 6),
+                   ("slice4", 8), ("slice5", 10))
+
+
+def init_lpips_alex(rng: jax.Array) -> Dict[str, Any]:
+    """Random-weight tree in the converted layout (tests / smoke)."""
+    convs: List[Dict[str, jnp.ndarray]] = []
+    for i, (k, _s, _p, cin, cout) in enumerate(_CONV_SPECS):
+        kk = jax.random.normal(jax.random.fold_in(rng, i),
+                               (k, k, cin, cout), jnp.float32)
+        convs.append({"kernel": kk * (2.0 / (k * k * cin)) ** 0.5,
+                      "bias": jnp.zeros((cout,), jnp.float32)})
+    lins = [jnp.abs(jax.random.normal(jax.random.fold_in(rng, 100 + i),
+                                      (spec[4],), jnp.float32)) * 0.1
+            for i, spec in enumerate(_CONV_SPECS)]
+    return {
+        "shift": jnp.asarray(_SHIFT, jnp.float32),
+        "scale": jnp.asarray(_SCALE, jnp.float32),
+        "convs": convs,
+        "lins": lins,
+    }
+
+
+def _alex_features(params: Dict[str, Any], x: jnp.ndarray) -> List[jnp.ndarray]:
+    """x: [B, H, W, 3] in [-1, 1] -> five post-ReLU feature maps."""
+    x = (x - params["shift"]) / params["scale"]
+    feats = []
+    for i, ((_k, s, p, _ci, _co), cp) in enumerate(
+            zip(_CONV_SPECS, params["convs"])):
+        x = jax.lax.conv_general_dilated(
+            x, cp["kernel"], (s, s), [(p, p), (p, p)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + cp["bias"]
+        x = jax.nn.relu(x)
+        feats.append(x)
+        if i in _POOL_AFTER:
+            # floor-mode 3x2 maxpool == VALID reduce_window
+            x = jax.lax.reduce_window(
+                x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+                "VALID")
+    return feats
+
+
+@jax.jit
+def lpips_alex(params: Dict[str, Any], pred: jnp.ndarray,
+               target: jnp.ndarray) -> jnp.ndarray:
+    """[B, H, W, 3] x2 in [0, 1] -> per-image LPIPS distances [B]."""
+    pred = jnp.asarray(pred, jnp.float32) * 2.0 - 1.0
+    target = jnp.asarray(target, jnp.float32) * 2.0 - 1.0
+    total = None
+    for f1, f2, w in zip(_alex_features(params, pred),
+                         _alex_features(params, target), params["lins"]):
+        # lpips normalize_tensor: x / (||x||_channel + 1e-10)
+        n1 = f1 / (jnp.linalg.norm(f1, axis=-1, keepdims=True) + 1e-10)
+        n2 = f2 / (jnp.linalg.norm(f2, axis=-1, keepdims=True) + 1e-10)
+        d = jnp.sum((n1 - n2) ** 2 * w, axis=-1)   # 1x1 conv, [B, H, W]
+        layer = jnp.mean(d, axis=(1, 2))           # spatial average
+        total = layer if total is None else total + layer
+    return total
+
+
+def convert_torch_lpips_state(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """Map ``lpips.LPIPS(net='alex', lpips=True).state_dict()`` into the
+    functional tree. Refuses unconsumed keys (same contract as the
+    model converters in models/convert.py)."""
+    from ..models.convert import _TrackedStateDict
+
+    sd = _TrackedStateDict(sd)
+
+    def arr(name):
+        return np.asarray(sd[name], np.float32)
+
+    if "scaling_layer.shift" in sd:
+        shift = jnp.asarray(arr("scaling_layer.shift").reshape(3))
+        scale = jnp.asarray(arr("scaling_layer.scale").reshape(3))
+    else:  # lin-only checkpoints rely on the published constants
+        shift = jnp.asarray(_SHIFT, jnp.float32)
+        scale = jnp.asarray(_SCALE, jnp.float32)
+
+    convs = []
+    for (sl, idx), (k, _s, _p, cin, cout) in zip(_SLICE_CONV_IDX,
+                                                 _CONV_SPECS):
+        w = arr(f"net.{sl}.{idx}.weight")
+        if w.shape != (cout, cin, k, k):
+            raise ValueError(
+                f"net.{sl}.{idx}.weight has shape {w.shape}, expected "
+                f"{(cout, cin, k, k)} — not an AlexNet LPIPS checkpoint")
+        convs.append({
+            "kernel": jnp.asarray(w.transpose(2, 3, 1, 0)),
+            "bias": jnp.asarray(arr(f"net.{sl}.{idx}.bias")),
+        })
+    lins = [jnp.asarray(arr(f"lin{i}.model.1.weight").reshape(-1))
+            for i in range(5)]
+    sd.assert_fully_consumed("LPIPS(alex)")
+    return {"shift": shift, "scale": scale, "convs": convs, "lins": lins}
+
+
+def load_lpips_params(path: str) -> Dict[str, Any]:
+    """torch.load a saved ``lpips.LPIPS(net='alex')`` state_dict file
+    and convert. Zero-egress boxes pass a local file; the reference
+    downloads the same weights through the lpips package."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    return convert_torch_lpips_state(
+        {k: v.numpy() for k, v in sd.items()})
+
+
+def make_lpips_feature_fn(params: Dict[str, Any]) -> Callable:
+    """-> fn(pred [T,H,W,3], target [T,H,W,3] in [0,1]) -> [T] float,
+    the ``evaluate_generation_metrics``/``compute_lpips`` hook."""
+
+    def feature_fn(pred: np.ndarray, target: np.ndarray) -> np.ndarray:
+        return np.asarray(lpips_alex(params, jnp.asarray(pred),
+                                     jnp.asarray(target)))
+
+    return feature_fn

@@ -4,10 +4,10 @@ Behavior-compatible with the reference (common.py:618-776):
 - PSNR per frame, mean over frames, clamped at 50 dB
 - SSIM 11x11 gaussian window (the reference uses torchmetrics or a
   hand-rolled fallback, common.py:632-645)
-- LPIPS requires pretrained AlexNet features; without weights we return
-  NaN exactly like the reference's missing-lpips fallback
-  (common.py:659-660). A weights path can supply them
-  (``lpips_feature_fn``).
+- LPIPS via the JAX AlexNet tower in eval/lpips.py (build a hook with
+  ``make_lpips_feature_fn(load_lpips_params(path))``); without weights
+  we return NaN exactly like the reference's missing-lpips fallback
+  (common.py:659-660).
 
 All metric math is jitted jax; inputs are [T, H, W, 3] float in [0, 1].
 """

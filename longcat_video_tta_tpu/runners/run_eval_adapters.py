@@ -49,6 +49,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    default="none")
     p.add_argument("--bucket-gen", action="store_true")
     p.add_argument("--no-save-videos", action="store_true")
+    p.add_argument("--lpips-model-path", default=None,
+                   help="torch state_dict of lpips.LPIPS(net='alex') "
+                        "for the JAX LPIPS tower (else lpips=NaN)")
     return p
 
 
@@ -63,6 +66,13 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
     from ..pipeline import ModelBundle, generate_vc
     from ..tta import build_scheme
     from ..utils.checkpoint import load_adapter_state, save_results
+
+    lpips_fn = None
+    if args.lpips_model_path:
+        from ..eval.lpips import load_lpips_params, make_lpips_feature_fn
+
+        lpips_fn = make_lpips_feature_fn(
+            load_lpips_params(args.lpips_model_path))
 
     with open(os.path.join(args.results_dir, "summary.json")) as f:
         summary = json.load(f)
@@ -149,7 +159,8 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
                 bucket_gen=args.bucket_gen)
             rec["gen_time"] = time.time() - t0
             gt = load_gt_frames(path, len(gen), height, width, gen_start)
-            rec.update(evaluate_generation_metrics(gen, gt))
+            rec.update(evaluate_generation_metrics(
+                gen, gt, lpips_feature_fn=lpips_fn))
             if not args.no_save_videos:
                 rec["video_path"] = save_video(
                     gen, os.path.join(args.output_dir, "videos",

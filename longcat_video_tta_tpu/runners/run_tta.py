@@ -159,6 +159,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     # online eval
     p.add_argument("--fvd-enabled", action="store_true")
     p.add_argument("--i3d-model-path", default=None)
+    p.add_argument("--lpips-model-path", default=None,
+                   help="torch state_dict of lpips.LPIPS(net='alex'); "
+                        "runs the JAX LPIPS tower per video (reference "
+                        "common.py:648-667). Without it lpips=NaN.")
     # observability (reference: manual time.time() spans; SURVEY.md §5
     # prescribes jax.profiler traces + the same structured timing fields)
     p.add_argument("--profile-dir", default=None,
@@ -395,6 +399,12 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
         video_feature_fn=load_i3d_model(args.i3d_model_path)
         if args.fvd_enabled else None,
     )
+    lpips_fn = None
+    if args.lpips_model_path:
+        from ..eval.lpips import load_lpips_params, make_lpips_feature_fn
+
+        lpips_fn = make_lpips_feature_fn(
+            load_lpips_params(args.lpips_model_path))
 
     # ---- resume --------------------------------------------------------
     ckpt_path = os.path.join(args.output_dir, "checkpoint.json")
@@ -658,7 +668,8 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
 
                 gt = load_gt_frames(entry["path"], len(gen), frames.height,
                                     frames.width, frames.gen_start_frame)
-                res.update(evaluate_generation_metrics(gen, gt))
+                res.update(evaluate_generation_metrics(
+                    gen, gt, lpips_feature_fn=lpips_fn))
                 if fvd.enabled:
                     fvd.update(gen, gt)
                 if not args.no_save_videos:
