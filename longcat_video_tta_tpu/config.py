@@ -294,6 +294,57 @@ class CLIPTextConfig:
 
 
 @dataclass(frozen=True)
+class CLIPVisionConfig:
+    """CLIP ViT vision tower for the TPU-native CLIP gate scorer
+    (reference scores with a HF CLIPModel at runtime,
+    common.py:1806-2012; model in models/clip.py). Defaults = the
+    gate's ViT-B/32 geometry."""
+
+    width: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    patch_size: int = 32
+    image_size: int = 224
+    projection_dim: int = 512
+    param_dtype: str = "float32"
+
+    @property
+    def head_dim(self) -> int:
+        return self.width // self.num_heads
+
+
+@dataclass(frozen=True)
+class XCLIPConfig:
+    """X-CLIP video-text scorer (HF XCLIPModel graph; reference
+    _get_xclip_scorer common.py:1806-2012; model in models/xclip.py).
+    Defaults = microsoft/xclip-base-patch32 geometry. The MIT hidden
+    size equals the projection dim (frame CLS embeds are projected
+    before integration)."""
+
+    vision: "CLIPVisionConfig" = None  # type: ignore[assignment]
+    text: "CLIPTextConfig" = None      # type: ignore[assignment]
+    num_frames: int = 8
+    mit_layers: int = 1
+    mit_heads: int = 8
+    prompt_layers: int = 2
+    prompt_heads: int = 8
+
+    def __post_init__(self):
+        if self.vision is None:
+            object.__setattr__(self, "vision", CLIPVisionConfig())
+        if self.text is None:
+            object.__setattr__(self, "text", CLIPTextConfig())
+
+    @property
+    def vision_heads(self) -> int:
+        return self.vision.num_heads
+
+    @property
+    def projection_dim(self) -> int:
+        return self.vision.projection_dim
+
+
+@dataclass(frozen=True)
 class SchedulerConfig:
     """Flow-match Euler discrete scheduler
     (reference: FlowMatchEulerDiscreteScheduler, common.py:68-70)."""

@@ -76,7 +76,7 @@ def clip_text_pooled(
     neg = jnp.asarray(-1e30, jnp.float32)
 
     def body(x, lp):
-        h = layer_norm(x, lp["ln1"]["weight"], lp["ln1"]["bias"])
+        h = layer_norm(x, lp["ln1"]["weight"], lp["ln1"]["bias"], eps=1e-5)
 
         def proj(p, t):
             return (jnp.dot(t, p["kernel"]) + p["bias"]).reshape(
@@ -89,12 +89,13 @@ def clip_text_pooled(
         x = x + jnp.dot(o.reshape(B, S, -1), lp["out"]["kernel"]) \
             + lp["out"]["bias"]
 
-        h = layer_norm(x, lp["ln2"]["weight"], lp["ln2"]["bias"])
+        h = layer_norm(x, lp["ln2"]["weight"], lp["ln2"]["bias"], eps=1e-5)
         h = _quick_gelu(jnp.dot(h, lp["fc1"]["kernel"]) + lp["fc1"]["bias"])
         x = x + jnp.dot(h, lp["fc2"]["kernel"]) + lp["fc2"]["bias"]
         return x, None
 
     x, _ = jax.lax.scan(body, x, params["layers"])
-    x = layer_norm(x, params["final_ln"]["weight"], params["final_ln"]["bias"])
+    x = layer_norm(x, params["final_ln"]["weight"],
+                   params["final_ln"]["bias"], eps=1e-5)
     eot = jnp.argmax(input_ids, axis=-1)
     return x[jnp.arange(B), eot]

@@ -745,6 +745,193 @@ def convert_torch_clip_text_state(sd: Dict[str, Any], cfg) -> Dict[str, Any]:
     }
 
 
+def convert_torch_clip_model_state(sd: Dict[str, Any], vcfg,
+                                   tcfg) -> Dict[str, Any]:
+    """Map a full HF ``CLIPModel`` state_dict (vision_model.* +
+    text_model.* + projections + logit_scale) into the models/clip.py
+    dual-encoder tree. The vision half is strictly tracked (unconsumed
+    keys refuse the conversion); position_ids buffers from older
+    transformers versions are ignored."""
+    sd = _TrackedStateDict(sd)
+    L = vcfg.num_layers
+
+    def v(name):
+        return jnp.asarray(np.asarray(sd["vision_model." + name]))
+
+    def stack(fmt, transpose=False):
+        return _stack({k[len("vision_model."):]: val
+                       for k, val in sd.items()
+                       if k.startswith("vision_model.")},
+                      fmt, L, transpose=transpose)
+
+    pw = np.asarray(sd["vision_model.embeddings.patch_embedding.weight"])
+    lyr = "encoder.layers.{}."
+    vision = {
+        "class_embedding": v("embeddings.class_embedding"),
+        "patch_embedding": {"kernel": jnp.asarray(pw.transpose(2, 3, 1, 0))},
+        "position_embedding": v("embeddings.position_embedding.weight"),
+        "pre_ln": {"weight": v("pre_layrnorm.weight"),
+                   "bias": v("pre_layrnorm.bias")},
+        "layers": {
+            "ln1": {"weight": stack(lyr + "layer_norm1.weight"),
+                    "bias": stack(lyr + "layer_norm1.bias")},
+            "q": {"kernel": stack(lyr + "self_attn.q_proj.weight", True),
+                  "bias": stack(lyr + "self_attn.q_proj.bias")},
+            "k": {"kernel": stack(lyr + "self_attn.k_proj.weight", True),
+                  "bias": stack(lyr + "self_attn.k_proj.bias")},
+            "v": {"kernel": stack(lyr + "self_attn.v_proj.weight", True),
+                  "bias": stack(lyr + "self_attn.v_proj.bias")},
+            "out": {"kernel": stack(lyr + "self_attn.out_proj.weight", True),
+                    "bias": stack(lyr + "self_attn.out_proj.bias")},
+            "ln2": {"weight": stack(lyr + "layer_norm2.weight"),
+                    "bias": stack(lyr + "layer_norm2.bias")},
+            "fc1": {"kernel": stack(lyr + "mlp.fc1.weight", True),
+                    "bias": stack(lyr + "mlp.fc1.bias")},
+            "fc2": {"kernel": stack(lyr + "mlp.fc2.weight", True),
+                    "bias": stack(lyr + "mlp.fc2.bias")},
+        },
+        "post_ln": {"weight": v("post_layernorm.weight"),
+                    "bias": v("post_layernorm.bias")},
+    }
+    # the vision stack helper reads via a copied sub-dict, so mark the
+    # vision-layer keys consumed explicitly; text half goes through the
+    # dedicated text converter (which validates its own structure)
+    for k in list(sd):
+        if k.startswith(("vision_model.encoder.", "text_model.")) \
+                or k.endswith("position_ids"):
+            sd.accessed.add(k)
+    text = convert_torch_clip_text_state(
+        {k: val for k, val in dict(sd).items()
+         if k.startswith("text_model.")}, tcfg)
+    params = {
+        "vision": vision,
+        "text": text,
+        "visual_projection": jnp.asarray(
+            np.asarray(sd["visual_projection.weight"]).T),
+        "text_projection": jnp.asarray(
+            np.asarray(sd["text_projection.weight"]).T),
+        "logit_scale": jnp.asarray(np.asarray(sd["logit_scale"]),
+                                   jnp.float32),
+    }
+    sd.assert_fully_consumed("CLIPModel")
+    return params
+
+
+def convert_torch_xclip_state(sd: Dict[str, Any], cfg) -> Dict[str, Any]:
+    """Map a full HF ``XCLIPModel`` state_dict into the models/xclip.py
+    tree: CLIP text tower + message-attention ViT + MIT + prompt
+    generator + projections. Strictly tracked except the text half
+    (validated by its own converter) and position_ids buffers."""
+    sd = _TrackedStateDict(sd)
+    L = cfg.vision.num_layers
+
+    def v(name):
+        return jnp.asarray(np.asarray(sd[name]))
+
+    def t(name):
+        return jnp.asarray(np.asarray(sd[name]).T)
+
+    def stk(fmt, depth, transpose=False):
+        arrs = [np.asarray(sd[fmt.format(i)]) for i in range(depth)]
+        if transpose:
+            arrs = [a.T for a in arrs]
+        return jnp.asarray(np.stack(arrs))
+
+    def dense_stk(fmt, depth):
+        return {"kernel": stk(fmt + ".weight", depth, True),
+                "bias": stk(fmt + ".bias", depth)}
+
+    def ln_stk(fmt, depth):
+        return {"weight": stk(fmt + ".weight", depth),
+                "bias": stk(fmt + ".bias", depth)}
+
+    vl = "vision_model.encoder.layers.{}."
+    pw = np.asarray(sd["vision_model.embeddings.patch_embedding.weight"])
+    vision = {
+        "class_embedding": v("vision_model.embeddings.class_embedding"),
+        "patch_embedding": {"kernel": jnp.asarray(pw.transpose(2, 3, 1, 0))},
+        "position_embedding": v(
+            "vision_model.embeddings.position_embedding.weight"),
+        "pre_ln": {"weight": v("vision_model.pre_layernorm.weight"),
+                   "bias": v("vision_model.pre_layernorm.bias")},
+        "layers": {
+            "msg_fc": dense_stk(vl + "message_fc", L),
+            "msg_ln": ln_stk(vl + "message_ln", L),
+            "msg_q": dense_stk(vl + "message_attn.q_proj", L),
+            "msg_k": dense_stk(vl + "message_attn.k_proj", L),
+            "msg_v": dense_stk(vl + "message_attn.v_proj", L),
+            "msg_out": dense_stk(vl + "message_attn.out_proj", L),
+            "ln1": ln_stk(vl + "layer_norm1", L),
+            "q": dense_stk(vl + "self_attn.q_proj", L),
+            "k": dense_stk(vl + "self_attn.k_proj", L),
+            "v": dense_stk(vl + "self_attn.v_proj", L),
+            "out": dense_stk(vl + "self_attn.out_proj", L),
+            "ln2": ln_stk(vl + "layer_norm2", L),
+            "fc1": dense_stk(vl + "mlp.fc1", L),
+            "fc2": dense_stk(vl + "mlp.fc2", L),
+        },
+        "post_ln": {"weight": v("vision_model.post_layernorm.weight"),
+                    "bias": v("vision_model.post_layernorm.bias")},
+    }
+    ml = "mit.encoder.layers.{}."
+    mit = {
+        "position_embedding": jnp.asarray(
+            np.asarray(sd["mit.position_embedding"]).reshape(
+                cfg.num_frames, -1)),
+        "layers": {
+            "ln1": ln_stk(ml + "layer_norm1", cfg.mit_layers),
+            "q": dense_stk(ml + "self_attn.q_proj", cfg.mit_layers),
+            "k": dense_stk(ml + "self_attn.k_proj", cfg.mit_layers),
+            "v": dense_stk(ml + "self_attn.v_proj", cfg.mit_layers),
+            "out": dense_stk(ml + "self_attn.out_proj", cfg.mit_layers),
+            "ln2": ln_stk(ml + "layer_norm2", cfg.mit_layers),
+            "fc1": dense_stk(ml + "mlp.fc1", cfg.mit_layers),
+            "fc2": dense_stk(ml + "mlp.fc2", cfg.mit_layers),
+        },
+    }
+    pl = "prompts_generator.decoder.{}."
+    prompts = {
+        "ln": {"weight": v("prompts_generator.layernorm.weight"),
+               "bias": v("prompts_generator.layernorm.bias")},
+        "alpha": v("prompts_generator.alpha"),
+        "layers": {
+            "norm1": ln_stk(pl + "norm1", cfg.prompt_layers),
+            "q": stk(pl + "cross_attn.q_proj.weight", cfg.prompt_layers,
+                     True),
+            "k": stk(pl + "cross_attn.k_proj.weight", cfg.prompt_layers,
+                     True),
+            "v": stk(pl + "cross_attn.v_proj.weight", cfg.prompt_layers,
+                     True),
+            "proj": dense_stk(pl + "cross_attn.proj", cfg.prompt_layers),
+            "norm3": ln_stk(pl + "norm3", cfg.prompt_layers),
+            "fc1": dense_stk(pl + "mlp.0", cfg.prompt_layers),
+            "fc2": dense_stk(pl + "mlp.3", cfg.prompt_layers),
+        },
+    }
+    for k in list(sd):
+        if k.startswith("text_model.") or k.endswith("position_ids"):
+            sd.accessed.add(k)
+    text = convert_torch_clip_text_state(
+        {k: val for k, val in dict(sd).items()
+         if k.startswith("text_model.")}, cfg.text)
+    params = {
+        "vision": vision,
+        "text": text,
+        "mit": mit,
+        "prompts": prompts,
+        "visual_projection": t("visual_projection.weight"),
+        "text_projection": t("text_projection.weight"),
+        "prompts_visual_ln": {
+            "weight": v("prompts_visual_layernorm.weight"),
+            "bias": v("prompts_visual_layernorm.bias")},
+        "prompts_visual_projection": v("prompts_visual_projection"),
+        "logit_scale": jnp.asarray(np.asarray(sd["logit_scale"]),
+                                   jnp.float32),
+    }
+    sd.assert_fully_consumed("XCLIPModel")
+    return params
+
+
 # ---------------------------------------------------------------------------
 # CogVideoX (diffusers layout) converter
 # ---------------------------------------------------------------------------

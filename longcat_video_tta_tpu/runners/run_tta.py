@@ -151,6 +151,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    choices=["mean", "min", "max"])
     p.add_argument("--clip-gate-log-only", action="store_true")
     p.add_argument("--clip-gate-fail-closed", action="store_true")
+    p.add_argument("--clip-gate-scorer", default="jax",
+                   choices=["jax", "torch"],
+                   help="'jax': convert the checkpoint once and score "
+                        "on-TPU (models/clip.py, models/xclip.py); "
+                        "'torch': runtime HF scoring (the reference's "
+                        "mechanism)")
     # batch TTA (reference: --batch-videos/--retrieval-pool-dir)
     p.add_argument("--batch-videos", type=int, default=1)
     p.add_argument("--batch-method", default="similarity",
@@ -383,9 +389,15 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
 
     gate_scorer = None
     if gatecfg.enabled and args.clip_gate_model_path:
-        maker = (make_hf_xclip_scorer if gatecfg.backend == "xclip"
-                 else make_hf_clip_scorer)
-        gate_scorer = maker(args.clip_gate_model_path)
+        if args.clip_gate_scorer == "torch":
+            maker = (make_hf_xclip_scorer if gatecfg.backend == "xclip"
+                     else make_hf_clip_scorer)
+            gate_scorer = maker(args.clip_gate_model_path)
+        else:
+            from ..tta.clip_gate import make_tpu_clip_scorer
+
+            gate_scorer = make_tpu_clip_scorer(args.clip_gate_model_path,
+                                               gatecfg.backend)
 
     pool = None
     if args.batch_videos > 1:

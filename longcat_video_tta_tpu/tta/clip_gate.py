@@ -94,6 +94,86 @@ def make_hf_xclip_scorer(model_path: str) -> ScorerFn:
     return score
 
 
+def make_tpu_clip_scorer(model_path: str, backend: str = "clip") -> ScorerFn:
+    """Convert a local HF CLIP / X-CLIP checkpoint into the JAX towers
+    (models/clip.py, models/xclip.py) and score caption<->frames
+    entirely on-device — torch is used only to deserialize the weights
+    once. This is the TPU-native replacement for
+    make_hf_clip_scorer/make_hf_xclip_scorer (reference scores with
+    runtime HF torch models, common.py:1806-2012)."""
+    import json
+    import os
+
+    from ..config import CLIPTextConfig, CLIPVisionConfig, XCLIPConfig
+    from ..models.clip import clip_hash_tokenize
+
+    with open(os.path.join(model_path, "config.json")) as f:
+        hf = json.load(f)
+    tc, vc = hf["text_config"], hf["vision_config"]
+    tcfg = CLIPTextConfig(
+        vocab_size=tc.get("vocab_size", 49408),
+        width=tc.get("hidden_size", 512),
+        num_layers=tc.get("num_hidden_layers", 12),
+        num_heads=tc.get("num_attention_heads", 8),
+        max_length=tc.get("max_position_embeddings", 77),
+    )
+    vcfg = CLIPVisionConfig(
+        width=vc.get("hidden_size", 768),
+        num_layers=vc.get("num_hidden_layers", 12),
+        num_heads=vc.get("num_attention_heads", 12),
+        patch_size=vc.get("patch_size", 32),
+        image_size=vc.get("image_size", 224),
+        projection_dim=hf.get("projection_dim", 512),
+    )
+
+    st_path = os.path.join(model_path, "model.safetensors")
+    if os.path.exists(st_path):
+        from safetensors.numpy import load_file
+
+        sd = load_file(st_path)
+    else:
+        import torch
+
+        sd = {k: v.numpy() for k, v in torch.load(
+            os.path.join(model_path, "pytorch_model.bin"),
+            map_location="cpu", weights_only=True).items()}
+
+    try:
+        from transformers import AutoTokenizer
+
+        tok = AutoTokenizer.from_pretrained(model_path)
+
+        def tokenize(caption: str) -> np.ndarray:
+            return np.asarray(tok(
+                caption, padding="max_length", truncation=True,
+                max_length=tcfg.max_length).input_ids, np.int32)
+    except Exception:
+        def tokenize(caption: str) -> np.ndarray:
+            return clip_hash_tokenize(caption, tcfg.max_length,
+                                      tcfg.vocab_size)
+
+    if backend == "xclip":
+        from ..models.convert import convert_torch_xclip_state
+        from ..models.xclip import make_jax_xclip_scorer
+
+        cfg = XCLIPConfig(
+            vision=vcfg, text=tcfg,
+            num_frames=vc.get("num_frames", 8),
+            mit_layers=vc.get("mit_num_hidden_layers", 1),
+            mit_heads=vc.get("mit_num_attention_heads", 8),
+            prompt_layers=hf.get("prompt_layers", 2),
+            prompt_heads=hf.get("prompt_num_attention_heads", 8),
+        )
+        return make_jax_xclip_scorer(convert_torch_xclip_state(sd, cfg),
+                                     cfg, tokenize)
+    from ..models.clip import make_jax_clip_scorer
+    from ..models.convert import convert_torch_clip_model_state
+
+    return make_jax_clip_scorer(
+        convert_torch_clip_model_state(sd, vcfg, tcfg), vcfg, tcfg,
+        tokenize)
+
+
 def evaluate_clip_gate(
     frames: np.ndarray,            # [T, H, W, 3] in [0, 1] (TTA window)
     caption: str,
