@@ -5,6 +5,13 @@ from .frechet import (  # noqa: F401
     load_i3d_model,
     pad_for_i3d,
 )
+from .i3d import (  # noqa: F401
+    convert_torch_i3d_state,
+    i3d_logits,
+    init_i3d,
+    load_i3d_params,
+    make_i3d_feature_fn,
+)
 from .lpips import (  # noqa: F401
     convert_torch_lpips_state,
     init_lpips_alex,

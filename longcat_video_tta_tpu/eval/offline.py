@@ -42,7 +42,16 @@ def evaluate_fvd_dirs(gen_dir: str, gt_dir: str,
                       i3d_model_path: Optional[str] = None,
                       max_frames: int = 64,
                       min_videos: int = 256) -> Dict:
-    feat = load_i3d_model(i3d_model_path)
+    feat = None
+    if i3d_model_path:
+        try:
+            from .i3d import load_i3d_params, make_i3d_feature_fn
+
+            feat = make_i3d_feature_fn(load_i3d_params(i3d_model_path))
+        except Exception as e:
+            print(f"[fvd] JAX I3D conversion failed "
+                  f"({type(e).__name__}: {e}); TorchScript fallback")
+            feat = load_i3d_model(i3d_model_path)
     if feat is None:
         return {"skipped": True,
                 "reason": "no local I3D weights (--i3d-model-path)"}

@@ -407,10 +407,20 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
                                        max_videos=10 ** 9, seed=args.seed)
         pool = build_retrieval_pool(pool_entries)
 
-    fvd = OnlineFrechetAccumulator(
-        video_feature_fn=load_i3d_model(args.i3d_model_path)
-        if args.fvd_enabled else None,
-    )
+    i3d_fn = None
+    if args.fvd_enabled and args.i3d_model_path:
+        try:
+            # TPU-native I3D (eval/i3d.py): convert once, run on-device
+            from ..eval.i3d import load_i3d_params, make_i3d_feature_fn
+
+            i3d_fn = make_i3d_feature_fn(
+                load_i3d_params(args.i3d_model_path))
+        except Exception as e:
+            print(f"[fvd] JAX I3D conversion failed "
+                  f"({type(e).__name__}: {e}); falling back to the "
+                  "TorchScript runtime path")
+            i3d_fn = load_i3d_model(args.i3d_model_path)
+    fvd = OnlineFrechetAccumulator(video_feature_fn=i3d_fn)
     lpips_fn = None
     if args.lpips_model_path:
         from ..eval.lpips import load_lpips_params, make_lpips_feature_fn
