@@ -517,6 +517,13 @@ class AdapterConfig:
     lora_alpha: float = 16.0
     lora_target_modules: Tuple[str, ...] = ("qkv", "proj")
     lora_target_ffn: bool = False
+    # "builtin" formulation: merge scale*(a@b) into the base kernels at
+    # to_forward time (the reference's LoRAModule forward-patch
+    # analogue, run_lora_tta.py:104-218) instead of the low-rank
+    # side-branch. Mathematically equivalent (asserted in
+    # tests/test_tta.py); costs a merged weight copy per step, so the
+    # side-branch stays the default.
+    lora_builtin: bool = False
     # delta_b ("AdaSteer")
     num_groups: int = 4
     delta_target: str = "timestep"  # "timestep" | "hidden"

@@ -112,9 +112,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--also-tune-delta", action="store_true",
                    help="norm_tune + delta_a combo (run_norm_tune_tta:311)")
     p.add_argument("--use-builtin-lora", action="store_true",
-                   help="reference parity no-op: custom and builtin LoRA "
-                        "collapse into one injection path here (see "
-                        "tta/adapters.py LoRAScheme)")
+                   help="merged-weight LoRA formulation (W + scale*a@b "
+                        "folded into the base kernels, the reference's "
+                        "builtin LoRAModule forward patch) instead of "
+                        "the low-rank side-branch; results equivalent "
+                        "(asserted in tests), costs a weight copy")
     p.add_argument("--film-mode", default="full",
                    choices=["full", "shift_scale", "scale_only"])
     # early stopping (reference: add_early_stopping_args)
@@ -157,6 +159,16 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "on-TPU (models/clip.py, models/xclip.py); "
                         "'torch': runtime HF scoring (the reference's "
                         "mechanism)")
+    # video-parallel DP (replaces the reference's SLURM-array fleet
+    # parallelism, run_sweep.py:405-440, with ONE compiled program:
+    # engine.make_batched_train_chunk)
+    p.add_argument("--video-parallel", type=int, default=1,
+                   help="Train V videos' adapters concurrently (vmapped "
+                        "per-video optimizer; generation stays "
+                        "per-video). Results match sequential runs.")
+    p.add_argument("--data-mesh", type=int, default=0,
+                   help="Shard the --video-parallel axis over the first "
+                        "N devices as a (data,) jax.sharding.Mesh")
     # batch TTA (reference: --batch-videos/--retrieval-pool-dir)
     p.add_argument("--batch-videos", type=int, default=1)
     p.add_argument("--batch-method", default="similarity",
@@ -324,6 +336,7 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
         delta_dim=args.delta_dim, target_blocks=args.target_blocks,
         norm_target=args.norm_target, film_mode=args.film_mode,
         also_tune_delta=args.also_tune_delta,
+        lora_builtin=args.use_builtin_lora,
     )
     validate_tta_feature_budget(frames, escfg, gatecfg,
                                 args.feature_frame_guard_mode,
@@ -467,6 +480,177 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
                                    start_frame=start)
         return px, bundle.encode_video(jnp.asarray(px))
 
+    # ---- video-parallel DP (--video-parallel V) -----------------------
+    # The reference gets fleet-level data parallelism from SLURM arrays
+    # (run_sweep.py:405-440); here V videos' optimizers run as one
+    # vmapped XLA program (engine.make_batched_train_chunk), optionally
+    # sharded over a (data,) mesh. Per-video semantics (seeds, ES
+    # schedule, best-snapshot restore) are preserved exactly, so the
+    # results match the sequential loop; generation stays per-video.
+    vp = max(1, args.video_parallel)
+    pretrained: Dict[int, Dict[str, Any]] = {}
+    batched_chunk = None
+    if vp > 1 and is_tta:
+        for bad, name in ((augcfg.enabled, "augmentation"),
+                          (args.batch_videos > 1, "--batch-videos"),
+                          (args.bucket_shapes, "--bucket-shapes")):
+            if bad:
+                raise SystemExit(
+                    f"--video-parallel does not compose with {name}")
+        from ..tta.engine import make_batched_train_chunk
+
+        vp_mesh = None
+        if args.data_mesh > 1:
+            from jax.sharding import Mesh
+
+            devs = jax.devices()
+            if len(devs) < args.data_mesh:
+                raise SystemExit(
+                    f"--data-mesh {args.data_mesh} but only "
+                    f"{len(devs)} devices visible")
+            vp_mesh = Mesh(np.asarray(devs[: args.data_mesh]), ("data",))
+        batched_chunk = make_batched_train_chunk(
+            scheme, dit_cfg, tx, attn_impl=args.attn_impl,
+            anchor_sigmas=tuple(float(x)
+                                for x in args.es_anchor_sigmas.split(",")),
+            loss_fn=arch_loss, anchor_fn=arch_anchor, mesh=vp_mesh)
+
+    def _vp_step_rngs(vid_idx, lo, hi):
+        return jnp.stack([
+            jax.random.PRNGKey(args.seed * 1000 + vid_idx * 100 + t)
+            for t in range(lo, hi)])
+
+    def train_video_group(g_idxs: List[int]) -> Dict[int, Dict[str, Any]]:
+        """Phase A of --video-parallel: gate + encode + batched TTA for
+        a group of videos; returns per-idx precomputed training state
+        consumed by the (unchanged) per-video generation loop."""
+        stack_trees = lambda ts: jax.tree.map(
+            lambda *xs: jnp.stack(xs), *ts)
+        tta_start = frames.gen_start_frame - frames.tta_total_frames
+        lanes: List[Dict[str, Any]] = []
+        for i in g_idxs:
+            e = videos[i]
+            wpx, wlat = encode_window(e["path"], tta_start, idx=i)
+            t0 = time.time()
+            gate = evaluate_clip_gate(
+                (wpx[0].transpose(1, 2, 3, 0) + 1.0) / 2.0,
+                e["caption"], gatecfg, gate_scorer)
+            lane: Dict[str, Any] = {
+                "idx": i, "vid": os.path.basename(e["path"]),
+                "window": (wpx, wlat), "gate": gate,
+                "gate_time": time.time() - t0, "padded": False,
+            }
+            if not gate.get("skip_tta"):
+                c, tr, vl = split_tta_latents(wlat, n_ctx_lat,
+                                              escfg.holdout_fraction)
+                emb_i, mask_i = bundle.encode_prompt(e["caption"])
+                tp_i = scheme.init(jax.random.PRNGKey(args.seed + i),
+                                   base_params=bundle.dit_params)
+                st = build_early_stopper(escfg, scheme, dit_cfg,
+                                         args.attn_impl,
+                                         anchor_fn=arch_anchor)
+                es_setup = 0.0
+                if st is not None and vl is not None:
+                    t0 = time.time()
+                    st.setup(bundle.dit_params, c, vl, emb_i, mask_i,
+                             lane["vid"], tp_i)
+                    es_setup = time.time() - t0
+                lane.update(cond=c, train=tr, val=vl, emb=emb_i,
+                            mask=mask_i, tp=tp_i, opt_state=tx.init(tp_i),
+                            losses=[], stopper=st, active=True,
+                            es_time=es_setup)
+            lanes.append(lane)
+
+        train_lanes = [l for l in lanes if "tp" in l]
+        out: Dict[int, Dict[str, Any]] = {}
+        if train_lanes:
+            # pad to the compiled width V so every group shares a trace
+            lanes_p = list(train_lanes)
+            while len(lanes_p) < vp:
+                pad = dict(train_lanes[-1])
+                pad["padded"] = True
+                lanes_p.append(pad)
+
+            tps = stack_trees([l["tp"] for l in lanes_p])
+            osts = stack_trees([l["opt_state"] for l in lanes_p])
+            cond = jnp.stack([l["cond"] for l in lanes_p])
+            train = jnp.stack([l["train"] for l in lanes_p])
+            emb_s = jnp.stack([l["emb"] for l in lanes_p])
+            mask_s = jnp.stack([l["mask"] for l in lanes_p])
+            es_active = all(l["stopper"] is not None
+                            and l["val"] is not None for l in lanes_p)
+            val_s = (jnp.stack([l["val"] for l in lanes_p])
+                     if es_active else None)
+            noises_s = (jnp.stack([l["stopper"].fixed_noises
+                                   for l in lanes_p])
+                        if es_active else None)
+
+            k0 = (escfg.check_every if es_active
+                  else (args.loss_fetch_every or 25))
+            n_real = len(train_lanes)
+            t_train = time.time()
+            es_loop = 0.0
+            first_anchor_done = False
+            s = 0
+            while s < args.steps and any(l["active"] for l in lanes_p):
+                k = min(k0, args.steps - s)
+                do_anchor = es_active and (s + k) % escfg.check_every == 0
+                rngs = jnp.stack([_vp_step_rngs(l["idx"], s, s + k)
+                                  for l in lanes_p])
+                t_chunk = time.time()
+                tps, osts, loss_mat, anchors = batched_chunk(
+                    tps, osts, bundle.dit_params, cond, train, emb_s,
+                    mask_s, rngs,
+                    val_latents=val_s if do_anchor else None,
+                    fixed_noises=noises_s if do_anchor else None)
+                s += k
+                loss_mat = jax.device_get(loss_mat)
+                if do_anchor:
+                    anchors = jax.device_get(anchors)
+                    if first_anchor_done:
+                        n_anchor = (escfg.noise_draws
+                                    * len(escfg.anchor_sigmas)) / 3.0
+                        es_loop += ((time.time() - t_chunk)
+                                    * n_anchor / (k + n_anchor))
+                    first_anchor_done = True
+                for v, l in enumerate(lanes_p):
+                    if l["padded"] or not l["active"]:
+                        continue
+                    l["losses"].extend(float(x) for x in loss_mat[v])
+                    if do_anchor:
+                        tp_v = jax.tree.map(lambda x, v=v: x[v], tps)
+                        stop, _ = l["stopper"].step_with_loss(
+                            s, tp_v, float(anchors[v]))
+                        if stop:
+                            l["active"] = False
+                            print(f"  [vp] early stop {l['vid']} "
+                                  f"at step {s}")
+            wall = time.time() - t_train - es_loop
+            for v, l in enumerate(lanes_p):
+                if l["padded"]:
+                    continue
+                tp_v = jax.tree.map(lambda x, v=v: x[v], tps)
+                es_info = None
+                if l["stopper"] is not None and l["val"] is not None:
+                    tp_v = l["stopper"].restore()
+                    es_info = l["stopper"].state
+                out[l["idx"]] = {
+                    "window": l["window"], "gate": l["gate"],
+                    "gate_time": l["gate_time"], "tp": tp_v,
+                    "losses": l["losses"], "es_info": es_info,
+                    "train_time": wall / n_real,
+                    "es_time": l["es_time"] + es_loop / n_real,
+                }
+        for l in lanes:
+            if "tp" not in l:
+                out[l["idx"]] = {
+                    "window": l["window"], "gate": l["gate"],
+                    "gate_time": l["gate_time"], "tp": None,
+                    "losses": [], "es_info": None,
+                    "train_time": 0.0, "es_time": 0.0,
+                }
+        return out
+
     # ---- per-video loop ------------------------------------------------
     for idx in range(start_idx, len(videos)):
         entry = videos[idx]
@@ -480,27 +664,60 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
                                "caption": entry["caption"], "index": idx,
                                "success": True}
         try:
+            pre = None
+            if batched_chunk is not None:
+                if idx not in pretrained:
+                    pretrained.update(train_video_group(
+                        list(range(idx, min(idx + vp, len(videos))))))
+                pre = pretrained.pop(idx)
+
             tta_start = frames.gen_start_frame - frames.tta_total_frames
-            window_px, window_lat = encode_window(entry["path"], tta_start,
-                                                  idx=idx)
+            if pre is not None:
+                window_px, window_lat = pre["window"]
+                gate = pre["gate"]
+                res.update(gate)
+                res["clip_gate_eval_time"] = pre["gate_time"]
+            else:
+                window_px, window_lat = encode_window(
+                    entry["path"], tta_start, idx=idx)
 
-            # CLIP gate
-            t0 = time.time()
-            gate_frames = (window_px[0].transpose(1, 2, 3, 0) + 1.0) / 2.0
-            gate = evaluate_clip_gate(gate_frames, entry["caption"], gatecfg,
-                                      gate_scorer)
-            res.update(gate)
-            res["clip_gate_eval_time"] = time.time() - t0
-
-            cond_l, train_l, val_l = split_tta_latents(
-                window_lat, n_ctx_lat, escfg.holdout_fraction)
-            emb, mask = bundle.encode_prompt(entry["caption"])
+                # CLIP gate
+                t0 = time.time()
+                gate_frames = (window_px[0].transpose(1, 2, 3, 0)
+                               + 1.0) / 2.0
+                gate = evaluate_clip_gate(gate_frames, entry["caption"],
+                                          gatecfg, gate_scorer)
+                res.update(gate)
+                res["clip_gate_eval_time"] = time.time() - t0
 
             train_time = 0.0
             es_time = 0.0
             losses: List[float] = []
             tp = None
-            if is_tta and not gate.get("skip_tta"):
+            if pre is not None:
+                # video-parallel phase A already trained this adapter
+                tp = pre["tp"]
+                if tp is not None:
+                    losses = pre["losses"]
+                    train_time = pre["train_time"]
+                    es_time = pre["es_time"]
+                    if pre["es_info"] is not None:
+                        res["early_stopping_info"] = pre["es_info"]
+                    res["losses"] = losses
+                    res["adapter_norm"] = adapter_norm(tp)
+                    res["trainable_params"] = scheme.num_params(tp)
+                    if args.save_adapters:
+                        from ..utils.checkpoint import save_adapter_state
+
+                        ap = os.path.join(args.output_dir, "adapters",
+                                          f"{idx:04d}_{vid_id}")
+                        save_adapter_state(ap, tp)
+                        res["adapter_path"] = ap
+            else:
+                cond_l, train_l, val_l = split_tta_latents(
+                    window_lat, n_ctx_lat, escfg.holdout_fraction)
+                emb, mask = bundle.encode_prompt(entry["caption"])
+            if pre is None and is_tta and not gate.get("skip_tta"):
                 variants = [{"cond": cond_l, "train": train_l, "val": val_l,
                              "name": "orig"}]
                 if augcfg.enabled:

@@ -40,16 +40,40 @@ def _save(fig, out_dir: str, name: str) -> str:
     return path
 
 
-def fig_method_comparison(runs, out_dir):
-    """Best PSNR delta per method (reference: fig_method_comparison)."""
-    rows = [r for r in _complete(runs) if r.get("delta_psnr") is not None]
-    if not rows:
-        return None
+_METRIC_PANELS = (("psnr", "PSNR (dB)", False),
+                  ("ssim", "SSIM", False),
+                  ("lpips", "LPIPS (lower is better)", True))
+
+
+def _best_per_method(rows, key="delta_psnr"):
     best: Dict[str, Dict] = {}
     for r in rows:
         m = r["method"]
-        if m not in best or r["delta_psnr"] > best[m]["delta_psnr"]:
+        if m not in best or (r.get(key) or -1e9) > (best[m].get(key)
+                                                    or -1e9):
             best[m] = r
+    return best
+
+
+def _metric_bars(ax, best, methods, metric, label):
+    means = [best[m].get(f"{metric}_mean") for m in methods]
+    stds = [best[m].get(f"{metric}_std") or 0.0 for m in methods]
+    ok = [i for i, v in enumerate(means) if v is not None]
+    ax.bar([methods[i] for i in ok], [means[i] for i in ok],
+           yerr=[stds[i] for i in ok], capsize=3, color="#2a9d8f",
+           alpha=0.85)
+    ax.set_ylabel(label)
+    ax.tick_params(axis="x", labelsize=8, rotation=30)
+
+
+def fig_method_comparison(runs, out_dir):
+    """Best run per method: ΔPSNR ranking + per-metric absolute bars +
+    combined 3-panel (reference fig_method_comparison emits the full
+    chart set, generate_figures.py:417-449)."""
+    rows = [r for r in _complete(runs) if r.get("delta_psnr") is not None]
+    if not rows:
+        return None
+    best = _best_per_method(rows)
     methods = sorted(best, key=lambda m: best[m]["delta_psnr"])
     deltas = [best[m]["delta_psnr"] for m in methods]
     fig, ax = plt.subplots(figsize=(7, 4))
@@ -58,7 +82,25 @@ def fig_method_comparison(runs, out_dir):
     ax.axvline(0, color="k", lw=0.8)
     ax.set_xlabel("best ΔPSNR vs matched no-TTA baseline (dB)")
     ax.set_title("TTA method comparison")
-    return _save(fig, out_dir, "method_comparison")
+    made = [_save(fig, out_dir, "method_comparison")]
+
+    # per-metric absolute charts + combined panel
+    for metric, label, _lower in _METRIC_PANELS:
+        if not any(best[m].get(f"{metric}_mean") is not None
+                   for m in methods):
+            continue
+        fig, ax = plt.subplots(figsize=(7, 4))
+        _metric_bars(ax, best, methods, metric, label)
+        ax.set_title(f"Method comparison — {metric.upper()}")
+        made.append(_save(fig, out_dir, f"method_comparison_{metric}"))
+    fig, axes = plt.subplots(1, 3, figsize=(15, 4))
+    for ax, (metric, label, _lower) in zip(axes, _METRIC_PANELS):
+        _metric_bars(ax, best, methods, metric, label)
+        ax.set_title(metric.upper())
+    fig.suptitle("Method comparison — all metrics", fontweight="bold")
+    fig.tight_layout()
+    made.append(_save(fig, out_dir, "method_comparison_all_metrics"))
+    return made
 
 
 def fig_pareto_quality_vs_params(runs, out_dir):
@@ -163,6 +205,46 @@ def fig_es_time_savings(runs, out_dir):
     ax.set_ylabel("per-video TTA time (s)")
     ax.set_title("Early stopping time savings")
     return _save(fig, out_dir, "es_time_savings")
+
+
+def fig_early_stopping(runs, out_dir):
+    """ES-ablation comparison (reference fig_early_stopping,
+    generate_figures.py:1423): PSNR line over the swept ES knob with a
+    %-videos-stopped twin bar axis, one panel per ablation series
+    (patience + check frequency)."""
+    panels = []
+    for series, cfg_key, xlabel in (
+            ("es_ablation_patience", "es_patience", "Patience"),
+            ("es_ablation_check_freq", "es_check_every",
+             "Check every N steps")):
+        rows = [r for r in _complete(runs)
+                if r.get("series") == series
+                and (r.get("config") or {}).get(cfg_key) is not None]
+        rows.sort(key=lambda r: r["config"][cfg_key])
+        if rows:
+            panels.append((rows, cfg_key, xlabel))
+    if not panels:
+        return None
+    fig, axes = plt.subplots(1, len(panels), figsize=(6 * len(panels), 5),
+                             squeeze=False)
+    for ax, (rows, cfg_key, xlabel) in zip(axes[0], panels):
+        xs = [r["config"][cfg_key] for r in rows]
+        psnrs = [r["psnr_mean"] for r in rows]
+        stopped = [100.0 * (r.get("es_stopped_ratio") or 0.0)
+                   for r in rows]
+        ax2 = ax.twinx()
+        ax2.bar(xs, stopped, 0.6, color="#bcd4d0", alpha=0.5, zorder=1)
+        ax2.set_ylabel("% videos stopped early", color="#666666")
+        ax2.set_ylim(0, 105)
+        ax.set_zorder(ax2.get_zorder() + 1)
+        ax.patch.set_visible(False)
+        ax.plot(xs, psnrs, "-o", color="#2a9d8f", markersize=6,
+                markeredgecolor="white", lw=1.8, zorder=10)
+        ax.set_xlabel(xlabel)
+        ax.set_ylabel("PSNR (dB)", color="#2a9d8f")
+        ax.set_title(f"Early stopping: {xlabel}", fontweight="bold")
+    fig.tight_layout()
+    return _save(fig, out_dir, "es_ablation")
 
 
 def fig_loss_curves(curves: List[Dict], out_dir):
@@ -309,7 +391,24 @@ def fig_cross_dataset(runs, out_dir):
     ax.set_ylabel("best ΔPSNR (dB)")
     ax.set_title("Cross-dataset generalization")
     ax.legend(fontsize=8)
-    return _save(fig, out_dir, "cross_dataset")
+    made = [_save(fig, out_dir, "cross_dataset")]
+
+    # per-dataset per-metric charts (reference fig_cross_dataset emits
+    # {dataset}_{metric}.png files, generate_figures.py:895-965)
+    for ds in datasets:
+        ds_rows = [r for r in rows if r["dataset"] == ds]
+        best = _best_per_method(ds_rows)
+        ms = sorted(best)
+        for metric, label, _lower in _METRIC_PANELS:
+            if not any(best[m].get(f"{metric}_mean") is not None
+                       for m in ms):
+                continue
+            fig, ax = plt.subplots(figsize=(7, 4))
+            _metric_bars(ax, best, ms, metric, label)
+            ax.set_title(f"{ds} — {metric.upper()}")
+            made.append(_save(fig, out_dir,
+                              f"cross_dataset_{ds}_{metric}"))
+    return made
 
 
 def fig_extended_data(runs, out_dir):
@@ -461,7 +560,8 @@ def fig_loss_curves_long_train(curves, out_dir):
 ALL_FIGURES = [
     fig_method_comparison, fig_pareto_quality_vs_params, fig_lr_sweep,
     fig_steps_sweep, fig_cond_frames, fig_gen_horizon, fig_time_cost,
-    fig_es_time_savings, fig_summary_table, fig_batch_k,
+    fig_es_time_savings, fig_early_stopping, fig_summary_table,
+    fig_batch_k,
     fig_clip_gate_summary, fig_adasteer_groups, fig_lora_analysis,
     fig_cross_dataset, fig_extended_data, fig_ratio_sweep,
     fig_all_runs_scatter, fig_naive_methods, fig_clip_threshold_curves,
@@ -486,14 +586,14 @@ def main(argv=None):
     for fn in ALL_FIGURES:
         path = fn(runs, args.output_dir)
         if path:
-            made.append(path)
+            made.extend(path if isinstance(path, list) else [path])
     if os.path.exists(args.loss_curves):
         with open(args.loss_curves) as f:
             curves = json.load(f)["curves"]
         for fn in LOSS_CURVE_FIGURES:
             path = fn(curves, args.output_dir)
             if path:
-                made.append(path)
+                made.extend(path if isinstance(path, list) else [path])
     print(f"[figures] generated {len(made)} figures in {args.output_dir}")
     return made
 

@@ -270,6 +270,17 @@ _LORA_SITES = {
 }
 
 
+# site -> (group, name) path inside base_params["blocks"] for the
+# builtin merged-weight formulation
+_LORA_PARAM_PATHS = {
+    "qkv": ("attn", "qkv"), "attn_proj": ("attn", "proj"),
+    "xattn_q": ("cross_attn", "q"), "xattn_kv": ("cross_attn", "kv"),
+    "xattn_proj": ("cross_attn", "proj"),
+    "ffn_w1": ("ffn", "w1"), "ffn_w2": ("ffn", "w2"),
+    "ffn_w3": ("ffn", "w3"),
+}
+
+
 def lora_site_names(target_modules: Sequence[str], target_ffn: bool) -> List[str]:
     """Map the reference's --lora-target-modules/--lora-target-ffn flags
     (run_lora_tta.py:142-168) to our site names."""
@@ -292,6 +303,7 @@ class LoRAScheme(AdapterScheme):
         self.targets = parse_target_blocks(acfg.target_blocks, dit_cfg.depth)
         self.rank = acfg.lora_rank
         self.scale = acfg.lora_alpha / acfg.lora_rank
+        self.builtin = getattr(acfg, "lora_builtin", False)
 
     def init(self, rng, base_params=None):
         L, r = self.cfg.depth, self.rank
@@ -310,6 +322,23 @@ class LoRAScheme(AdapterScheme):
 
     def to_forward(self, train_params, base_params):
         mask = _active_mask(self.cfg.depth, self.targets)[:, None, None]
+        if self.builtin:
+            # merged-weight formulation (reference builtin LoRAModule
+            # forward patch): W' = W + scale * a b per site; asserted
+            # equivalent to the side-branch in tests/test_tta.py
+            blocks = dict(base_params["blocks"])
+            for site, ab in train_params.items():
+                g1, g2 = _LORA_PARAM_PATHS[site]
+                grp = dict(blocks[g1])
+                p = dict(grp[g2])
+                delta = jnp.einsum("ldr,lrb->ldb", ab["a"] * mask,
+                                   ab["b"]) * self.scale
+                p["kernel"] = p["kernel"] + delta.astype(p["kernel"].dtype)
+                grp[g2] = p
+                blocks[g1] = grp
+            merged = dict(base_params)
+            merged["blocks"] = blocks
+            return merged, {}
         lora = {
             site: {"a": ab["a"] * mask, "b": ab["b"]}
             for site, ab in train_params.items()

@@ -14,7 +14,50 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import pytest  # noqa: E402
+
 import jax  # noqa: E402
+
+# `pytest -m quick` tier (VERDICT r2 #10): one fast test per subsystem
+# so a pre-commit loop stays under ~3 min on this 1-CPU box; the full
+# suite remains the CI gate.
+_QUICK_TESTS = {
+    "test_attention.py::test_flash_fwd_matches_reference[0]",
+    "test_baseline_tools.py::test_prune_creates_keep_list_and_results_md",
+    "test_bsa.py::test_full_topk_equals_dense",
+    "test_bucket.py::test_bucket_len_ladder",
+    "test_clip_vision.py::test_image_embeds_match_hf",
+    "test_cogvideox.py::test_forward_shapes_and_i2v_conditioning",
+    "test_convert.py::test_vae_converter_raises_on_missing_key",
+    "test_data_eval.py::test_psnr_ssim_behavior",
+    "test_dit.py::test_forward_shape_and_dtype",
+    "test_dit.py::test_zero_adapters_are_identity",
+    "test_golden.py::test_dit_forward_golden",
+    "test_i3d.py::test_i3d_converter_roundtrip_and_guard",
+    "test_lpips.py::test_lpips_identity_and_symmetry",
+    "test_mmdit.py::test_forward_shapes_t2v_and_cond",
+    "test_native_loader.py::test_native_lib_builds",
+    "test_parallel.py::test_mesh_axes",
+    "test_parallel.py::test_sharded_forward_matches_single_device",
+    "test_pipeline.py::test_generate_vc_shape",
+    "test_prep_diag.py::test_check_status",
+    "test_quant.py::test_int8_linear_close_to_dense",
+    "test_runner.py::test_delta_a_end_to_end",
+    "test_scheduler.py::test_sigmas_monotone_and_terminal_zero",
+    "test_sweep.py::test_load_config_validation",
+    "test_t2v_eval_hooks.py::test_fvd_pairing_by_stem",
+    "test_tta.py::test_method_trains_and_loss_decreases[delta_a]",
+    "test_umt5.py::test_encode_shape",
+    "test_vae.py::test_encode_shape",
+    "test_xclip.py::test_xclip_gate_scorer",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        name = item.nodeid.split("/")[-1]
+        if name in _QUICK_TESTS:
+            item.add_marker(pytest.mark.quick)
 
 # The axon TPU tunnel exports JAX_PLATFORMS=axon; the config update (not the
 # env var) is what reliably pins tests to the virtual 8-device CPU mesh.

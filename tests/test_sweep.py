@@ -109,6 +109,52 @@ def test_loss_curves_and_figures(sweep_out):
     assert any("loss_curves" in m for m in made)
 
 
+def test_es_ablation_and_multimetric_figures(tmp_path):
+    """New chart families (VERDICT r2 #6): fig_early_stopping panels
+    and the per-metric + combined method-comparison / cross-dataset
+    charts, on fabricated run records."""
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    runs = []
+    for series, key, vals in (
+            ("es_ablation_patience", "es_patience", (1, 2, 3, 5, 10)),
+            ("es_ablation_check_freq", "es_check_every", (1, 2, 5, 10))):
+        for v in vals:
+            runs.append({
+                "status": "complete", "series": series,
+                "run_id": f"{key}{v}", "method": "full",
+                "psnr_mean": 22.0 + rng.rand(), "psnr_std": 0.5,
+                "ssim_mean": 0.7 + 0.01 * rng.rand(), "ssim_std": 0.01,
+                "lpips_mean": 0.25, "lpips_std": 0.02,
+                "es_stopped_ratio": float(rng.rand()),
+                "config": {key: v},
+                "delta_psnr": rng.rand(), "dataset": "panda",
+            })
+    for m in ("delta_a", "lora"):
+        for ds in ("panda", "ucf101"):
+            runs.append({
+                "status": "complete", "series": f"s_{m}", "run_id": m,
+                "method": m, "psnr_mean": 22.3, "psnr_std": 0.4,
+                "ssim_mean": 0.71, "ssim_std": 0.01,
+                "lpips_mean": 0.24, "lpips_std": 0.02,
+                "delta_psnr": 0.3, "dataset": ds, "config": {},
+            })
+    out = str(tmp_path / "figs")
+    es = figures.fig_early_stopping(runs, out)
+    assert es and os.path.exists(es)
+    mc = figures.fig_method_comparison(runs, out)
+    names = [os.path.basename(p) for p in mc]
+    assert "method_comparison.png" in names
+    assert "method_comparison_psnr.png" in names
+    assert "method_comparison_lpips.png" in names
+    assert "method_comparison_all_metrics.png" in names
+    cd = figures.fig_cross_dataset(runs, out)
+    names = [os.path.basename(p) for p in cd]
+    assert "cross_dataset.png" in names
+    assert "cross_dataset_ucf101_psnr.png" in names
+
+
 def test_full_config_matrix_dry_runs(tmp_path):
     """Every generated series (the reference's 64-config matrix) passes
     key-mapping validation via --dry-run."""
