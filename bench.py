@@ -206,16 +206,18 @@ def main():
     p_matmul = L * p_block
     nhw = (lat_h // 2) * (lat_w // 2)
     s_train = 3 * nhw           # cond 2 + train 1 latent frames
-    # fwd 2*P*S, bwd 2x fwd; self-attention 4*S^2*D fwd, ~2.5x in bwd
-    train_flops = 6 * p_matmul * s_train + 14 * s_train ** 2 * D
+    # fwd 2*P*S, bwd 2x fwd; self-attention 4*S^2*D fwd PER BLOCK
+    # (~2.5x in bwd). Round-2 bench omitted the L factor on the
+    # attention term, understating MFU (r3 accounting fix).
+    train_flops = 6 * p_matmul * s_train + L * 14 * s_train ** 2 * D
     peak = 197e12               # v5e bf16 MXU roofline
     train_mfu = train_flops / tta_step_s / peak
 
     s_noise, s_cond = 8 * nhw, 4 * nhw
     # per denoise step: CFG batch 2, fwd only; attention Sq=noise,
-    # Sk=cond+noise (KV-cache)
+    # Sk=cond+noise (KV-cache), per block
     gen_flops_step = 2 * (2 * p_matmul * s_noise
-                          + 4 * s_noise * (s_noise + s_cond) * D)
+                          + L * 4 * s_noise * (s_noise + s_cond) * D)
     gen_mfu = gen_flops_step * 50 / gen_s / peak
 
     baseline_step_s = 20.9 / 5.0  # Delta-A 5-step train_s on H200 (13.6B)

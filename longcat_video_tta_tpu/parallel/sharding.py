@@ -38,6 +38,60 @@ _RULES = (
 )
 
 
+# CogVideoX (models/cogvideox.py): separate to_q/to_k/to_v columns,
+# to_out row, GELU FFN, LayerNormZero modulation matmuls (6D outputs,
+# ~0.8 GB of params at 5B — worth sharding; the [B,1,6D] modulation
+# activation GSPMD reshards is negligible).
+_RULES_COGVIDEOX = (
+    ("blocks/attn/to_q/kernel", P(None, None, "tensor")),
+    ("blocks/attn/to_q/bias", P(None, "tensor")),
+    ("blocks/attn/to_k/kernel", P(None, None, "tensor")),
+    ("blocks/attn/to_k/bias", P(None, "tensor")),
+    ("blocks/attn/to_v/kernel", P(None, None, "tensor")),
+    ("blocks/attn/to_v/bias", P(None, "tensor")),
+    ("blocks/attn/to_out/kernel", P(None, "tensor", None)),
+    ("blocks/ff/w_in/kernel", P(None, None, "tensor")),
+    ("blocks/ff/w_in/bias", P(None, "tensor")),
+    ("blocks/ff/w_out/kernel", P(None, "tensor", None)),
+    ("blocks/norm1/lin/kernel", P(None, None, "tensor")),
+    ("blocks/norm1/lin/bias", P(None, "tensor")),
+    ("blocks/norm2/lin/kernel", P(None, None, "tensor")),
+    ("blocks/norm2/lin/bias", P(None, "tensor")),
+)
+
+# MMDiT (models/mmdit.py): fused qkv columns (3D divisible by tensor),
+# proj/linear2 rows, modulation matmuls column-sharded.
+_RULES_MMDIT = (
+    ("double/img_attn/qkv/kernel", P(None, None, "tensor")),
+    ("double/img_attn/qkv/bias", P(None, "tensor")),
+    ("double/img_attn/proj/kernel", P(None, "tensor", None)),
+    ("double/txt_attn/qkv/kernel", P(None, None, "tensor")),
+    ("double/txt_attn/qkv/bias", P(None, "tensor")),
+    ("double/txt_attn/proj/kernel", P(None, "tensor", None)),
+    ("double/img_mlp/w_in/kernel", P(None, None, "tensor")),
+    ("double/img_mlp/w_in/bias", P(None, "tensor")),
+    ("double/img_mlp/w_out/kernel", P(None, "tensor", None)),
+    ("double/txt_mlp/w_in/kernel", P(None, None, "tensor")),
+    ("double/txt_mlp/w_in/bias", P(None, "tensor")),
+    ("double/txt_mlp/w_out/kernel", P(None, "tensor", None)),
+    ("double/img_mod/kernel", P(None, None, "tensor")),
+    ("double/img_mod/bias", P(None, "tensor")),
+    ("double/txt_mod/kernel", P(None, None, "tensor")),
+    ("double/txt_mod/bias", P(None, "tensor")),
+    ("single/mod/kernel", P(None, None, "tensor")),
+    ("single/mod/bias", P(None, "tensor")),
+    ("single/linear1/kernel", P(None, None, "tensor")),
+    ("single/linear1/bias", P(None, "tensor")),
+    ("single/linear2/kernel", P(None, "tensor", None)),
+)
+
+_RULES_BY_ARCH = {
+    "longcat": _RULES,
+    "cogvideox": _RULES_COGVIDEOX,
+    "mmdit": _RULES_MMDIT,
+}
+
+
 def _path_str(path) -> str:
     parts = []
     for p in path:
@@ -45,12 +99,14 @@ def _path_str(path) -> str:
     return "/".join(parts)
 
 
-def param_specs(params: Dict[str, Any]) -> Dict[str, Any]:
-    """PartitionSpec pytree matching ``params``."""
+def param_specs(params: Dict[str, Any],
+                arch: str = "longcat") -> Dict[str, Any]:
+    """PartitionSpec pytree matching ``params`` (TP rules per arch)."""
+    rules = _RULES_BY_ARCH[arch]
 
     def spec_for(path, leaf):
         ps = _path_str(path)
-        for suffix, spec in _RULES:
+        for suffix, spec in rules:
             if ps == suffix:
                 return spec
         return P()  # replicate
@@ -58,9 +114,10 @@ def param_specs(params: Dict[str, Any]) -> Dict[str, Any]:
     return jax.tree_util.tree_map_with_path(spec_for, params)
 
 
-def param_shardings(mesh: Mesh, params: Dict[str, Any]):
+def param_shardings(mesh: Mesh, params: Dict[str, Any],
+                    arch: str = "longcat"):
     return jax.tree_util.tree_map(
-        lambda spec: NamedSharding(mesh, spec), param_specs(params),
+        lambda spec: NamedSharding(mesh, spec), param_specs(params, arch),
         is_leaf=lambda x: isinstance(x, P),
     )
 

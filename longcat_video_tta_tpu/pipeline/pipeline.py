@@ -291,15 +291,24 @@ def generate_vc(
     lat_h, lat_w = cond_latents.shape[3], cond_latents.shape[4]
 
     if cfg.arch in ("cogvideox", "mmdit"):
-        # fail loudly instead of silently running dense/unbucketed
-        # (dit_forward_with_cache does the same for unsupported combos)
+        # Fail loudly instead of silently running dense/unbucketed.
+        # Design reason these stay LongCat-only: BSA and ring-CP exploit
+        # the KV-cached cond-prefix/noise split of the LongCat decode —
+        # the joint [text | video] samplers here re-denoise the FULL
+        # latent volume each step with no cond KV cache, so there is no
+        # exact-prefix block structure for BSA to preserve nor a cached
+        # ring shard layout; bucketing pads the gen horizon, but these
+        # samplers' cond region lives inside the same volume, so horizon
+        # padding changes the conditioning channel layout. Segmented
+        # dispatch (gen_segment_steps) IS supported on all three archs.
         for flag, name in ((bsa_cfg, "bsa_cfg"), (bucket_gen, "bucket_gen"),
-                           (cp_mesh, "cp_mesh"),
-                           (gen_segment_steps, "gen_segment_steps")):
+                           (cp_mesh, "cp_mesh")):
             if flag:
                 raise NotImplementedError(
                     f"{name} is not supported on the {cfg.arch} decode "
-                    "path (LongCat only)")
+                    "path (LongCat only): no cond-KV/noise split to "
+                    "exploit in the joint-volume sampler — see "
+                    "generate_vc")
 
     decode_params = bundle.dit_params if dit_params is None else dit_params
     if quantize_decode == "int8":
@@ -319,12 +328,13 @@ def generate_vc(
         # channel conditioning (common_cogvideo.py:283-322). The sampler
         # returns the full volume; cond region swapped for exact latents
         # before decode.
-        from .sampler import sample_latents_cogvideox
+        from .sampler import (
+            sample_latents_cogvideox,
+            sample_latents_cogvideox_segmented,
+        )
 
         emb2 = jnp.concatenate([nemb, emb], axis=0)
-        full = sample_latents_cogvideox(
-            decode_params,
-            cfg.dit, jax.random.PRNGKey(seed), emb2,
+        cvx_kwargs = dict(
             num_gen_latents=n_gen_latents,
             num_steps=num_inference_steps,
             lat_h=lat_h, lat_w=lat_w,
@@ -333,6 +343,14 @@ def generate_vc(
             guidance=float(guidance_scale),
             attn_impl=attn_impl,
         )
+        if gen_segment_steps > 0:
+            full = sample_latents_cogvideox_segmented(
+                decode_params, cfg.dit, jax.random.PRNGKey(seed), emb2,
+                segment_steps=gen_segment_steps, **cvx_kwargs)
+        else:
+            full = sample_latents_cogvideox(
+                decode_params, cfg.dit, jax.random.PRNGKey(seed), emb2,
+                **cvx_kwargs)
         full = full.at[:, :, : cond_latents.shape[2]].set(cond_latents)
         tf = cfg.vae.temporal_factor
         pixels = bundle.decode_latents(full)
@@ -345,13 +363,14 @@ def generate_vc(
         # cond_embed conditioning (run_full_tta_opensora.py:149-260);
         # the sampler returns the full latent volume incl. the cond
         # region, which we swap for the exact cond latents before decode.
-        from .sampler import sample_latents_mmdit
+        from .sampler import (
+            sample_latents_mmdit,
+            sample_latents_mmdit_segmented,
+        )
 
         txt3 = jnp.concatenate([emb, nemb, nemb], axis=0)
         yv3 = jnp.concatenate([mask, nmask, nmask], axis=0)
-        full = sample_latents_mmdit(
-            decode_params,
-            cfg.dit, jax.random.PRNGKey(seed), txt3, yv3,
+        mm_kwargs = dict(
             num_gen_latents=n_gen_latents,
             num_steps=num_inference_steps,
             lat_h=lat_h, lat_w=lat_w,
@@ -360,6 +379,14 @@ def generate_vc(
             guidance=float(guidance_scale),
             attn_impl=attn_impl,
         )
+        if gen_segment_steps > 0:
+            full = sample_latents_mmdit_segmented(
+                decode_params, cfg.dit, jax.random.PRNGKey(seed), txt3,
+                yv3, segment_steps=gen_segment_steps, **mm_kwargs)
+        else:
+            full = sample_latents_mmdit(
+                decode_params, cfg.dit, jax.random.PRNGKey(seed), txt3,
+                yv3, **mm_kwargs)
         full = full.at[:, :, : cond_latents.shape[2]].set(cond_latents)
         tf = cfg.vae.temporal_factor
         pixels = bundle.decode_latents(full)

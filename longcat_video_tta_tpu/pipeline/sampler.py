@@ -290,6 +290,17 @@ def sample_latents_mmdit(
     t_pairs = jnp.stack([ts[:-1], ts[1:]], axis=1)
 
     g_vec = jnp.full((3 * B,), guidance, jnp.float32)
+    step = _mmdit_denoise_step(params, cfg, txt3, y_vec3, cond3, g_vec,
+                               guidance, guidance_img, adapters, attn_impl)
+    x, _ = jax.lax.scan(step, x, t_pairs)
+    return x
+
+
+def _mmdit_denoise_step(params, cfg, txt3, y_vec3, cond3, g_vec, guidance,
+                        guidance_img, adapters, attn_impl):
+    """Shared denoise-step body for the one-dispatch and segmented
+    MMDiT samplers (identical math by construction)."""
+    B = txt3.shape[0] // 3
 
     def step(x, t_pair):
         t_curr, t_prev = t_pair[0], t_pair[1]
@@ -307,7 +318,56 @@ def sample_latents_mmdit(
                     + guidance * (c_pred - u_pred))
         return x + (t_prev - t_curr) * combined, None
 
-    x, _ = jax.lax.scan(step, x, t_pairs)
+    return step
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "guidance", "guidance_img", "attn_impl"),
+)
+def _mmdit_scan_segment(params, cfg, x, t_pairs_seg, txt3, y_vec3, cond3,
+                        adapters, guidance, guidance_img, attn_impl):
+    g_vec = jnp.full((txt3.shape[0],), guidance, jnp.float32)
+    step = _mmdit_denoise_step(params, cfg, txt3, y_vec3, cond3, g_vec,
+                               guidance, guidance_img, adapters, attn_impl)
+    x, _ = jax.lax.scan(step, x, t_pairs_seg)
+    return x
+
+
+def sample_latents_mmdit_segmented(
+    params, cfg, rng, txt3, y_vec3, *, num_gen_latents, num_steps,
+    lat_h, lat_w, segment_steps, cond_latents=None, adapters=None,
+    guidance: float = 7.5, guidance_img: float = 3.0, shift: bool = True,
+    attn_impl=None,
+):
+    """``sample_latents_mmdit`` split into bounded device dispatches
+    (the long-execution-fault workaround, same as
+    sample_latents_segmented). Numerically identical: same noise draw,
+    same per-step math via the shared step body."""
+    from ..tta.losses import _mmdit_cond_input
+
+    B = txt3.shape[0] // 3
+    C = cfg.in_channels
+    t_cond = 0 if cond_latents is None else cond_latents.shape[2]
+    T = t_cond + num_gen_latents
+    x = jax.random.normal(rng, (B, C, T, lat_h, lat_w), jnp.float32)
+    if cond_latents is not None:
+        cond_in = _mmdit_cond_input(cond_latents, T)
+        cond3 = jnp.concatenate(
+            [cond_in, cond_in, jnp.zeros_like(cond_in)], axis=0)
+    else:
+        cond3 = None
+    seq_len = T * (lat_h // cfg.patch_size) * (lat_w // cfg.patch_size)
+    ts = jnp.linspace(1.0, 0.0, num_steps + 1)
+    if shift:
+        ts = flux_time_shift(ts, seq_len)
+    t_pairs = jnp.stack([ts[:-1], ts[1:]], axis=1)
+    seg = max(1, int(segment_steps))
+    for s in range(0, num_steps, seg):
+        x = _mmdit_scan_segment(
+            params, cfg, x, t_pairs[s:s + seg], txt3, y_vec3, cond3,
+            adapters, guidance, guidance_img, attn_impl)
+        x.block_until_ready()
     return x
 
 
@@ -378,6 +438,18 @@ def sample_latents_cogvideox(
     ab_t = ab[step_idx]
     ab_prev = jnp.concatenate([ab[step_idx[1:]], jnp.ones((1,))])
 
+    step = _cogvideox_denoise_step(params, cfg, text_emb2, img_lat2,
+                                   guidance, adapters, attn_impl)
+    x, _ = jax.lax.scan(step, x, (step_idx, ab_t, ab_prev))
+    return x
+
+
+def _cogvideox_denoise_step(params, cfg, text_emb2, img_lat2, guidance,
+                            adapters, attn_impl):
+    """Shared DDIM v-pred step body for the one-dispatch and segmented
+    CogVideoX samplers."""
+    B = text_emb2.shape[0] // 2
+
     from ..models.cogvideox import cogvideox_forward
 
     def step(x, inp):
@@ -396,5 +468,49 @@ def sample_latents_cogvideox(
         x = jnp.sqrt(a_prev) * x0 + jnp.sqrt(1.0 - a_prev) * eps
         return x, None
 
-    x, _ = jax.lax.scan(step, x, (step_idx, ab_t, ab_prev))
+    return step
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "guidance", "attn_impl"))
+def _cogvideox_scan_segment(params, cfg, x, xs, text_emb2, img_lat2,
+                            adapters, guidance, attn_impl):
+    step = _cogvideox_denoise_step(params, cfg, text_emb2, img_lat2,
+                                   guidance, adapters, attn_impl)
+    x, _ = jax.lax.scan(step, x, xs)
+    return x
+
+
+def sample_latents_cogvideox_segmented(
+    params, cfg, rng, text_emb2, *, num_gen_latents, num_steps, lat_h,
+    lat_w, segment_steps, cond_latents=None, adapters=None,
+    guidance: float = 6.0, attn_impl=None,
+):
+    """``sample_latents_cogvideox`` split into bounded device dispatches
+    (long-execution-fault workaround); numerically identical by
+    construction (same noise draw + shared step body)."""
+    from ..tta.losses import _cogvideox_image_latents
+
+    B = text_emb2.shape[0] // 2
+    C = cfg.latent_channels
+    t_cond = 0 if cond_latents is None else cond_latents.shape[2]
+    T = t_cond + num_gen_latents
+    x = jax.random.normal(rng, (B, C, T, lat_h, lat_w), jnp.float32)
+    img_lat = (None if cond_latents is None
+               else _cogvideox_image_latents(cond_latents, T))
+    img_lat2 = None if img_lat is None else jnp.concatenate(
+        [img_lat, img_lat], axis=0)
+    ab = cogvideox_alphas_cumprod()
+    n_train = ab.shape[0]
+    step_idx = jnp.round(
+        jnp.linspace(n_train - 1, 0, num_steps)).astype(jnp.int32)
+    ab_t = ab[step_idx]
+    ab_prev = jnp.concatenate([ab[step_idx[1:]], jnp.ones((1,))])
+    seg = max(1, int(segment_steps))
+    for s in range(0, num_steps, seg):
+        x = _cogvideox_scan_segment(
+            params, cfg, x,
+            (step_idx[s:s + seg], ab_t[s:s + seg], ab_prev[s:s + seg]),
+            text_emb2, img_lat2, adapters, guidance, attn_impl)
+        x.block_until_ready()
     return x

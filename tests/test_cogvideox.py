@@ -163,6 +163,28 @@ def _synthetic_cogvideox_state_dict(cfg: CogVideoXConfig):
     return sd
 
 
+def test_segmented_sampler_equals_one_dispatch():
+    """gen_segment_steps on the CogVideoX path (advisor r2: the flag
+    silently did nothing here) — chunked dispatches must be numerically
+    identical to the single-scan sampler."""
+    from longcat_video_tta_tpu.pipeline.sampler import (
+        sample_latents_cogvideox,
+        sample_latents_cogvideox_segmented,
+    )
+
+    params = init_cogvideox(jax.random.PRNGKey(0), CFG, zero_init=False)
+    txt = jax.random.normal(jax.random.PRNGKey(2), (2, 6, 16))
+    cond = jax.random.normal(jax.random.PRNGKey(3), (1, 4, 1, 8, 12))
+    kw = dict(num_gen_latents=2, num_steps=5, lat_h=8, lat_w=12,
+              cond_latents=cond)
+    one = sample_latents_cogvideox(params, CFG, jax.random.PRNGKey(4),
+                                   txt, **kw)
+    seg = sample_latents_cogvideox_segmented(
+        params, CFG, jax.random.PRNGKey(4), txt, segment_steps=2, **kw)
+    np.testing.assert_allclose(np.asarray(seg), np.asarray(one),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_convert_torch_cogvideox_state_structure(setup):
     from longcat_video_tta_tpu.models.convert import (
         convert_torch_cogvideox_state,

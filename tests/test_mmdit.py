@@ -123,6 +123,28 @@ def test_fixed_anchor_deterministic(setup):
     assert a == b and np.isfinite(a)
 
 
+def test_segmented_sampler_equals_one_dispatch(setup):
+    """gen_segment_steps on the MMDiT path (advisor r2): chunked
+    dispatches must equal the single-scan sampler."""
+    from longcat_video_tta_tpu.pipeline.sampler import (
+        sample_latents_mmdit,
+        sample_latents_mmdit_segmented,
+    )
+
+    params, lat, txt, yv = setup
+    txt3 = jnp.concatenate([txt, txt, txt], axis=0)
+    yv3 = jnp.concatenate([yv, yv, yv], axis=0)
+    kw = dict(num_gen_latents=2, num_steps=5, lat_h=8, lat_w=12,
+              cond_latents=lat[:, :, :1])
+    one = sample_latents_mmdit(params, CFG, jax.random.PRNGKey(4), txt3,
+                               yv3, **kw)
+    seg = sample_latents_mmdit_segmented(
+        params, CFG, jax.random.PRNGKey(4), txt3, yv3, segment_steps=2,
+        **kw)
+    np.testing.assert_allclose(np.asarray(seg), np.asarray(one),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_rope_half_split_permutation_equals_interleaved():
     """The converter's claim (_rope_perm): half-split rotation on
     P-permuted channels == interleaved-pair rotation on the originals.
