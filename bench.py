@@ -159,7 +159,11 @@ def main():
 
     vp_detail = {}
     try:
-        for V in (2, 4):
+        # V=4 at bench geometry exceeds v5e-1 HBM (3.4 GB activation
+        # temps per lane); V=2 fits. The single-chip vp win is bounded
+        # here because the 480p step is already MXU-saturated — the
+        # lever's value is fleet replacement + data-axis sharding.
+        for V in (2,):
             chunk = make_batched_train_chunk(scheme, dcfg, tx)
             tps = jax.tree.map(
                 lambda *xs: jnp.stack(xs),
@@ -222,6 +226,17 @@ def main():
 
     baseline_step_s = 20.9 / 5.0  # Delta-A 5-step train_s on H200 (13.6B)
     per_param_ratio = (baseline_step_s / 13.6e9) / (tta_step_s / n_params)
+    # hardware-efficiency comparison: the reference's step at the same
+    # token geometry (13.6B: D=4096, F~12288, L=48) on H200 989 TFLOP/s
+    # dense bf16 — per-param parity on a 5x-weaker chip means ~5-6x
+    # higher silicon utilization
+    Dr, Fr, Lr = 4096, 12288, 48
+    p_block_ref = 3 * Dr * Dr + Dr * Dr + 4 * Dr * Dr + 3 * Dr * Fr \
+        + 512 * 6 * Dr
+    ref_flops = 6 * Lr * p_block_ref * s_train \
+        + Lr * 14 * s_train ** 2 * Dr
+    ref_mfu = ref_flops / baseline_step_s / 989e12
+    mfu_advantage = train_mfu / ref_mfu
     print(json.dumps({
         "metric": "delta_a_tta_step_seconds_480p_1p2B_v5e1",
         "value": round(tta_step_s, 3),
@@ -255,6 +270,8 @@ def main():
             **vp_detail,
             "wall_ratio_unnormalized": round(baseline_step_s / tta_step_s,
                                              3),
+            "baseline_step_mfu_est": round(ref_mfu, 4),
+            "mfu_advantage_vs_h200": round(mfu_advantage, 2),
             "baseline": "Delta-A lr5e-3 5 steps: 20.9 s/video on 1xH200 "
                         "13.6B (summary_printout.txt:134); per-param "
                         "normalization factor 1.19/13.6",

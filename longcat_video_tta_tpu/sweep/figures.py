@@ -122,7 +122,25 @@ def fig_pareto_quality_vs_params(runs, out_dir):
     ax.set_ylabel("ΔPSNR (dB)")
     ax.set_title("Quality vs adapted parameter count")
     ax.legend(fontsize=8)
-    return _save(fig, out_dir, "pareto_quality_vs_params")
+    made = [_save(fig, out_dir, "pareto_quality_vs_params")]
+
+    # time-vs-PSNR panel (reference emits pareto_time_vs_psnr too,
+    # generate_figures.py:505-544)
+    trows = [r for r in rows if r.get("avg_train_time")]
+    if trows:
+        best = _best_per_method(trows)
+        fig, ax = plt.subplots(figsize=(7, 4.5))
+        for m, r in sorted(best.items()):
+            ax.scatter(r["avg_train_time"], r["psnr_mean"], s=60,
+                       edgecolors="white", zorder=10)
+            ax.annotate(m, (r["avg_train_time"], r["psnr_mean"]),
+                        textcoords="offset points", xytext=(8, 4),
+                        fontsize=8)
+        ax.set_xlabel("mean TTA train time per video (s)")
+        ax.set_ylabel("PSNR (dB)")
+        ax.set_title("Quality vs TTA time cost")
+        made.append(_save(fig, out_dir, "pareto_time_vs_psnr"))
+    return made
 
 
 def _sweep_line(runs, out_dir, xkey: str, name: str, xlabel: str,

@@ -149,6 +149,42 @@ def test_make_tpu_clip_scorer_from_checkpoint_dir(hf_and_ours, tmp_path):
     assert np.all(np.abs(s) <= 1.0)
 
 
+def test_make_tpu_xclip_scorer_from_checkpoint_dir(tmp_path):
+    """Factory path for the xclip backend: HF XCLIPModel
+    save_pretrained dir -> converted JAX scorer."""
+    import torch
+    from transformers import XCLIPConfig as HFXConfig
+    from transformers import XCLIPModel
+
+    torch.manual_seed(1)
+    hf_cfg = HFXConfig(
+        text_config={
+            "hidden_size": 32, "intermediate_size": 128,
+            "num_hidden_layers": 2, "num_attention_heads": 4,
+            "max_position_embeddings": 16, "vocab_size": 100,
+            "hidden_act": "quick_gelu", "eos_token_id": 99,
+        },
+        vision_config={
+            "hidden_size": 32, "intermediate_size": 128,
+            "num_hidden_layers": 2, "num_attention_heads": 4,
+            "image_size": 32, "patch_size": 8, "num_frames": 8,
+            "hidden_act": "quick_gelu",
+            "mit_hidden_size": 24, "mit_intermediate_size": 96,
+            "mit_num_hidden_layers": 1, "mit_num_attention_heads": 4,
+        },
+        projection_dim=24, prompt_layers=2,
+        prompt_num_attention_heads=4, prompt_hidden_act="quick_gelu",
+    )
+    XCLIPModel(hf_cfg).save_pretrained(tmp_path)
+
+    from longcat_video_tta_tpu.tta.clip_gate import make_tpu_clip_scorer
+
+    scorer = make_tpu_clip_scorer(str(tmp_path), "xclip")
+    frames = np.random.RandomState(6).rand(5, 40, 48, 3).astype(np.float32)
+    s = scorer(frames, "a person dances")
+    assert s.shape == (1,) and -1.0 <= float(s[0]) <= 1.0
+
+
 def test_preprocess_frames_shape_and_range():
     from longcat_video_tta_tpu.models.clip import (
         CLIP_IMAGE_MEAN,
