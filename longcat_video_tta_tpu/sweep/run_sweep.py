@@ -77,6 +77,11 @@ _KEY_TO_FLAG = {
     "bsa_keep_ratio": "--bsa-keep-ratio",
     "quantize_decode": "--quantize-decode",
     "loss_fetch_every": "--loss-fetch-every",
+    # round-3 levers
+    "video_parallel": "--video-parallel",
+    "data_mesh": "--data-mesh",
+    "lpips_model_path": "--lpips-model-path",
+    "clip_gate_scorer": "--clip-gate-scorer",
 }
 # booleans: flag set iff true (reference convention, run_sweep.py:201-205)
 _BOOL_FLAGS = {

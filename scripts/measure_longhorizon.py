@@ -61,14 +61,23 @@ def main():
     bsa = BSAConfig(keep_ratio=args.keep)
 
     if args.mode == "corr":
-        # fidelity vs dense bf16 at the 29-frame bench geometry
-        kw = dict(num_gen_latents=8, num_steps=args.steps,
+        # fidelity vs dense bf16. NOTE: run at the geometry you intend
+        # to deploy — the forced-keep clamp (cond blocks + diagonal)
+        # sets an effective sparsity floor that depends on the
+        # cond:noise block ratio, so a 29-frame corr does not validate
+        # a 93-frame keep ratio (--gen-latents 24).
+        kw = dict(num_gen_latents=args.gen_latents, num_steps=args.steps,
                   lat_h=lat_h, lat_w=lat_w, cond_latents=cond,
                   use_kv_cache=True)
-        ref = np.asarray(sample_latents(
+        if args.segment > 0:
+            sampler = sample_latents_segmented
+            kw["segment_steps"] = args.segment
+        else:
+            sampler = sample_latents
+        ref = np.asarray(sampler(
             params, dcfg, cfg.scheduler, jax.random.PRNGKey(7), text,
             mask, jnp.zeros_like(text), mask, 4.0, **kw), np.float32)
-        fast = np.asarray(sample_latents(
+        fast = np.asarray(sampler(
             qparams, dcfg, cfg.scheduler, jax.random.PRNGKey(7), text,
             mask, jnp.zeros_like(text), mask, 4.0, bsa_cfg=bsa, **kw),
             np.float32)
@@ -76,6 +85,8 @@ def main():
         rel = float(np.linalg.norm(fast - ref) / np.linalg.norm(ref))
         print(json.dumps({"mode": "corr", "keep": args.keep,
                           "int8": not args.no_int8, "steps": args.steps,
+                          "gen_latents": args.gen_latents,
+                          "segment": args.segment,
                           "latent_corr": round(corr, 5),
                           "rel_err": round(rel, 4)}))
         return

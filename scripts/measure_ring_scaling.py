@@ -1,0 +1,72 @@
+#!/usr/bin/env python3
+"""Validate the ring-CP scaling assumption on real hardware
+(VERDICT r2 weak #2: "attention scales near-linearly over the context
+axis — unvalidated at real sequence lengths").
+
+Ring context parallelism splits the query tokens over N chips; each
+chip runs the SAME flash-attention kernel at Sq_local = Sq/N against
+the full K/V stream (arriving ring-chunk by ring-chunk, total work
+unchanged). The per-chip compute therefore scales with Sq_local — IF
+the kernel's throughput holds up at the smaller per-shard query sizes.
+This script measures exactly that on one chip: the decode-shape flash
+attention at Sq, Sq/2, Sq/4, Sq/8 (full Sk), reporting achieved
+TFLOP/s per shard size. Near-constant TFLOP/s across rows = the
+near-linear scaling claim holds at real sequence lengths.
+
+    PYTHONPATH=/root/repo:/root/.axon_site python scripts/measure_ring_scaling.py
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from longcat_video_tta_tpu.ops.flash_attention import flash_attention
+
+    B, H, dh = 2, 16, 128        # bench decode geometry (CFG batch 2)
+    nhw = 30 * 52
+    n_noise, n_cond = 24, 4      # 93-frame horizon
+    Sq_full = n_noise * nhw      # 37,440
+    Sk = (n_noise + n_cond) * nhw
+
+    rows = []
+    fn = jax.jit(lambda q, k, v: flash_attention(
+        q, k, v, num_cond_tokens=n_cond * nhw))
+    for shards in (1, 2, 4, 8):
+        Sq = Sq_full // shards
+        rng = np.random.RandomState(shards)
+        mk = lambda s: jnp.asarray(
+            rng.randn(B, s, H, dh) * 0.05, jnp.bfloat16)
+        q, k, v = mk(Sq), mk(Sk), mk(Sk)
+        float(fn(q, k, v).sum())              # compile + warm
+        q2 = mk(Sq)
+        t0 = time.perf_counter()
+        float(fn(q2, k, v).sum())
+        dt = time.perf_counter() - t0
+        flops = B * 4 * Sq * Sk * H * dh
+        rows.append({
+            "shards": shards, "Sq": Sq, "Sk": Sk,
+            "time_s": round(dt, 4),
+            "tflops_per_s": round(flops / dt / 1e12, 1),
+        })
+        print(rows[-1])
+    base = rows[0]["tflops_per_s"]
+    print(json.dumps({
+        "geometry": f"B={B} H={H} dh={dh} Sk={Sk} (93-frame decode)",
+        "rows": rows,
+        "throughput_retention_8way": round(
+            rows[-1]["tflops_per_s"] / base, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
