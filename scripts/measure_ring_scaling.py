@@ -49,22 +49,58 @@ def main():
         q, k, v = mk(Sq), mk(Sk), mk(Sk)
         float(fn(q, k, v).sum())              # compile + warm
         q2 = mk(Sq)
+        # force q2/k/v device-resident BEFORE timing: the tunnel moves
+        # ~40 MB/s, so a lazy transfer inside the timed call would
+        # dominate the ~0.3 s kernel
+        float(q2.sum()) + float(k.sum()) + float(v.sum())
         t0 = time.perf_counter()
         float(fn(q2, k, v).sum())
         dt = time.perf_counter() - t0
+
+        # the tunnel adds a ~30 ms fixed dispatch floor per call, which
+        # masquerades as throughput loss at small shards: amortize it
+        # with 1-call vs 4-call chains on resident inputs
+        def chain(n):
+            @jax.jit
+            def f(qs, k, v):
+                def body(c, q):
+                    o = flash_attention(q, k, v,
+                                        num_cond_tokens=n_cond * nhw)
+                    return c + o.sum(), None
+                c, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32),
+                                    qs)
+                return c
+            return f
+
+        qs1 = jnp.stack([mk(Sq)])
+        qs4 = jnp.stack([mk(Sq) for _ in range(4)])
+        f1c, f4c = chain(1), chain(4)
+        float(f1c(qs1, k, v)); float(f4c(qs4, k, v))  # compile+warm
+        qs1b = jnp.stack([mk(Sq)])
+        qs4b = jnp.stack([mk(Sq) for _ in range(4)])
+        float(qs1b.sum()) + float(qs4b.sum())
+        t0 = time.perf_counter(); float(f1c(qs1b, k, v))
+        t1c = time.perf_counter() - t0
+        t0 = time.perf_counter(); float(f4c(qs4b, k, v))
+        t4c = time.perf_counter() - t0
+        per = (t4c - t1c) / 3.0
         flops = B * 4 * Sq * Sk * H * dh
         rows.append({
             "shards": shards, "Sq": Sq, "Sk": Sk,
             "time_s": round(dt, 4),
             "tflops_per_s": round(flops / dt / 1e12, 1),
+            "amortized_s": round(per, 4),
+            "amortized_tflops_per_s": round(flops / per / 1e12, 1),
         })
         print(rows[-1])
-    base = rows[0]["tflops_per_s"]
     print(json.dumps({
         "geometry": f"B={B} H={H} dh={dh} Sk={Sk} (93-frame decode)",
         "rows": rows,
         "throughput_retention_8way": round(
-            rows[-1]["tflops_per_s"] / base, 3),
+            rows[-1]["tflops_per_s"] / rows[0]["tflops_per_s"], 3),
+        "amortized_retention_8way": round(
+            rows[-1]["amortized_tflops_per_s"]
+            / rows[0]["amortized_tflops_per_s"], 3),
     }))
 
 
