@@ -206,11 +206,30 @@ def clip_hash_tokenize(caption: str, max_length: int = 77,
                        vocab_size: int = 49408) -> np.ndarray:
     """Deterministic hash tokenizer for tests / no-tokenizer boxes
     (same fallback pattern as pipeline.HashTokenizer). BOS=vocab-2 at 0,
-    EOT=vocab-1 at the end so the pooled-at-argmax convention holds."""
+    EOT=vocab-1 at the end so the pooled-at-argmax convention holds.
+    Uses crc32, not built-in hash() — the latter is salted per process,
+    which would make gate scores non-reproducible across runs."""
+    import zlib
+
     words = caption.lower().split()[: max_length - 2]
     ids = [vocab_size - 2] + [
-        2 + (hash(w) % (vocab_size - 4)) for w in words
+        2 + (zlib.crc32(w.encode()) % (vocab_size - 4)) for w in words
     ] + [vocab_size - 1]
     out = np.zeros((max_length,), np.int32)
     out[: len(ids)] = ids
     return out
+
+
+def pad_or_subsample_frames(frames: np.ndarray, n: int) -> np.ndarray:
+    """[T, ...] -> exactly n frames: repeat the last frame when short,
+    linspace-subsample when long — the reference's X-CLIP 8-frame
+    protocol (common.py _get_xclip_scorer), shared by the torch and jax
+    scorer paths so they cannot drift."""
+    t = frames.shape[0]
+    if t < n:
+        return np.concatenate(
+            [frames, np.repeat(frames[-1:], n - t, 0)], axis=0)
+    if t > n:
+        idx = np.linspace(0, t - 1, n).round().astype(int)
+        return frames[idx]
+    return frames

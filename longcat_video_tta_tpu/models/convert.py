@@ -702,11 +702,17 @@ def convert_torch_mmdit_state(sd: Dict[str, Any], cfg) -> Dict[str, Any]:
 
 def convert_torch_clip_text_state(sd: Dict[str, Any], cfg) -> Dict[str, Any]:
     """Map a HF CLIPTextModel state_dict (text_model.* naming) into our
-    models/clip_text.py tree."""
+    models/clip_text.py tree. Strictly tracked: a layer-count mismatch
+    or unexpected key refuses the conversion (position_ids buffers from
+    older transformers versions excepted)."""
     L = cfg.num_layers
     pre = "text_model."
     if not any(k.startswith(pre) for k in sd):
         pre = ""
+    sd = _TrackedStateDict(sd)
+    for key in list(sd):
+        if key.endswith("position_ids"):
+            sd.accessed.add(key)
 
     def t(name):
         return jnp.asarray(np.asarray(sd[pre + name]).T)
@@ -715,11 +721,13 @@ def convert_torch_clip_text_state(sd: Dict[str, Any], cfg) -> Dict[str, Any]:
         return jnp.asarray(np.asarray(sd[pre + name]))
 
     def stack(fmt, transpose=False):
-        return _stack({k[len(pre):]: val for k, val in sd.items()
-                       if k.startswith(pre)}, fmt, L, transpose=transpose)
+        arrs = [np.asarray(sd[pre + fmt.format(i)]) for i in range(L)]
+        if transpose:
+            arrs = [a.T for a in arrs]
+        return jnp.asarray(np.stack(arrs))
 
     lyr = "encoder.layers.{}."
-    return {
+    params = {
         "token_embedding": v("embeddings.token_embedding.weight"),
         "position_embedding": v("embeddings.position_embedding.weight"),
         "layers": {
@@ -743,15 +751,18 @@ def convert_torch_clip_text_state(sd: Dict[str, Any], cfg) -> Dict[str, Any]:
         "final_ln": {"weight": v("final_layer_norm.weight"),
                      "bias": v("final_layer_norm.bias")},
     }
+    sd.assert_fully_consumed("CLIPTextModel")
+    return params
 
 
 def convert_torch_clip_model_state(sd: Dict[str, Any], vcfg,
                                    tcfg) -> Dict[str, Any]:
     """Map a full HF ``CLIPModel`` state_dict (vision_model.* +
     text_model.* + projections + logit_scale) into the models/clip.py
-    dual-encoder tree. The vision half is strictly tracked (unconsumed
-    keys refuse the conversion); position_ids buffers from older
-    transformers versions are ignored."""
+    dual-encoder tree. Both halves are strictly tracked (unconsumed
+    keys — including layer-count mismatches — refuse the conversion);
+    position_ids buffers from older transformers versions are
+    ignored."""
     sd = _TrackedStateDict(sd)
     L = vcfg.num_layers
 
@@ -759,10 +770,11 @@ def convert_torch_clip_model_state(sd: Dict[str, Any], vcfg,
         return jnp.asarray(np.asarray(sd["vision_model." + name]))
 
     def stack(fmt, transpose=False):
-        return _stack({k[len("vision_model."):]: val
-                       for k, val in sd.items()
-                       if k.startswith("vision_model.")},
-                      fmt, L, transpose=transpose)
+        arrs = [np.asarray(sd["vision_model." + fmt.format(i)])
+                for i in range(L)]
+        if transpose:
+            arrs = [a.T for a in arrs]
+        return jnp.asarray(np.stack(arrs))
 
     pw = np.asarray(sd["vision_model.embeddings.patch_embedding.weight"])
     lyr = "encoder.layers.{}."
@@ -793,16 +805,15 @@ def convert_torch_clip_model_state(sd: Dict[str, Any], vcfg,
         "post_ln": {"weight": v("post_layernorm.weight"),
                     "bias": v("post_layernorm.bias")},
     }
-    # the vision stack helper reads via a copied sub-dict, so mark the
-    # vision-layer keys consumed explicitly; text half goes through the
-    # dedicated text converter (which validates its own structure)
     for k in list(sd):
-        if k.startswith(("vision_model.encoder.", "text_model.")) \
-                or k.endswith("position_ids"):
+        if k.endswith("position_ids"):
             sd.accessed.add(k)
+    # text half goes through the dedicated (strict) text converter on
+    # its sub-dict; its keys count as consumed only if that succeeds
+    text_keys = [k for k in sd if k.startswith("text_model.")]
     text = convert_torch_clip_text_state(
-        {k: val for k, val in dict(sd).items()
-         if k.startswith("text_model.")}, tcfg)
+        {k: dict.__getitem__(sd, k) for k in text_keys}, tcfg)
+    sd.accessed.update(text_keys)
     params = {
         "vision": vision,
         "text": text,
@@ -909,11 +920,12 @@ def convert_torch_xclip_state(sd: Dict[str, Any], cfg) -> Dict[str, Any]:
         },
     }
     for k in list(sd):
-        if k.startswith("text_model.") or k.endswith("position_ids"):
+        if k.endswith("position_ids"):
             sd.accessed.add(k)
+    text_keys = [k for k in sd if k.startswith("text_model.")]
     text = convert_torch_clip_text_state(
-        {k: val for k, val in dict(sd).items()
-         if k.startswith("text_model.")}, cfg.text)
+        {k: dict.__getitem__(sd, k) for k in text_keys}, cfg.text)
+    sd.accessed.update(text_keys)
     params = {
         "vision": vision,
         "text": text,

@@ -43,8 +43,13 @@ class HashTokenizer:
         self.max_length = max_length
 
     def __call__(self, text: str) -> Tuple[np.ndarray, np.ndarray]:
+        import zlib
+
+        # crc32, not hash(): built-in string hashing is salted per
+        # process, which would break cross-run reproducibility
         words = text.lower().split()[: self.max_length - 1]
-        ids = [(hash(w) % (self.vocab_size - 2)) + 2 for w in words]
+        ids = [(zlib.crc32(w.encode()) % (self.vocab_size - 2)) + 2
+               for w in words]
         ids.append(1)  # eos
         n = len(ids)
         ids = ids + [0] * (self.max_length - n)
