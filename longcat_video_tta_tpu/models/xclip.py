@@ -191,13 +191,10 @@ def make_jax_xclip_scorer(
     reference's make_hf_xclip_scorer)."""
 
     def score(frames: np.ndarray, caption: str) -> np.ndarray:
-        t, nf = frames.shape[0], cfg.num_frames
-        if t < nf:
-            frames = np.concatenate(
-                [frames, np.repeat(frames[-1:], nf - t, 0)], axis=0)
-        elif t > nf:
-            idx = np.linspace(0, t - 1, nf).round().astype(int)
-            frames = frames[idx]
+        from .clip import pad_or_subsample_frames
+
+        frames = pad_or_subsample_frames(np.asarray(frames),
+                                         cfg.num_frames)
         pixels = preprocess_frames(np.asarray(frames),
                                    cfg.vision.image_size)[None]
         ids = jnp.asarray(tokenize(caption))[None]

@@ -528,37 +528,54 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
             lambda *xs: jnp.stack(xs), *ts)
         tta_start = frames.gen_start_frame - frames.tta_total_frames
         lanes: List[Dict[str, Any]] = []
+        lane_errors: Dict[int, BaseException] = {}
         for i in g_idxs:
             e = videos[i]
-            wpx, wlat = encode_window(e["path"], tta_start, idx=i)
-            t0 = time.time()
-            gate = evaluate_clip_gate(
-                (wpx[0].transpose(1, 2, 3, 0) + 1.0) / 2.0,
-                e["caption"], gatecfg, gate_scorer)
-            lane: Dict[str, Any] = {
-                "idx": i, "vid": os.path.basename(e["path"]),
-                "window": (wpx, wlat), "gate": gate,
-                "gate_time": time.time() - t0, "padded": False,
-            }
-            if not gate.get("skip_tta"):
-                c, tr, vl = split_tta_latents(wlat, n_ctx_lat,
-                                              escfg.holdout_fraction)
-                emb_i, mask_i = bundle.encode_prompt(e["caption"])
-                tp_i = scheme.init(jax.random.PRNGKey(args.seed + i),
-                                   base_params=bundle.dit_params)
-                st = build_early_stopper(escfg, scheme, dit_cfg,
-                                         args.attn_impl,
-                                         anchor_fn=arch_anchor)
-                es_setup = 0.0
-                if st is not None and vl is not None:
-                    t0 = time.time()
-                    st.setup(bundle.dit_params, c, vl, emb_i, mask_i,
-                             lane["vid"], tp_i)
-                    es_setup = time.time() - t0
-                lane.update(cond=c, train=tr, val=vl, emb=emb_i,
-                            mask=mask_i, tp=tp_i, opt_state=tx.init(tp_i),
-                            losses=[], stopper=st, active=True,
-                            es_time=es_setup)
+            try:
+                wpx, wlat = encode_window(e["path"], tta_start, idx=i)
+            except Exception as exc:
+                # a broken video must fail *itself*, not the whole
+                # group: record the error for re-raise inside that
+                # video's own per-video try block
+                print(f"  [vp] lane {os.path.basename(e['path'])} "
+                      f"failed to load/encode: {exc}")
+                lane_errors[i] = exc
+                continue
+            try:
+                t0 = time.time()
+                gate = evaluate_clip_gate(
+                    (wpx[0].transpose(1, 2, 3, 0) + 1.0) / 2.0,
+                    e["caption"], gatecfg, gate_scorer)
+                lane: Dict[str, Any] = {
+                    "idx": i, "vid": os.path.basename(e["path"]),
+                    "window": (wpx, wlat), "gate": gate,
+                    "gate_time": time.time() - t0, "padded": False,
+                }
+                if not gate.get("skip_tta"):
+                    c, tr, vl = split_tta_latents(wlat, n_ctx_lat,
+                                                  escfg.holdout_fraction)
+                    emb_i, mask_i = bundle.encode_prompt(e["caption"])
+                    tp_i = scheme.init(jax.random.PRNGKey(args.seed + i),
+                                       base_params=bundle.dit_params)
+                    st = build_early_stopper(escfg, scheme, dit_cfg,
+                                             args.attn_impl,
+                                             anchor_fn=arch_anchor)
+                    es_setup = 0.0
+                    if st is not None and vl is not None:
+                        t0 = time.time()
+                        st.setup(bundle.dit_params, c, vl, emb_i, mask_i,
+                                 lane["vid"], tp_i)
+                        es_setup = time.time() - t0
+                    lane.update(cond=c, train=tr, val=vl, emb=emb_i,
+                                mask=mask_i, tp=tp_i,
+                                opt_state=tx.init(tp_i),
+                                losses=[], stopper=st, active=True,
+                                es_time=es_setup)
+            except Exception as exc:
+                print(f"  [vp] lane {os.path.basename(e['path'])} "
+                      f"failed in gate/setup: {exc}")
+                lane_errors[i] = exc
+                continue
             lanes.append(lane)
 
         train_lanes = [l for l in lanes if "tp" in l]
@@ -569,6 +586,9 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
             while len(lanes_p) < vp:
                 pad = dict(train_lanes[-1])
                 pad["padded"] = True
+                # padded lanes are skipped by the ES update loop, so
+                # they must not count toward the loop-exit condition
+                pad["active"] = False
                 lanes_p.append(pad)
 
             tps = stack_trees([l["tp"] for l in lanes_p])
@@ -640,6 +660,9 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
                     "losses": l["losses"], "es_info": es_info,
                     "train_time": wall / n_real,
                     "es_time": l["es_time"] + es_loop / n_real,
+                    # observable for the padded-lane loop-exit contract:
+                    # ES stopping all real lanes must end the group loop
+                    "steps_executed": s,
                 }
         for l in lanes:
             if "tp" not in l:
@@ -649,6 +672,8 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
                     "losses": [], "es_info": None,
                     "train_time": 0.0, "es_time": 0.0,
                 }
+        for i, exc in lane_errors.items():
+            out[i] = {"error": exc}
         return out
 
     # ---- per-video loop ------------------------------------------------
@@ -670,6 +695,11 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
                     pretrained.update(train_video_group(
                         list(range(idx, min(idx + vp, len(videos))))))
                 pre = pretrained.pop(idx)
+                if pre is not None and "error" in pre:
+                    # re-raise the per-lane failure inside *this*
+                    # video's try block so the failure is attributed
+                    # to the broken video, not the group's first
+                    raise pre["error"]
 
             tta_start = frames.gen_start_frame - frames.tta_total_frames
             if pre is not None:
@@ -701,6 +731,7 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
                     losses = pre["losses"]
                     train_time = pre["train_time"]
                     es_time = pre["es_time"]
+                    res["vp_steps_executed"] = pre.get("steps_executed")
                     if pre["es_info"] is not None:
                         res["early_stopping_info"] = pre["es_info"]
                     res["losses"] = losses

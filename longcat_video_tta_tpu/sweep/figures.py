@@ -47,10 +47,16 @@ _METRIC_PANELS = (("psnr", "PSNR (dB)", False),
 
 def _best_per_method(rows, key="delta_psnr"):
     best: Dict[str, Dict] = {}
+
+    def val(r):
+        # `is not None`, not truthiness: a legitimate 0.0 metric must
+        # not be treated as missing
+        v = r.get(key)
+        return v if v is not None else -1e9
+
     for r in rows:
         m = r["method"]
-        if m not in best or (r.get(key) or -1e9) > (best[m].get(key)
-                                                    or -1e9):
+        if m not in best or val(r) > val(best[m]):
             best[m] = r
     return best
 

@@ -75,13 +75,9 @@ def make_hf_xclip_scorer(model_path: str) -> ScorerFn:
     proc = XCLIPProcessor.from_pretrained(model_path)
 
     def score(frames: np.ndarray, caption: str) -> np.ndarray:
-        t = frames.shape[0]
-        if t < 8:
-            frames = np.concatenate(
-                [frames, np.repeat(frames[-1:], 8 - t, 0)], axis=0)
-        elif t > 8:
-            idx = np.linspace(0, t - 1, 8).round().astype(int)
-            frames = frames[idx]
+        from ..models.clip import pad_or_subsample_frames
+
+        frames = pad_or_subsample_frames(np.asarray(frames), 8)
         vid = [(f * 255).astype(np.uint8) for f in frames]
         inputs = proc(text=[caption], videos=[vid], return_tensors="pt",
                       padding=True, truncation=True)
@@ -138,7 +134,16 @@ def make_tpu_clip_scorer(model_path: str, backend: str = "clip") -> ScorerFn:
             os.path.join(model_path, "pytorch_model.bin"),
             map_location="cpu", weights_only=True).items()}
 
-    try:
+    # The hash fallback is only legitimate when the checkpoint dir
+    # carries no tokenizer at all (synthetic-weight tests). If tokenizer
+    # files exist but fail to load, scoring real pretrained weights
+    # against hash-random token ids would be silently meaningless — let
+    # AutoTokenizer raise, like the torch scorer path does.
+    has_tok = any(
+        os.path.exists(os.path.join(model_path, f))
+        for f in ("tokenizer.json", "vocab.json", "merges.txt",
+                  "tokenizer_config.json", "spiece.model"))
+    if has_tok:
         from transformers import AutoTokenizer
 
         tok = AutoTokenizer.from_pretrained(model_path)
@@ -147,7 +152,11 @@ def make_tpu_clip_scorer(model_path: str, backend: str = "clip") -> ScorerFn:
             return np.asarray(tok(
                 caption, padding="max_length", truncation=True,
                 max_length=tcfg.max_length).input_ids, np.int32)
-    except Exception:
+    else:
+        print(f"[clip_gate] WARNING: no tokenizer files in {model_path}; "
+              "using the deterministic hash tokenizer — gate scores are "
+              "meaningful only for synthetic/test weights")
+
         def tokenize(caption: str) -> np.ndarray:
             return clip_hash_tokenize(caption, tcfg.max_length,
                                       tcfg.vocab_size)

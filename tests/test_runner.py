@@ -70,6 +70,50 @@ def test_video_parallel_driver_matches_sequential(tmp_path):
                 [x[1] for x in eb["loss_history"]], rtol=1e-4)
 
 
+def test_video_parallel_padded_group_stops_on_es(tmp_path):
+    """A padded group (1 real video, V=2) must exit the training loop
+    when the real lane early-stops — padded lanes may not hold the loop
+    open to the full --steps (review r3 #4)."""
+    _, vp = _run(tmp_path, "delta_a",
+                 extra=("--synthetic", "1", "--video-parallel", "2",
+                        "--steps", "40", "--es-patience", "1",
+                        "--output-dir", str(tmp_path / "out_es")))
+    r = vp["results"][0]
+    es = r["early_stopping_info"]
+    assert es["stopped_early"], "need an early-stopping run to test this"
+    assert r["vp_steps_executed"] < 40, (
+        "group loop ran to full --steps despite all real lanes stopping")
+
+
+def test_video_parallel_bad_video_attributed_to_itself(tmp_path):
+    """A corrupt video inside a --video-parallel group must fail only
+    itself; the healthy group member keeps its results (review r3 #1)."""
+    data = run_tta.make_synthetic_dataset(
+        str(tmp_path / "data"), 2, 16, 32)
+    with open(os.path.join(data, "clip_001.npy"), "wb") as f:
+        f.write(b"not an npy file")
+    out = str(tmp_path / "out_bad")
+    summary = run_tta.main([
+        "--method", "delta_a", "--preset", "longcat_tiny",
+        "--data-dir", data, "--output-dir", out,
+        "--height", "16", "--width", "32",
+        "--num-cond-frames", "5", "--num-frames", "5",
+        "--gen-start-frame", "16", "--tta-total-frames", "13",
+        "--tta-context-frames", "5",
+        "--steps", "2", "--num-inference-steps", "2",
+        "--es-check-every", "1", "--es-noise-draws", "1",
+        "--es-anchor-sigmas", "0.5",
+        "--caption-guard-mode", "off", "--no-save-videos",
+        "--attn-impl", "xla", "--video-parallel", "2",
+    ])
+    by_vid = {r["video"]: r for r in summary["results"]}
+    assert by_vid["clip_000.npy"]["success"], (
+        "healthy video lost its results to the group's broken member")
+    assert not by_vid["clip_001.npy"]["success"]
+    assert "error" in by_vid["clip_001.npy"]
+    assert summary["num_success"] == 1
+
+
 def test_baseline_end_to_end(tmp_path):
     out = str(tmp_path / "base")
     summary = run_baseline.main([
