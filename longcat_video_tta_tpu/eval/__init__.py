@@ -12,6 +12,13 @@ from .i3d import (  # noqa: F401
     load_i3d_params,
     make_i3d_feature_fn,
 )
+from .inception import (  # noqa: F401
+    convert_torch_inception_state,
+    inception_features,
+    init_inception,
+    load_inception_params,
+    make_inception_feature_fn,
+)
 from .lpips import (  # noqa: F401
     convert_torch_lpips_state,
     init_lpips_alex,

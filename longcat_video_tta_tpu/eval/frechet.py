@@ -132,7 +132,8 @@ class OnlineFrechetAccumulator:
 
     @property
     def enabled(self) -> bool:
-        return self.video_feature_fn is not None
+        return (self.video_feature_fn is not None
+                or self.frame_feature_fn is not None)
 
     def update(self, generated: np.ndarray, ground_truth: np.ndarray):
         """Both [T, H, W, 3] in [0, 1]."""

@@ -41,7 +41,8 @@ def _pair_by_stem(gen: List[str], gt: List[str]) -> List[tuple]:
 def evaluate_fvd_dirs(gen_dir: str, gt_dir: str,
                       i3d_model_path: Optional[str] = None,
                       max_frames: int = 64,
-                      min_videos: int = 256) -> Dict:
+                      min_videos: int = 256,
+                      inception_model_path: Optional[str] = None) -> Dict:
     feat = None
     if i3d_model_path:
         try:
@@ -52,10 +53,19 @@ def evaluate_fvd_dirs(gen_dir: str, gt_dir: str,
             print(f"[fvd] JAX I3D conversion failed "
                   f"({type(e).__name__}: {e}); TorchScript fallback")
             feat = load_i3d_model(i3d_model_path)
-    if feat is None:
+    frame_feat = None
+    if inception_model_path:
+        from .inception import (load_inception_params,
+                                make_inception_feature_fn)
+
+        frame_feat = make_inception_feature_fn(
+            load_inception_params(inception_model_path))
+    if feat is None and frame_feat is None:
         return {"skipped": True,
-                "reason": "no local I3D weights (--i3d-model-path)"}
+                "reason": "no local I3D/Inception weights "
+                          "(--i3d-model-path / --inception-model-path)"}
     acc = OnlineFrechetAccumulator(video_feature_fn=feat,
+                                   frame_feature_fn=frame_feat,
                                    min_videos=min_videos)
     pairs = _pair_by_stem(_list_videos(gen_dir), _list_videos(gt_dir))
     for g, t in pairs:
@@ -72,9 +82,11 @@ def main(argv=None):
     p.add_argument("--gen-dir", required=True)
     p.add_argument("--gt-dir", required=True)
     p.add_argument("--i3d-model-path", default=None)
+    p.add_argument("--inception-model-path", default=None)
     p.add_argument("--output", default=None)
     args = p.parse_args(argv)
-    out = evaluate_fvd_dirs(args.gen_dir, args.gt_dir, args.i3d_model_path)
+    out = evaluate_fvd_dirs(args.gen_dir, args.gt_dir, args.i3d_model_path,
+                            inception_model_path=args.inception_model_path)
     print(json.dumps(out, indent=2))
     if args.output:
         with open(args.output, "w") as f:

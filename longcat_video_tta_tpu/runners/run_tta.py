@@ -177,6 +177,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     # online eval
     p.add_argument("--fvd-enabled", action="store_true")
     p.add_argument("--i3d-model-path", default=None)
+    p.add_argument("--inception-model-path", default=None,
+                   help="torchvision inception_v3 state_dict; enables "
+                        "online FID through the JAX InceptionV3 tower "
+                        "(reference common.py:2161-2305, compute_fid)")
     p.add_argument("--lpips-model-path", default=None,
                    help="torch state_dict of lpips.LPIPS(net='alex'); "
                         "runs the JAX LPIPS tower per video (reference "
@@ -433,7 +437,18 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
                   f"({type(e).__name__}: {e}); falling back to the "
                   "TorchScript runtime path")
             i3d_fn = load_i3d_model(args.i3d_model_path)
-    fvd = OnlineFrechetAccumulator(video_feature_fn=i3d_fn)
+    inception_fn = None
+    if args.inception_model_path:
+        # TPU-native InceptionV3 FID features (eval/inception.py);
+        # reference loads torchvision inception_v3 at runtime
+        # (common.py:2161-2305)
+        from ..eval.inception import (load_inception_params,
+                                      make_inception_feature_fn)
+
+        inception_fn = make_inception_feature_fn(
+            load_inception_params(args.inception_model_path))
+    fvd = OnlineFrechetAccumulator(video_feature_fn=i3d_fn,
+                                   frame_feature_fn=inception_fn)
     lpips_fn = None
     if args.lpips_model_path:
         from ..eval.lpips import load_lpips_params, make_lpips_feature_fn

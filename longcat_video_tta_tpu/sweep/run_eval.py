@@ -62,6 +62,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     p.add_argument("--ref-dir")
     p.add_argument("--output")
     p.add_argument("--i3d-model-path")
+    p.add_argument("--inception-model-path")
     p.add_argument("--results-roots", nargs="+", default=["results"])
     p.add_argument("--metric", default="psnr")
     a = p.parse_args(argv)
@@ -70,7 +71,8 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         if not (a.gen_dir and a.ref_dir):
             p.error("--gen-dir and --ref-dir required for fvd")
         from ..eval.offline import evaluate_fvd_dirs
-        out = evaluate_fvd_dirs(a.gen_dir, a.ref_dir, a.i3d_model_path)
+        out = evaluate_fvd_dirs(a.gen_dir, a.ref_dir, a.i3d_model_path,
+                                inception_model_path=a.inception_model_path)
         dest = a.output or os.path.join(a.gen_dir, "fvd_score.json")
     elif a.mode == "vbench":
         if not a.gen_dir:
