@@ -129,6 +129,8 @@ class OnlineFrechetAccumulator:
         self._gt_v = _Moments(dim_v)
         self._gen_f = _Moments(INCEPTION_FEATURE_DIM)
         self._gt_f = _Moments(INCEPTION_FEATURE_DIM)
+        self._num_pairs = 0  # clip pairs seen, independent of which
+        # feature fns are active (I3D moments stay 0 in FID-only mode)
 
     @property
     def enabled(self) -> bool:
@@ -137,6 +139,7 @@ class OnlineFrechetAccumulator:
 
     def update(self, generated: np.ndarray, ground_truth: np.ndarray):
         """Both [T, H, W, 3] in [0, 1]."""
+        self._num_pairs += 1
         if self.video_feature_fn is not None:
             self._gen_v.update(self.video_feature_fn(generated))
             self._gt_v.update(self.video_feature_fn(ground_truth))
@@ -146,7 +149,7 @@ class OnlineFrechetAccumulator:
 
     def compute(self) -> Dict[str, Optional[float]]:
         out: Dict[str, Optional[float]] = {
-            "fvd": None, "fid": None, "num_videos": self._gen_v.n,
+            "fvd": None, "fid": None, "num_videos": self._num_pairs,
         }
         if self.video_feature_fn is not None and self._gen_v.n >= 2:
             if self._gen_v.n < self.min_videos:

@@ -26,8 +26,7 @@ forward on random weights (tests/test_i3d.py).
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Dict, List, Tuple
+from typing import Any, Callable, Dict, Tuple
 
 import jax
 import jax.numpy as jnp

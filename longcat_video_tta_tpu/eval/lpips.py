@@ -26,7 +26,6 @@ weights (tests/test_lpips.py).
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Dict, List
 
 import jax

@@ -20,7 +20,7 @@ tta.clip_gate ScorerFn so the gate runs on-TPU without torch.
 from __future__ import annotations
 
 import functools
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Callable, Dict
 
 import jax
 import jax.numpy as jnp

@@ -103,15 +103,24 @@ def param_specs(params: Dict[str, Any],
                 arch: str = "longcat") -> Dict[str, Any]:
     """PartitionSpec pytree matching ``params`` (TP rules per arch)."""
     rules = _RULES_BY_ARCH[arch]
+    matched = [0]
 
     def spec_for(path, leaf):
         ps = _path_str(path)
         for suffix, spec in rules:
             if ps == suffix:
+                matched[0] += 1
                 return spec
         return P()  # replicate
 
-    return jax.tree_util.tree_map_with_path(spec_for, params)
+    out = jax.tree_util.tree_map_with_path(spec_for, params)
+    if matched[0] == 0:
+        # an arch/tree mismatch matches no rule and silently replicates
+        # every parameter — the exact failure TP exists to prevent
+        raise ValueError(
+            f"no {arch!r} TP rule matched any leaf of the param tree — "
+            f"wrong arch for this tree? (archs: {sorted(_RULES_BY_ARCH)})")
+    return out
 
 
 def param_shardings(mesh: Mesh, params: Dict[str, Any],
@@ -129,8 +138,11 @@ MASK_SPEC = P("data", None)                            # [B,L]
 TIME_SPEC = P("data", None)                            # [B,nt]
 
 
-def shard_params(mesh: Mesh, params):
-    return jax.device_put(params, param_shardings(mesh, params))
+def shard_params(mesh: Mesh, params, arch: str = "longcat"):
+    """Place ``params`` with the per-arch TP rules. ``arch`` must match
+    the tree ('longcat'|'mmdit'|'cogvideox') — the wrong arch would
+    silently replicate every parameter (no rule matches), negating TP."""
+    return jax.device_put(params, param_shardings(mesh, params, arch))
 
 
 def shard_batch(mesh: Mesh, latents, text_emb, text_mask):

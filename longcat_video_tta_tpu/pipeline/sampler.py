@@ -267,33 +267,40 @@ def sample_latents_mmdit(
     combine, Euler updates on the shifted schedule. Returns the full
     latent volume [B, C, T_cond + num_gen, H, W] (cond region included,
     matching the reference's masked-conditioning layout)."""
+    x, cond3, t_pairs = _mmdit_setup(
+        cfg, rng, txt3, num_gen_latents, num_steps, lat_h, lat_w,
+        cond_latents, shift)
+    g_vec = jnp.full((txt3.shape[0],), guidance, jnp.float32)
+    step = _mmdit_denoise_step(params, cfg, txt3, y_vec3, cond3, g_vec,
+                               guidance, guidance_img, adapters, attn_impl)
+    x, _ = jax.lax.scan(step, x, t_pairs)
+    return x
+
+
+def _mmdit_setup(cfg, rng, txt3, num_gen_latents, num_steps, lat_h, lat_w,
+                 cond_latents, shift):
+    """Shared noise-draw / triple-CFG conditioning / schedule setup for
+    the one-dispatch and segmented MMDiT samplers — a single source so
+    the 'numerically identical' contract can't drift between them."""
     from ..tta.losses import _mmdit_cond_input
 
     B = txt3.shape[0] // 3
     C = cfg.in_channels
     t_cond = 0 if cond_latents is None else cond_latents.shape[2]
     T = t_cond + num_gen_latents
-
     x = jax.random.normal(rng, (B, C, T, lat_h, lat_w), jnp.float32)
-
     if cond_latents is not None:
         cond_in = _mmdit_cond_input(cond_latents, T)          # [B, 1+C, ...]
         cond3 = jnp.concatenate(
             [cond_in, cond_in, jnp.zeros_like(cond_in)], axis=0)
     else:
         cond3 = None
-
     seq_len = T * (lat_h // cfg.patch_size) * (lat_w // cfg.patch_size)
     ts = jnp.linspace(1.0, 0.0, num_steps + 1)
     if shift:
         ts = flux_time_shift(ts, seq_len)
     t_pairs = jnp.stack([ts[:-1], ts[1:]], axis=1)
-
-    g_vec = jnp.full((3 * B,), guidance, jnp.float32)
-    step = _mmdit_denoise_step(params, cfg, txt3, y_vec3, cond3, g_vec,
-                               guidance, guidance_img, adapters, attn_impl)
-    x, _ = jax.lax.scan(step, x, t_pairs)
-    return x
+    return x, cond3, t_pairs
 
 
 def _mmdit_denoise_step(params, cfg, txt3, y_vec3, cond3, g_vec, guidance,
@@ -343,25 +350,10 @@ def sample_latents_mmdit_segmented(
     """``sample_latents_mmdit`` split into bounded device dispatches
     (the long-execution-fault workaround, same as
     sample_latents_segmented). Numerically identical: same noise draw,
-    same per-step math via the shared step body."""
-    from ..tta.losses import _mmdit_cond_input
-
-    B = txt3.shape[0] // 3
-    C = cfg.in_channels
-    t_cond = 0 if cond_latents is None else cond_latents.shape[2]
-    T = t_cond + num_gen_latents
-    x = jax.random.normal(rng, (B, C, T, lat_h, lat_w), jnp.float32)
-    if cond_latents is not None:
-        cond_in = _mmdit_cond_input(cond_latents, T)
-        cond3 = jnp.concatenate(
-            [cond_in, cond_in, jnp.zeros_like(cond_in)], axis=0)
-    else:
-        cond3 = None
-    seq_len = T * (lat_h // cfg.patch_size) * (lat_w // cfg.patch_size)
-    ts = jnp.linspace(1.0, 0.0, num_steps + 1)
-    if shift:
-        ts = flux_time_shift(ts, seq_len)
-    t_pairs = jnp.stack([ts[:-1], ts[1:]], axis=1)
+    same per-step math via the shared setup + step body."""
+    x, cond3, t_pairs = _mmdit_setup(
+        cfg, rng, txt3, num_gen_latents, num_steps, lat_h, lat_w,
+        cond_latents, shift)
     seg = max(1, int(segment_steps))
     for s in range(0, num_steps, seg):
         x = _mmdit_scan_segment(
@@ -417,19 +409,31 @@ def sample_latents_cogvideox(
     at common_cogvideo.py:283-322): 2-batch CFG, image-latent channels
     carry the conditioning frame. Returns the full latent volume
     [B, C, T_cond + num_gen, H, W]."""
+    x, img_lat2, xs = _cogvideox_setup(
+        cfg, rng, text_emb2, num_gen_latents, num_steps, lat_h, lat_w,
+        cond_latents)
+    step = _cogvideox_denoise_step(params, cfg, text_emb2, img_lat2,
+                                   guidance, adapters, attn_impl)
+    x, _ = jax.lax.scan(step, x, xs)
+    return x
+
+
+def _cogvideox_setup(cfg, rng, text_emb2, num_gen_latents, num_steps,
+                     lat_h, lat_w, cond_latents):
+    """Shared noise-draw / image-latent conditioning / DDIM schedule
+    setup for the one-dispatch and segmented CogVideoX samplers.
+    Returns (x, img_lat2, (step_idx, ab_t, ab_prev))."""
     from ..tta.losses import _cogvideox_image_latents
 
     B = text_emb2.shape[0] // 2
     C = cfg.latent_channels
     t_cond = 0 if cond_latents is None else cond_latents.shape[2]
     T = t_cond + num_gen_latents
-
     x = jax.random.normal(rng, (B, C, T, lat_h, lat_w), jnp.float32)
     img_lat = (None if cond_latents is None
                else _cogvideox_image_latents(cond_latents, T))
     img_lat2 = None if img_lat is None else jnp.concatenate(
         [img_lat, img_lat], axis=0)
-
     ab = cogvideox_alphas_cumprod()
     n_train = ab.shape[0]
     step_idx = jnp.round(
@@ -437,11 +441,7 @@ def sample_latents_cogvideox(
     # pairs (t, t_prev); alpha_prev at t<0 is 1
     ab_t = ab[step_idx]
     ab_prev = jnp.concatenate([ab[step_idx[1:]], jnp.ones((1,))])
-
-    step = _cogvideox_denoise_step(params, cfg, text_emb2, img_lat2,
-                                   guidance, adapters, attn_impl)
-    x, _ = jax.lax.scan(step, x, (step_idx, ab_t, ab_prev))
-    return x
+    return x, img_lat2, (step_idx, ab_t, ab_prev)
 
 
 def _cogvideox_denoise_step(params, cfg, text_emb2, img_lat2, guidance,
@@ -488,24 +488,10 @@ def sample_latents_cogvideox_segmented(
 ):
     """``sample_latents_cogvideox`` split into bounded device dispatches
     (long-execution-fault workaround); numerically identical by
-    construction (same noise draw + shared step body)."""
-    from ..tta.losses import _cogvideox_image_latents
-
-    B = text_emb2.shape[0] // 2
-    C = cfg.latent_channels
-    t_cond = 0 if cond_latents is None else cond_latents.shape[2]
-    T = t_cond + num_gen_latents
-    x = jax.random.normal(rng, (B, C, T, lat_h, lat_w), jnp.float32)
-    img_lat = (None if cond_latents is None
-               else _cogvideox_image_latents(cond_latents, T))
-    img_lat2 = None if img_lat is None else jnp.concatenate(
-        [img_lat, img_lat], axis=0)
-    ab = cogvideox_alphas_cumprod()
-    n_train = ab.shape[0]
-    step_idx = jnp.round(
-        jnp.linspace(n_train - 1, 0, num_steps)).astype(jnp.int32)
-    ab_t = ab[step_idx]
-    ab_prev = jnp.concatenate([ab[step_idx[1:]], jnp.ones((1,))])
+    construction (same shared setup + step body)."""
+    x, img_lat2, (step_idx, ab_t, ab_prev) = _cogvideox_setup(
+        cfg, rng, text_emb2, num_gen_latents, num_steps, lat_h, lat_w,
+        cond_latents)
     seg = max(1, int(segment_steps))
     for s in range(0, num_steps, seg):
         x = _cogvideox_scan_segment(

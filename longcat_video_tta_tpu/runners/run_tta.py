@@ -159,6 +159,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "on-TPU (models/clip.py, models/xclip.py); "
                         "'torch': runtime HF scoring (the reference's "
                         "mechanism)")
+    p.add_argument("--clip-gate-hash-tokenizer", action="store_true",
+                   help="Allow the deterministic hash tokenizer when the "
+                        "gate checkpoint dir has no tokenizer files "
+                        "(synthetic/test weights only — scores are "
+                        "meaningless on real captions)")
     # video-parallel DP (replaces the reference's SLURM-array fleet
     # parallelism, run_sweep.py:405-440, with ONE compiled program:
     # engine.make_batched_train_chunk)
@@ -198,6 +203,21 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "window decode (overlaps host IO with device "
                         "compute; .npy datasets)")
     return p
+
+
+def step_keys(seed: int, vid_idx: int, lo: int, hi: int):
+    """Per-(video, step) training PRNG keys [hi-lo, 2].
+
+    fold_in(fold_in(seed, idx), t) is collision-free across videos and
+    steps — the previous arithmetic ``seed*1000 + idx*100 + t`` aliased
+    video i's step t>=100 with video i+1's step t-100, correlating
+    per-video noise draws in the shipped steps>=200 sweep configs."""
+    import jax
+    import jax.numpy as jnp
+
+    base = jax.random.fold_in(jax.random.PRNGKey(seed), vid_idx)
+    return jax.vmap(lambda t: jax.random.fold_in(base, t))(
+        jnp.arange(lo, hi))
 
 
 def make_synthetic_dataset(out_dir: str, n: int, height: int, width: int,
@@ -413,8 +433,9 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
         else:
             from ..tta.clip_gate import make_tpu_clip_scorer
 
-            gate_scorer = make_tpu_clip_scorer(args.clip_gate_model_path,
-                                               gatecfg.backend)
+            gate_scorer = make_tpu_clip_scorer(
+                args.clip_gate_model_path, gatecfg.backend,
+                allow_hash_tokenizer=args.clip_gate_hash_tokenizer)
 
     pool = None
     if args.batch_videos > 1:
@@ -505,6 +526,12 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
     vp = max(1, args.video_parallel)
     pretrained: Dict[int, Dict[str, Any]] = {}
     batched_chunk = None
+    # fail-loud convention: these flags must not silently no-op
+    if vp > 1 and not is_tta:
+        raise SystemExit(
+            f"--video-parallel requires a TTA method, not {args.method!r}")
+    if args.data_mesh > 1 and vp <= 1:
+        raise SystemExit("--data-mesh requires --video-parallel > 1")
     if vp > 1 and is_tta:
         for bad, name in ((augcfg.enabled, "augmentation"),
                           (args.batch_videos > 1, "--batch-videos"),
@@ -530,10 +557,8 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
                                 for x in args.es_anchor_sigmas.split(",")),
             loss_fn=arch_loss, anchor_fn=arch_anchor, mesh=vp_mesh)
 
-    def _vp_step_rngs(vid_idx, lo, hi):
-        return jnp.stack([
-            jax.random.PRNGKey(args.seed * 1000 + vid_idx * 100 + t)
-            for t in range(lo, hi)])
+    def _step_keys(vid_idx, lo, hi):
+        return step_keys(args.seed, vid_idx, lo, hi)
 
     def train_video_group(g_idxs: List[int]) -> Dict[int, Dict[str, Any]]:
         """Phase A of --video-parallel: gate + encode + batched TTA for
@@ -630,7 +655,7 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
             while s < args.steps and any(l["active"] for l in lanes_p):
                 k = min(k0, args.steps - s)
                 do_anchor = es_active and (s + k) % escfg.check_every == 0
-                rngs = jnp.stack([_vp_step_rngs(l["idx"], s, s + k)
+                rngs = jnp.stack([_step_keys(l["idx"], s, s + k)
                                   for l in lanes_p])
                 t_chunk = time.time()
                 tps, osts, loss_mat, anchors = batched_chunk(
@@ -828,9 +853,7 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
                 es_active = stopper is not None and val_l is not None
 
                 def _step_rngs(lo, hi):
-                    return jnp.stack([
-                        jax.random.PRNGKey(args.seed * 1000 + idx * 100 + t)
-                        for t in range(lo, hi)])
+                    return _step_keys(idx, lo, hi)
 
                 if uniform:
                     # Chunked device-side loop: `check_every` optimizer
@@ -890,8 +913,7 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
                         tp, opt_state, loss = step_fn(
                             tp, opt_state, bundle.dit_params,
                             bd["cond"], bd["train"], bd["emb"], bd["mask"],
-                            jax.random.PRNGKey(
-                                args.seed * 1000 + idx * 100 + s),
+                            _step_keys(idx, s, s + 1)[0],
                             num_valid_target=bd.get("valid"))
                         losses.append(float(loss))
                         if es_active:

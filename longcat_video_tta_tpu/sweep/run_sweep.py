@@ -90,6 +90,7 @@ _BOOL_FLAGS = {
     "aug_hflip": "--aug-hflip",
     "clip_gate_enabled": "--clip-gate-enabled",
     "clip_gate_log_only": "--clip-gate-log-only",
+    "clip_gate_hash_tokenizer": "--clip-gate-hash-tokenizer",
     "skip_generation": "--skip-generation",
     "no_save_videos": "--no-save-videos",
     "no_kv_cache": "--no-kv-cache",

@@ -90,7 +90,8 @@ def make_hf_xclip_scorer(model_path: str) -> ScorerFn:
     return score
 
 
-def make_tpu_clip_scorer(model_path: str, backend: str = "clip") -> ScorerFn:
+def make_tpu_clip_scorer(model_path: str, backend: str = "clip",
+                         allow_hash_tokenizer: bool = False) -> ScorerFn:
     """Convert a local HF CLIP / X-CLIP checkpoint into the JAX towers
     (models/clip.py, models/xclip.py) and score caption<->frames
     entirely on-device — torch is used only to deserialize the weights
@@ -153,6 +154,17 @@ def make_tpu_clip_scorer(model_path: str, backend: str = "clip") -> ScorerFn:
                 caption, padding="max_length", truncation=True,
                 max_length=tcfg.max_length).input_ids, np.int32)
     else:
+        if not allow_hash_tokenizer:
+            # a re-saved real checkpoint (save_pretrained without the
+            # processor) would otherwise score crc32-random token ids —
+            # meaningless gate decisions with only a warning to show
+            # for it; fail loud like the torch AutoProcessor path does
+            raise ValueError(
+                f"no tokenizer files in {model_path}; refusing to score "
+                "real weights with the hash tokenizer. Add the tokenizer "
+                "files to the checkpoint dir, or opt in explicitly for "
+                "synthetic weights (--clip-gate-hash-tokenizer / "
+                "allow_hash_tokenizer=True)")
         print(f"[clip_gate] WARNING: no tokenizer files in {model_path}; "
               "using the deterministic hash tokenizer — gate scores are "
               "meaningful only for synthetic/test weights")

@@ -142,7 +142,8 @@ def test_make_tpu_clip_scorer_from_checkpoint_dir(hf_and_ours, tmp_path):
 
     from longcat_video_tta_tpu.tta.clip_gate import make_tpu_clip_scorer
 
-    scorer = make_tpu_clip_scorer(str(tmp_path), "clip")
+    scorer = make_tpu_clip_scorer(str(tmp_path), "clip",
+                                  allow_hash_tokenizer=True)
     frames = np.random.RandomState(5).rand(4, 40, 56, 3).astype(np.float32)
     s = scorer(frames, "a boat on water")
     assert s.shape == (4,)
@@ -179,7 +180,8 @@ def test_make_tpu_xclip_scorer_from_checkpoint_dir(tmp_path):
 
     from longcat_video_tta_tpu.tta.clip_gate import make_tpu_clip_scorer
 
-    scorer = make_tpu_clip_scorer(str(tmp_path), "xclip")
+    scorer = make_tpu_clip_scorer(str(tmp_path), "xclip",
+                                  allow_hash_tokenizer=True)
     frames = np.random.RandomState(6).rand(5, 40, 48, 3).astype(np.float32)
     s = scorer(frames, "a person dances")
     assert s.shape == (1,) and -1.0 <= float(s[0]) <= 1.0
@@ -198,3 +200,18 @@ def test_preprocess_frames_shape_and_range():
     # un-normalize back into [0, 1]
     un = out * np.asarray(CLIP_IMAGE_STD) + np.asarray(CLIP_IMAGE_MEAN)
     assert un.min() >= -1e-4 and un.max() <= 1 + 1e-4
+
+
+def test_tpu_scorer_refuses_hash_tokenizer_by_default(hf_and_ours,
+                                                      tmp_path):
+    """A checkpoint dir with weights but no tokenizer files must fail
+    loud (real converted weights + crc32-random token ids would produce
+    meaningless gate scores) unless the synthetic-weights opt-in is
+    passed (--clip-gate-hash-tokenizer)."""
+    model, _ = hf_and_ours
+    model.save_pretrained(tmp_path)
+
+    from longcat_video_tta_tpu.tta.clip_gate import make_tpu_clip_scorer
+
+    with pytest.raises(ValueError, match="tokenizer"):
+        make_tpu_clip_scorer(str(tmp_path), "clip")

@@ -219,6 +219,7 @@ def test_offline_fid_wiring(params, tmp_path):
     out = evaluate_fvd_dirs(str(tmp_path / "gen"), str(tmp_path / "gt"),
                             inception_model_path=str(ckpt))
     assert out["num_pairs"] == 2
+    assert out["num_videos"] == 2  # pair counter, not the I3D moments
     assert out["fvd"] is None and np.isfinite(out["fid"])
 
 

@@ -262,3 +262,17 @@ def test_save_adapters_and_eval_runner(tmp_path):
         "--no-save-videos", "--attn-impl", "xla",
     ])
     assert ev_b["num_success"] == 2
+
+
+def test_step_keys_no_cross_video_aliasing():
+    """fold_in-based keys: no (video, step) pair shares a key with any
+    other — the old seed*1000+idx*100+t arithmetic aliased video i step
+    t>=100 with video i+1 step t-100 (steps>=200 sweep configs)."""
+    import numpy as np
+
+    from longcat_video_tta_tpu.runners.run_tta import step_keys
+
+    keys = np.concatenate(
+        [np.asarray(step_keys(42, idx, 0, 250)) for idx in range(5)])
+    uniq = {tuple(k) for k in keys}
+    assert len(uniq) == 5 * 250
