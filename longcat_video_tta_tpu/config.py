@@ -221,6 +221,10 @@ class BSAConfig:
     block_q: int = 1024
     block_k: int = 1024
     min_blocks: int = 4
+    # int8 QK^T inside the kernel (per-token scales; 2x bf16 MXU peak).
+    # Set by --quantize-decode int8qk; PV and the cond-exactness
+    # selection stay bf16.
+    qk_int8: bool = False
 
 
 @dataclass(frozen=True)

@@ -288,6 +288,7 @@ def _self_attention(bp, x, rope_cos, rope_sin, cfg: DiTConfig,
             num_cond_tokens=kv_cache[0].shape[1],
             interpret=jax.default_backend() != "tpu",
             kv_valid=kv_valid,
+            qk_int8=bsa_cfg.qk_int8,
         )
     else:
         o = attention(q, k, v, num_cond_tokens=num_cond_tokens,

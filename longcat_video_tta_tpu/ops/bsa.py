@@ -78,13 +78,14 @@ def select_blocks(
     def pool(x, bs, nb):
         S = x.shape[1]
         pad = nb * bs - S
-        x32 = x.astype(jnp.float32)
         if pad:
-            x32 = jnp.pad(x32, ((0, 0), (0, pad), (0, 0), (0, 0)))
-        # mean over real tokens only
+            x = jnp.pad(x, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        # mean over real tokens only; sum accumulates straight to f32
+        # (no materialized f32 upcast — selection is ~1/3 of the BSA
+        # call at decode shapes, and it is bandwidth-bound)
         cnt = jnp.minimum(
             jnp.maximum(S - jnp.arange(nb) * bs, 0), bs).astype(jnp.float32)
-        xb = x32.reshape(B, nb, bs, H, D).sum(axis=2)
+        xb = x.reshape(B, nb, bs, H, D).sum(axis=2, dtype=jnp.float32)
         return xb / jnp.maximum(cnt, 1.0)[None, :, None, None]
 
     qb = pool(q, block_q, nQb)   # [B, nQb, H, D]
@@ -110,15 +111,31 @@ def select_blocks(
     return idx.reshape(B * H, nQb, top_k).astype(jnp.int32)
 
 
+def _quantize_tokens(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """[BH, S, D] -> (int8 [BH, S, D], f32 per-token scale [BH, S, 1]).
+
+    Symmetric per-token abs-max quantization (same recipe as the W8A8
+    activation quant in ops/quant.py). Padded rows are all-zero and get
+    the 1e-8 floor scale — they quantize to 0 and stay masked."""
+    xf = x.astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0,
+                    1e-8)
+    xi = jnp.round(xf / s).astype(jnp.int8)
+    return xi, s
+
+
 # ---------------------------------------------------------------------------
 # Pallas gather-flash kernel
 # ---------------------------------------------------------------------------
 
 
-def _bsa_kernel(idx_ref, meta_ref, q_ref, k_ref, v_ref, o_ref,
-                m_scr, l_scr, acc_scr,
-                *, scale: float, bq: int, bk: int, sk: int,
-                dyn_kvlen: bool = False):
+def _bsa_kernel(idx_ref, meta_ref, q_ref, k_ref, v_ref, *rest,
+                scale: float, bq: int, bk: int, sk: int,
+                dyn_kvlen: bool = False, qk_int8: bool = False):
+    if qk_int8:
+        qs_ref, ks_ref, o_ref, m_scr, l_scr, acc_scr = rest
+    else:
+        o_ref, m_scr, l_scr, acc_scr = rest
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -128,9 +145,18 @@ def _bsa_kernel(idx_ref, meta_ref, q_ref, k_ref, v_ref, o_ref,
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    s = jax.lax.dot_general(
-        q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale  # [bq, bk]
+    if qk_int8:
+        # int8 x int8 -> int32 QK^T on the MXU (2x bf16 peak); exact
+        # rescale by the per-token scales, so the only error is the
+        # 8-bit rounding of q and k (SageAttention-style)
+        s = jax.lax.dot_general(
+            q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32).astype(jnp.float32)
+        s = s * (qs_ref[0] * scale) * ks_ref[0]       # [bq,1] * [1,bk]
+    else:
+        s = jax.lax.dot_general(
+            q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale  # [bq, bk]
 
     # mask padded keys of the final (ragged) k block — and, under shape
     # bucketing, keys at global index >= the traced valid bound
@@ -144,9 +170,22 @@ def _bsa_kernel(idx_ref, meta_ref, q_ref, k_ref, v_ref, o_ref,
     l_prev = l_scr[:, :1]
     m_cur = jnp.max(s, axis=-1, keepdims=True)
     m_new = jnp.maximum(m_prev, m_cur)
-    p = jnp.where(allowed, jnp.exp(s - m_new), 0.0)
     alpha = jnp.exp(m_prev - m_new)
-    l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+    if qk_int8:
+        # reduced-precision decode mode: bf16 exp and bf16 P straight
+        # into the PV matmul — halves the VPU softmax passes that
+        # co-bound this kernel with the MXU. No second mask needed:
+        # masked s is NEG_INF, and exp(NEG_INF - m) is exactly 0 in
+        # bf16; a row that has seen no allowed key yet (s - m = 0 ->
+        # p = 1 garbage) self-corrects at the next allowed tile via
+        # alpha = exp(NEG_INF - m_real) = 0, and rows that never see
+        # one are padded rows whose outputs are sliced away.
+        p = jnp.exp((s - m_new).astype(jnp.bfloat16))
+        l_new = alpha * l_prev + jnp.sum(
+            p, axis=-1, keepdims=True, dtype=jnp.float32)
+    else:
+        p = jnp.where(allowed, jnp.exp(s - m_new), 0.0)
+        l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
     acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot_general(
         p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
@@ -173,6 +212,7 @@ def bsa_attention(
     scale: Optional[float] = None,
     interpret: bool = False,
     kv_valid=None,
+    qk_int8: bool = False,
 ) -> jnp.ndarray:
     """Block-sparse attention: dense per-block top-k selection + gathered
     flash compute. Decode semantics: queries are noise tokens (attend-
@@ -186,6 +226,12 @@ def bsa_attention(
     bucketing): invalid blocks are never selected and the kernel masks
     keys at global index >= the bound, so BSA composes with
     ``--bucket-gen``.
+
+    ``qk_int8``: quantize q/k to int8 with per-token scales and run
+    QK^T as int8 x int8 -> int32 on the MXU (2x bf16 peak on v5e/v5p;
+    --quantize-decode int8qk). Selection still scores the original
+    tensors; PV stays bf16 (P is softmax-normalized — quantizing it
+    costs more fidelity per FLOP saved than QK).
     """
     B, Sq, H, D = q.shape
     Sk = k.shape[1]
@@ -223,10 +269,28 @@ def bsa_attention(
     BH = B * H
     nQb = sq_pad // bq
 
+    inputs = [q3, k3, v3]
+    in_specs = [
+        pl.BlockSpec((1, bq, D), lambda b, i, j, idx, meta: (b, i, 0)),
+        pl.BlockSpec((1, bk, D),
+                     lambda b, i, j, idx, meta: (b, idx[b, i, j], 0)),
+        pl.BlockSpec((1, bk, D),
+                     lambda b, i, j, idx, meta: (b, idx[b, i, j], 0)),
+    ]
+    if qk_int8:
+        (q3, q_s), (k3, k_s) = _quantize_tokens(q3), _quantize_tokens(k3)
+        inputs = [q3, k3, v3, q_s, jnp.swapaxes(k_s, 1, 2)]
+        in_specs = in_specs + [
+            pl.BlockSpec((1, bq, 1), lambda b, i, j, idx, meta: (b, i, 0)),
+            pl.BlockSpec((1, 1, bk),
+                         lambda b, i, j, idx, meta: (b, 0, idx[b, i, j])),
+        ]
+
     grid = (BH, nQb, top_k)
     dyn = kv_valid is not None
     kernel = functools.partial(_bsa_kernel, scale=float(scale), bq=bq,
-                               bk=bk, sk=Sk, dyn_kvlen=dyn)
+                               bk=bk, sk=Sk, dyn_kvlen=dyn,
+                               qk_int8=qk_int8)
     meta = jnp.reshape(
         jnp.asarray(kv_valid if dyn else 0, jnp.int32), (1, 1))
     o = pl.pallas_call(
@@ -234,13 +298,7 @@ def bsa_attention(
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=grid,
-            in_specs=[
-                pl.BlockSpec((1, bq, D), lambda b, i, j, idx, meta: (b, i, 0)),
-                pl.BlockSpec((1, bk, D),
-                             lambda b, i, j, idx, meta: (b, idx[b, i, j], 0)),
-                pl.BlockSpec((1, bk, D),
-                             lambda b, i, j, idx, meta: (b, idx[b, i, j], 0)),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((1, bq, D),
                                    lambda b, i, j, idx, meta: (b, i, 0)),
             scratch_shapes=[
@@ -249,12 +307,12 @@ def bsa_attention(
                 pltpu.VMEM((bq, D), jnp.float32),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((BH, sq_pad, D), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((BH, sq_pad, D), v.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(idx, meta, q3, k3, v3)
+    )(idx, meta, *inputs)
     o = o[:, :Sq].reshape(B, H, Sq, D)
     return jnp.swapaxes(o, 1, 2)
 

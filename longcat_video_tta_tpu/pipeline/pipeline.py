@@ -316,7 +316,21 @@ def generate_vc(
                     "generate_vc")
 
     decode_params = bundle.dit_params if dit_params is None else dit_params
-    if quantize_decode == "int8":
+    if quantize_decode == "int8qk":
+        # int8 weights AND int8 QK^T inside the attention kernel.
+        # Carried on bsa_cfg (the kernel flag lives there); with no BSA
+        # requested, keep_ratio=1.0 keeps attention DENSE-exact modulo
+        # the 8-bit q/k rounding (top_k = all blocks).
+        if cfg.arch != "longcat":
+            raise NotImplementedError(
+                "quantize_decode='int8qk' rides the BSA kernel "
+                "(LongCat decode only); use 'int8' here")
+        from ..config import BSAConfig
+
+        bsa_cfg = dataclasses.replace(
+            bsa_cfg if bsa_cfg is not None else BSAConfig(keep_ratio=1.0),
+            qk_int8=True)
+    if quantize_decode in ("int8", "int8qk"):
         arch = getattr(cfg, "arch", "longcat")
         if dit_params is None:
             # frozen bundle base (adapter methods): cache across videos

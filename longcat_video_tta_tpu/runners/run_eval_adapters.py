@@ -45,7 +45,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--attn-impl", default=None)
     p.add_argument("--bsa-keep-ratio", type=float, default=0.0)
-    p.add_argument("--quantize-decode", choices=["none", "int8"],
+    p.add_argument("--quantize-decode",
+                   choices=["none", "int8", "int8qk"],
                    default="none")
     p.add_argument("--bucket-gen", action="store_true")
     p.add_argument("--no-save-videos", action="store_true")

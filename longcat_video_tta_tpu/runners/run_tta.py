@@ -83,10 +83,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "(one sampler compile per bucket across gen-"
                         "horizon sweeps; composes with --bsa-keep-ratio "
                         "and --quantize-decode)")
-    p.add_argument("--quantize-decode", choices=["none", "int8"],
+    p.add_argument("--quantize-decode", choices=["none", "int8", "int8qk"],
                    default="none",
                    help="W8A8 per-block matmuls in the denoise loop "
-                        "(ops/quant.py); training stays bf16")
+                        "(ops/quant.py); 'int8qk' additionally runs "
+                        "attention QK^T in int8 with per-token scales "
+                        "(LongCat decode; rides the BSA kernel). "
+                        "Training stays bf16")
     p.add_argument("--gen-segment-steps", type=int, default=0,
                    help="split the denoise loop into N-step dispatches "
                         "(bounds single-execution time for long-horizon "

@@ -162,3 +162,33 @@ def test_generate_vc_bucket_gen_with_bsa(tmp_path):
                       bsa_cfg=BSAConfig(keep_ratio=0.9, block_q=8,
                                         block_k=8, min_blocks=1))
     assert out.shape[0] == 9 and np.all(np.isfinite(out))
+
+
+def test_qk_int8_close_to_bf16():
+    """int8 QK^T (per-token scales) tracks the bf16 kernel closely —
+    the only error source is the 8-bit rounding of q and k
+    (--quantize-decode int8qk)."""
+    q, k, v = _qkv(jax.random.PRNGKey(7))
+    ref = bsa_attention(q, k, v, top_k=5, block_q=32, block_k=32,
+                        interpret=True)
+    out = bsa_attention(q, k, v, top_k=5, block_q=32, block_k=32,
+                        interpret=True, qk_int8=True)
+    ref, out = np.asarray(ref, np.float64), np.asarray(out, np.float64)
+    corr = np.corrcoef(ref.ravel(), out.ravel())[0, 1]
+    rel = np.abs(out - ref).max() / np.abs(ref).max()
+    assert corr > 0.999, corr
+    assert rel < 0.05, rel
+
+
+def test_qk_int8_composes_with_sparsity_and_kv_valid():
+    q, k, v = _qkv(jax.random.PRNGKey(8))
+    ref = bsa_attention(q, k, v, top_k=3, block_q=32, block_k=32,
+                        num_cond_tokens=32, q_token_offset=64,
+                        kv_valid=jnp.int32(150), interpret=True)
+    out = bsa_attention(q, k, v, top_k=3, block_q=32, block_k=32,
+                        num_cond_tokens=32, q_token_offset=64,
+                        kv_valid=jnp.int32(150), interpret=True,
+                        qk_int8=True)
+    corr = np.corrcoef(np.asarray(ref, np.float64).ravel(),
+                       np.asarray(out, np.float64).ravel())[0, 1]
+    assert corr > 0.999, corr

@@ -131,3 +131,43 @@ def test_backbone_quantize_decode_runs(preset_fn):
                       num_inference_steps=2, seed=0, attn_impl="xla",
                       quantize_decode="int8")
     assert out.shape[0] == 5 and np.all(np.isfinite(out))
+
+
+def test_generate_vc_int8qk_runs(tmp_path):
+    """quantize_decode='int8qk' (int8 weights + int8 QK^T attention via
+    the BSA kernel at keep_ratio=1.0) produces finite frames close to
+    the plain int8 decode on the tiny preset."""
+    from longcat_video_tta_tpu.pipeline.pipeline import (
+        ModelBundle, generate_vc,
+    )
+
+    cfg = longcat_tiny()
+    bundle = ModelBundle.init_random(cfg, seed=0)
+    cond = jax.random.uniform(jax.random.PRNGKey(1), (1, 3, 5, 16, 32),
+                              minval=-1.0, maxval=1.0)
+    kw = dict(num_frames=5, num_inference_steps=2, seed=0,
+              attn_impl="xla")
+    ref = generate_vc(bundle, cond, "a test prompt",
+                      quantize_decode="int8", **kw)
+    out = generate_vc(bundle, cond, "a test prompt",
+                      quantize_decode="int8qk", **kw)
+    assert out.shape == (5, 16, 32, 3) and np.all(np.isfinite(out))
+    corr = np.corrcoef(np.asarray(ref).ravel(),
+                       np.asarray(out).ravel())[0, 1]
+    assert corr > 0.99, corr
+
+
+def test_backbone_int8qk_fails_loud():
+    from longcat_video_tta_tpu.models import backbones
+    from longcat_video_tta_tpu.pipeline.pipeline import (
+        ModelBundle, generate_vc,
+    )
+
+    cfg = backbones.cogvideox_tiny()
+    bundle = ModelBundle.init_random(cfg, seed=0)
+    cond = jax.random.uniform(jax.random.PRNGKey(1), (1, 3, 5, 16, 32),
+                              minval=-1.0, maxval=1.0)
+    with pytest.raises(NotImplementedError, match="int8qk"):
+        generate_vc(bundle, cond, "a test", num_frames=5,
+                    num_inference_steps=2, seed=0, attn_impl="xla",
+                    quantize_decode="int8qk")
