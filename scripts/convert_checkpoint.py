@@ -64,6 +64,15 @@ def main():
 
     import jax
 
+    # Weight conversion is host-side work (numpy state dicts -> orbax
+    # bundle); pin the CPU backend BEFORE any jax op. On the axon
+    # tunnel the accelerator backend would add ~100-400 ms per eager op
+    # and — observed — block indefinitely when the tunnel is wedged
+    # (JAX_PLATFORMS=cpu in the env is not reliable under the site's
+    # plugin registration, hence the config call; same pattern as
+    # tests/conftest.py).
+    jax.config.update("jax_platforms", "cpu")
+
     from longcat_video_tta_tpu.config import get_model_config
     from longcat_video_tta_tpu.models.convert import (
         assert_tree_matches,
@@ -73,15 +82,25 @@ def main():
         save_bundle,
     )
     from longcat_video_tta_tpu.pipeline.pipeline import (
-        ModelBundle, load_hf_tokenizer,
+        HashTokenizer, ModelBundle, load_hf_tokenizer,
     )
 
     cfg = get_model_config(args.preset)
     src = args.torch_checkpoint_dir
 
-    # random-init bundle provides the reference tree structure (and the
-    # fallback weights under --allow-partial)
-    bundle = ModelBundle.init_random(cfg, seed=0)
+    # Reference tree structure WITHOUT materializing weights: at the
+    # 13.6 B flagship a full random init exists only to be overwritten
+    # by the conversion. eval_shape traces the same init functions
+    # abstractly (no compile, no allocation); random weights are
+    # materialized lazily below only for components that stay
+    # unconverted under --allow-partial.
+    abstract = jax.eval_shape(
+        lambda: (lambda b: {"dit_params": b.dit_params,
+                            "vae_params": b.vae_params,
+                            "text_params": b.text_params,
+                            "clip_params": b.clip_params})(
+            ModelBundle.init_random(cfg, seed=0)))
+    out_params = {}
     converted = []
     if cfg.arch == "mmdit":
         from longcat_video_tta_tpu.models.convert import (
@@ -110,8 +129,8 @@ def main():
             print(f"[convert] {name}: loading state dict ...")
             sd = load_torch_state_dict(os.path.join(src, subdir))
             params = fn(sd, sub_cfg)
-            assert_tree_matches(params, getattr(bundle, attr), name)
-            setattr(bundle, attr, params)
+            assert_tree_matches(params, abstract[attr], name)
+            out_params[attr] = params
             n = sum(x.size for x in jax.tree_util.tree_leaves(params))
             print(f"[convert] {name} converted ({n / 1e9:.2f}B params)")
             converted.append(name)
@@ -124,6 +143,20 @@ def main():
                 )
             print(f"[convert] WARNING: {name} left at RANDOM init "
                   f"({type(e).__name__}: {e})")
+
+    missing = [attr for *_, attr in plan if attr not in out_params]
+    if missing:
+        rb = ModelBundle.init_random(cfg, seed=0)
+        for attr in missing:
+            out_params[attr] = getattr(rb, attr)
+    bundle = ModelBundle(
+        cfg=cfg,
+        dit_params=out_params["dit_params"],
+        vae_params=out_params["vae_params"],
+        text_params=out_params["text_params"],
+        tokenize=HashTokenizer(cfg.text.vocab_size, cfg.text.max_length),
+        clip_params=out_params.get("clip_params"),
+    )
 
     tok_dir = os.path.join(src, "tokenizer")
     if os.path.exists(tok_dir):
