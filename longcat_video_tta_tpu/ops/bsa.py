@@ -80,12 +80,14 @@ def select_blocks(
         pad = nb * bs - S
         if pad:
             x = jnp.pad(x, ((0, 0), (0, pad), (0, 0), (0, 0)))
-        # mean over real tokens only; sum accumulates straight to f32
-        # (no materialized f32 upcast — selection is ~1/3 of the BSA
-        # call at decode shapes, and it is bandwidth-bound)
+        # mean over real tokens only. The block sum runs in a Pallas
+        # kernel: XLA lowers this [B, nb, bs, H, D] middle-axis
+        # reduction at ~40 GB/s effective (measured — selection was
+        # 7.9 ms of the 23.9 ms BSA call at decode shapes, ~1/3 of the
+        # whole call across 16 layers x 50 steps)
         cnt = jnp.minimum(
             jnp.maximum(S - jnp.arange(nb) * bs, 0), bs).astype(jnp.float32)
-        xb = x.reshape(B, nb, bs, H, D).sum(axis=2, dtype=jnp.float32)
+        xb = _block_sum(x, bs, interpret=jax.default_backend() != "tpu")
         return xb / jnp.maximum(cnt, 1.0)[None, :, None, None]
 
     qb = pool(q, block_q, nQb)   # [B, nQb, H, D]
@@ -111,8 +113,29 @@ def select_blocks(
     return idx.reshape(B * H, nQb, top_k).astype(jnp.int32)
 
 
+def _block_sum_kernel(x_ref, o_ref):
+    o_ref[0, 0] = jnp.sum(x_ref[0].astype(jnp.float32), axis=0)
+
+
+def _block_sum(x: jnp.ndarray, bs: int, interpret: bool = False):
+    """[B, nb*bs, H, D] -> f32 [B, nb, H, D] block sums over the token
+    axis, streamed through VMEM at HBM bandwidth (one (b, block) grid
+    step reads one [bs, H, D] tile and writes its [H, D] sum)."""
+    B, S, H, D = x.shape
+    nb = S // bs
+    return pl.pallas_call(
+        _block_sum_kernel,
+        grid=(B, nb),
+        in_specs=[pl.BlockSpec((1, bs, H, D), lambda b, i: (b, i, 0, 0))],
+        out_specs=pl.BlockSpec((1, 1, H, D), lambda b, i: (b, i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, nb, H, D), jnp.float32),
+        interpret=interpret,
+    )(x)
+
+
 def _quantize_tokens(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """[BH, S, D] -> (int8 [BH, S, D], f32 per-token scale [BH, S, 1]).
+    """[B, S, H, D] -> (int8 [B, S, H, D], f32 per-(token,head) scale
+    [B, S, H, 1]).
 
     Symmetric per-token abs-max quantization (same recipe as the W8A8
     activation quant in ops/quant.py). Padded rows are all-zero and get
@@ -152,7 +175,7 @@ def _bsa_kernel(idx_ref, meta_ref, q_ref, k_ref, v_ref, *rest,
         s = jax.lax.dot_general(
             q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.int32).astype(jnp.float32)
-        s = s * (qs_ref[0] * scale) * ks_ref[0]       # [bq,1] * [1,bk]
+        s = s * (qs_ref[0, 0] * scale) * ks_ref[0, 0]  # [bq,1] * [1,bk]
     else:
         s = jax.lax.dot_general(
             q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
@@ -257,33 +280,58 @@ def bsa_attention(
     sq_pad = _round_up(Sq, bq)
     sk_pad = _round_up(Sk, bk)
 
-    def to_bhsd(x, s_pad):
-        x = jnp.swapaxes(x, 1, 2).reshape(B * H, x.shape[1], D)
+    # Transpose-free layout: [B, S, H, D] row-major is bit-identical to
+    # [B, S, H*D], and the h-th D-wide slice of the merged last axis is
+    # head h — so the kernel gathers per-head [bq/bk, D] tiles by BLOCK
+    # INDEX along the merged axis instead of paying four materialized
+    # [B,S,H,D]<->[BH,S,D] transposes (q/k/v in + o out, ~2x the
+    # operand bytes at decode shapes). The output lands directly in the
+    # [B, Sq, H*D] layout the following proj matmul consumes.
+    def merge(x, s_pad):
         if s_pad > x.shape[1]:
-            x = jnp.pad(x, ((0, 0), (0, s_pad - x.shape[1]), (0, 0)))
-        return x
+            x = jnp.pad(x, ((0, 0), (0, s_pad - x.shape[1]),
+                            (0, 0), (0, 0)))
+        return x.reshape(B, s_pad, H * D)
 
-    q3 = to_bhsd(q, sq_pad)
-    k3 = to_bhsd(k, sk_pad)
-    v3 = to_bhsd(v, sk_pad)
+    if qk_int8:
+        # quantize in 4-D (per-token-per-head scales), then merge; the
+        # tiny scale tensors go heads-first so their last-2 block dims
+        # stay Mosaic-legal ((bq,1) / (1,bk))
+        (qi, q_s), (ki, k_s) = _quantize_tokens(q), _quantize_tokens(k)
+        q3, k3 = merge(qi, sq_pad), merge(ki, sk_pad)
+        qs = jnp.transpose(q_s, (0, 2, 1, 3))          # [B, H, Sq, 1]
+        if sq_pad > Sq:
+            qs = jnp.pad(qs, ((0, 0), (0, 0), (0, sq_pad - Sq), (0, 0)),
+                         constant_values=1e-8)
+        ks = jnp.transpose(k_s, (0, 2, 3, 1))          # [B, H, 1, Sk]
+        if sk_pad > Sk:
+            ks = jnp.pad(ks, ((0, 0), (0, 0), (0, 0), (0, sk_pad - Sk)),
+                         constant_values=1e-8)
+    else:
+        q3, k3 = merge(q, sq_pad), merge(k, sk_pad)
+    v3 = merge(v, sk_pad)
     BH = B * H
     nQb = sq_pad // bq
 
     inputs = [q3, k3, v3]
     in_specs = [
-        pl.BlockSpec((1, bq, D), lambda b, i, j, idx, meta: (b, i, 0)),
+        pl.BlockSpec((1, bq, D),
+                     lambda b, i, j, idx, meta: (b // H, i, b % H)),
         pl.BlockSpec((1, bk, D),
-                     lambda b, i, j, idx, meta: (b, idx[b, i, j], 0)),
+                     lambda b, i, j, idx, meta: (b // H, idx[b, i, j],
+                                                 b % H)),
         pl.BlockSpec((1, bk, D),
-                     lambda b, i, j, idx, meta: (b, idx[b, i, j], 0)),
+                     lambda b, i, j, idx, meta: (b // H, idx[b, i, j],
+                                                 b % H)),
     ]
     if qk_int8:
-        (q3, q_s), (k3, k_s) = _quantize_tokens(q3), _quantize_tokens(k3)
-        inputs = [q3, k3, v3, q_s, jnp.swapaxes(k_s, 1, 2)]
+        inputs = inputs + [qs, ks]
         in_specs = in_specs + [
-            pl.BlockSpec((1, bq, 1), lambda b, i, j, idx, meta: (b, i, 0)),
-            pl.BlockSpec((1, 1, bk),
-                         lambda b, i, j, idx, meta: (b, 0, idx[b, i, j])),
+            pl.BlockSpec((1, 1, bq, 1),
+                         lambda b, i, j, idx, meta: (b // H, b % H, i, 0)),
+            pl.BlockSpec((1, 1, 1, bk),
+                         lambda b, i, j, idx, meta: (b // H, b % H, 0,
+                                                     idx[b, i, j])),
         ]
 
     grid = (BH, nQb, top_k)
@@ -299,22 +347,22 @@ def bsa_attention(
             num_scalar_prefetch=2,
             grid=grid,
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((1, bq, D),
-                                   lambda b, i, j, idx, meta: (b, i, 0)),
+            out_specs=pl.BlockSpec(
+                (1, bq, D),
+                lambda b, i, j, idx, meta: (b // H, i, b % H)),
             scratch_shapes=[
                 pltpu.VMEM((bq, 128), jnp.float32),
                 pltpu.VMEM((bq, 128), jnp.float32),
                 pltpu.VMEM((bq, D), jnp.float32),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((BH, sq_pad, D), v.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, sq_pad, H * D), v.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
     )(idx, meta, *inputs)
-    o = o[:, :Sq].reshape(B, H, Sq, D)
-    return jnp.swapaxes(o, 1, 2)
+    return o[:, :Sq].reshape(B, Sq, H, D)
 
 
 def bsa_reference(q, k, v, idx, *, block_q: int, block_k: int,

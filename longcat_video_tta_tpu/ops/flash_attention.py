@@ -11,7 +11,11 @@ mask is only materialized for (q-block, k-block) tiles that straddle the
 boundary — everything is static-specialized on ``num_cond_tokens`` so the
 common cases (cross-attn, KV-cache decode) carry zero masking overhead.
 
-Layout inside kernels: [B*H, S, D]. Public API: [B, S, H, D].
+Layout: public API [B, S, H, D]; operands reach the kernels as merged
+[B, S, H*D] (a free row-major bitcast of the projection output) with
+per-head [tile, D] blocks addressed by BLOCK INDEX along the merged
+axis — no [B,S,H,D]<->[B*H,S,D] transposes are materialized on either
+side of the kernels. lse/delta ride in a tiny [B*H, 1, S] row layout.
 """
 
 from __future__ import annotations
@@ -127,14 +131,22 @@ def _fwd_kernel(offs_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
 
 def _flash_fwd_impl(q, k, v, ncond: int, kvlen: int, scale: float,
                     bq: int, bk: int, interpret: bool, offs=None,
-                    dyn_kvlen: bool = False):
-    """q: [BH, Sq, D] (padded); k, v: [BH, Sk, D] (padded). Returns (o, lse).
+                    dyn_kvlen: bool = False, nh: int = 1):
+    """q: [B, Sq, nh*D] (padded, merged heads); k, v: [B, Sk, nh*D].
+    Returns (o [B, Sq, nh*D], lse [B*nh, 1, Sq]).
+
+    Merged-head layout: [B, S, H, D] row-major is bit-identical to
+    [B, S, H*D], and the h-th D-wide slice of the merged axis is head h
+    — the BlockSpecs below gather per-head [bq/bk, D] tiles by block
+    index along the merged axis, so no [B,S,H,D]<->[BH,S,D] transposes
+    are ever materialized (in OR out).
 
     ``offs``: optional traced int32 [1, 3] = (q_global_off, k_global_off,
     dynamic_kv_valid) for ring context parallelism / shape bucketing."""
-    BH, Sq, D = q.shape
+    B, Sq, HD = q.shape
+    D = HD // nh
     Sk = k.shape[1]
-    grid = (BH, Sq // bq, Sk // bk)
+    grid = (B * nh, Sq // bq, Sk // bk)
     if offs is None:
         offs = jnp.zeros((1, 3), jnp.int32)
 
@@ -147,17 +159,17 @@ def _flash_fwd_impl(q, k, v, ncond: int, kvlen: int, scale: float,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, bq, D), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, bk, D), lambda b, i, j: (b, j, 0)),
-            pl.BlockSpec((1, bk, D), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, bq, D), lambda b, i, j: (b // nh, i, b % nh)),
+            pl.BlockSpec((1, bk, D), lambda b, i, j: (b // nh, j, b % nh)),
+            pl.BlockSpec((1, bk, D), lambda b, i, j: (b // nh, j, b % nh)),
         ],
         out_specs=[
-            pl.BlockSpec((1, bq, D), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, bq, D), lambda b, i, j: (b // nh, i, b % nh)),
             pl.BlockSpec((1, 1, bq), lambda b, i, j: (b, 0, i)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((BH, Sq, D), q.dtype),
-            jax.ShapeDtypeStruct((BH, 1, Sq), jnp.float32),
+            jax.ShapeDtypeStruct((B, Sq, HD), q.dtype),
+            jax.ShapeDtypeStruct((B * nh, 1, Sq), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((bq, 128), jnp.float32),
@@ -273,10 +285,12 @@ def _bwd_dq_kernel(offs_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
 
 def _flash_bwd_dkv_impl(q, k, v, do, lse, delta, ncond, kvlen, scale,
-                        bq, bk, interpret, offs=None, dyn_kvlen=False):
-    """dk/dv for one K/V chunk against all local queries. lse/delta:
-    [BH, 1, Sq] fp32."""
-    BH, Sq, D = q.shape
+                        bq, bk, interpret, offs=None, dyn_kvlen=False,
+                        nh=1):
+    """dk/dv for one K/V chunk against all local queries. q/k/v/do:
+    merged [B, S, nh*D]; lse/delta: [B*nh, 1, Sq] fp32."""
+    B, Sq, HD = q.shape
+    D = HD // nh
     Sk = k.shape[1]
     if offs is None:
         offs = jnp.zeros((1, 3), jnp.int32)
@@ -284,23 +298,27 @@ def _flash_bwd_dkv_impl(q, k, v, do, lse, delta, ncond, kvlen, scale,
                   bq=bq, bk=bk, dyn_kvlen=dyn_kvlen)
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, **common),
-        grid=(BH, Sk // bk, Sq // bq),
+        grid=(B * nh, Sk // bk, Sq // bq),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, bq, D), lambda b, i, j: (b, j, 0)),  # q by qi
-            pl.BlockSpec((1, bk, D), lambda b, i, j: (b, i, 0)),  # k by ki
-            pl.BlockSpec((1, bk, D), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, bq, D), lambda b, i, j: (b, j, 0)),  # do
+            pl.BlockSpec((1, bq, D),
+                         lambda b, i, j: (b // nh, j, b % nh)),  # q by qi
+            pl.BlockSpec((1, bk, D),
+                         lambda b, i, j: (b // nh, i, b % nh)),  # k by ki
+            pl.BlockSpec((1, bk, D),
+                         lambda b, i, j: (b // nh, i, b % nh)),
+            pl.BlockSpec((1, bq, D),
+                         lambda b, i, j: (b // nh, j, b % nh)),  # do
             pl.BlockSpec((1, 1, bq), lambda b, i, j: (b, 0, j)),  # lse
             pl.BlockSpec((1, 1, bq), lambda b, i, j: (b, 0, j)),  # delta
         ],
         out_specs=[
-            pl.BlockSpec((1, bk, D), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, bk, D), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, bk, D), lambda b, i, j: (b // nh, i, b % nh)),
+            pl.BlockSpec((1, bk, D), lambda b, i, j: (b // nh, i, b % nh)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((BH, Sk, D), k.dtype),
-            jax.ShapeDtypeStruct((BH, Sk, D), v.dtype),
+            jax.ShapeDtypeStruct((B, Sk, HD), k.dtype),
+            jax.ShapeDtypeStruct((B, Sk, HD), v.dtype),
         ],
         scratch_shapes=[
             pltpu.VMEM((bk, D), jnp.float32),
@@ -315,9 +333,11 @@ def _flash_bwd_dkv_impl(q, k, v, do, lse, delta, ncond, kvlen, scale,
 
 
 def _flash_bwd_dq_impl(q, k, v, do, lse, delta, ncond, kvlen, scale,
-                       bq, bk, interpret, offs=None, dyn_kvlen=False):
-    """dq of local queries against one K/V chunk."""
-    BH, Sq, D = q.shape
+                       bq, bk, interpret, offs=None, dyn_kvlen=False,
+                       nh=1):
+    """dq of local queries against one K/V chunk (merged-head layout)."""
+    B, Sq, HD = q.shape
+    D = HD // nh
     Sk = k.shape[1]
     if offs is None:
         offs = jnp.zeros((1, 3), jnp.int32)
@@ -325,18 +345,19 @@ def _flash_bwd_dq_impl(q, k, v, do, lse, delta, ncond, kvlen, scale,
                   bq=bq, bk=bk, dyn_kvlen=dyn_kvlen)
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, **common),
-        grid=(BH, Sq // bq, Sk // bk),
+        grid=(B * nh, Sq // bq, Sk // bk),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, bq, D), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, bk, D), lambda b, i, j: (b, j, 0)),
-            pl.BlockSpec((1, bk, D), lambda b, i, j: (b, j, 0)),
-            pl.BlockSpec((1, bq, D), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, bq, D), lambda b, i, j: (b // nh, i, b % nh)),
+            pl.BlockSpec((1, bk, D), lambda b, i, j: (b // nh, j, b % nh)),
+            pl.BlockSpec((1, bk, D), lambda b, i, j: (b // nh, j, b % nh)),
+            pl.BlockSpec((1, bq, D), lambda b, i, j: (b // nh, i, b % nh)),
             pl.BlockSpec((1, 1, bq), lambda b, i, j: (b, 0, i)),
             pl.BlockSpec((1, 1, bq), lambda b, i, j: (b, 0, i)),
         ],
-        out_specs=pl.BlockSpec((1, bq, D), lambda b, i, j: (b, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((BH, Sq, D), q.dtype),
+        out_specs=pl.BlockSpec((1, bq, D),
+                               lambda b, i, j: (b // nh, i, b % nh)),
+        out_shape=jax.ShapeDtypeStruct((B, Sq, HD), q.dtype),
         scratch_shapes=[pltpu.VMEM((bq, D), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
@@ -348,15 +369,19 @@ def _flash_bwd_dq_impl(q, k, v, do, lse, delta, ncond, kvlen, scale,
 
 def _flash_bwd_impl(q, k, v, o, lse, do, ncond: int, kvlen: int, scale: float,
                     bq: int, bk: int, interpret: bool, offs=None,
-                    dyn_kvlen: bool = False):
-    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
-                    axis=-1)[:, None, :]  # [BH, 1, Sq]
+                    dyn_kvlen: bool = False, nh: int = 1):
+    B, Sq, HD = q.shape
+    # per-(token, head) delta in the [B*nh, 1, Sq] row layout lse uses
+    delta = jnp.sum(
+        do.astype(jnp.float32).reshape(B, Sq, nh, HD // nh)
+        * o.astype(jnp.float32).reshape(B, Sq, nh, HD // nh), axis=-1)
+    delta = delta.transpose(0, 2, 1).reshape(B * nh, 1, Sq)
     dk, dv = _flash_bwd_dkv_impl(q, k, v, do, lse, delta, ncond, kvlen,
                                  scale, bq, bk, interpret, offs=offs,
-                                 dyn_kvlen=dyn_kvlen)
+                                 dyn_kvlen=dyn_kvlen, nh=nh)
     dq = _flash_bwd_dq_impl(q, k, v, do, lse, delta, ncond, kvlen,
                             scale, bq, bk, interpret, offs=offs,
-                            dyn_kvlen=dyn_kvlen)
+                            dyn_kvlen=dyn_kvlen, nh=nh)
     return dq, dk, dv
 
 
@@ -366,27 +391,27 @@ def _flash_bwd_impl(q, k, v, o, lse, do, ncond: int, kvlen: int, scale: float,
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))
+                   nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11))
 def _flash_core(q, k, v, offs, ncond, kvlen, scale, bq, bk, interpret,
-                dyn_kvlen):
+                dyn_kvlen, nh):
     o, _ = _flash_fwd_impl(q, k, v, ncond, kvlen, scale, bq, bk, interpret,
-                           offs=offs, dyn_kvlen=dyn_kvlen)
+                           offs=offs, dyn_kvlen=dyn_kvlen, nh=nh)
     return o
 
 
 def _flash_core_fwd(q, k, v, offs, ncond, kvlen, scale, bq, bk, interpret,
-                    dyn_kvlen):
+                    dyn_kvlen, nh):
     o, lse = _flash_fwd_impl(q, k, v, ncond, kvlen, scale, bq, bk, interpret,
-                             offs=offs, dyn_kvlen=dyn_kvlen)
+                             offs=offs, dyn_kvlen=dyn_kvlen, nh=nh)
     return o, (q, k, v, o, lse, offs)
 
 
-def _flash_core_bwd(ncond, kvlen, scale, bq, bk, interpret, dyn_kvlen,
+def _flash_core_bwd(ncond, kvlen, scale, bq, bk, interpret, dyn_kvlen, nh,
                     res, do):
     q, k, v, o, lse, offs = res
     dq, dk, dv = _flash_bwd_impl(
         q, k, v, o, lse, do, ncond, kvlen, scale, bq, bk, interpret,
-        offs=offs, dyn_kvlen=dyn_kvlen,
+        offs=offs, dyn_kvlen=dyn_kvlen, nh=nh,
     )
     d_offs = np.zeros(offs.shape, dtype=jax.dtypes.float0)
     return dq, dk, dv, d_offs
@@ -443,23 +468,16 @@ def flash_attention(
     if sk_pad > Sk:
         kvlen = min(kvlen, Sk)
 
-    def to_bhsd(x, s_pad):
-        x = jnp.swapaxes(x, 1, 2).reshape(B * H, x.shape[1], D)
-        if s_pad > x.shape[1]:
-            x = jnp.pad(x, ((0, 0), (0, s_pad - x.shape[1]), (0, 0)))
-        return x
-
-    q3 = to_bhsd(q, sq_pad)
-    k3 = to_bhsd(k, sk_pad)
-    v3 = to_bhsd(v, sk_pad)
+    q3 = _pack_merged(q, sq_pad)
+    k3 = _pack_merged(k, sk_pad)
+    v3 = _pack_merged(v, sk_pad)
 
     # The dynamic valid bound also covers the static tile padding
     # (kv_valid_len <= Sk <= sk_pad).
     offs = _offs_arr(0, 0, kv_valid_len if dyn else 0)
     o = _flash_core(q3, k3, v3, offs, ncond, kvlen, float(scale), bq, bk,
-                    interpret, dyn)
-    o = o[:, :Sq].reshape(B, H, Sq, D)
-    return jnp.swapaxes(o, 1, 2)
+                    interpret, dyn, H)
+    return o[:, :Sq].reshape(B, Sq, H, D)
 
 
 # ---------------------------------------------------------------------------
@@ -480,12 +498,14 @@ def _chunk_geom(Sq: int, Sk: int, block_q: int, block_k: int):
     return bq, bk, _round_up(Sq, bq), _round_up(Sk, bk)
 
 
-def _pack_bhsd(x, s_pad):
+def _pack_merged(x, s_pad):
+    """[B, S, H, D] -> [B, s_pad, H*D]: a free bitcast (row-major) plus
+    token padding — NOT a transpose. Head tiles are addressed by block
+    index along the merged axis inside the kernels."""
     B, S, H, D = x.shape
-    x = jnp.swapaxes(x, 1, 2).reshape(B * H, S, D)
     if s_pad > S:
-        x = jnp.pad(x, ((0, 0), (0, s_pad - S), (0, 0)))
-    return x
+        x = jnp.pad(x, ((0, 0), (0, s_pad - S), (0, 0), (0, 0)))
+    return x.reshape(B, s_pad, H * D)
 
 
 def _pack_row(x, s_pad):
@@ -518,12 +538,13 @@ def flash_chunk_fwd(q, k, v, q_offset, k_offset, *, num_cond_tokens: int,
     dyn = kv_valid is not None
     bq, bk, sq_pad, sk_pad = _chunk_geom(Sq, Sk, block_q, block_k)
     o, lse = _flash_fwd_impl(
-        _pack_bhsd(q, sq_pad), _pack_bhsd(k, sk_pad), _pack_bhsd(v, sk_pad),
+        _pack_merged(q, sq_pad), _pack_merged(k, sk_pad),
+        _pack_merged(v, sk_pad),
         int(num_cond_tokens), Sk, float(scale), bq, bk, interpret,
         offs=_offs_arr(q_offset, k_offset, kv_valid if dyn else 0),
-        dyn_kvlen=dyn,
+        dyn_kvlen=dyn, nh=H,
     )
-    o = jnp.swapaxes(o[:, :Sq].reshape(B, H, Sq, D), 1, 2)
+    o = o[:, :Sq].reshape(B, Sq, H, D)
     lse = lse[:, 0, :Sq].reshape(B, H, Sq).transpose(0, 2, 1)
     return o, lse
 
@@ -541,14 +562,15 @@ def flash_chunk_dq(q, k, v, do, lse, delta, q_offset, k_offset, *,
     dyn = kv_valid is not None
     bq, bk, sq_pad, sk_pad = _chunk_geom(Sq, Sk, block_q, block_k)
     dq = _flash_bwd_dq_impl(
-        _pack_bhsd(q, sq_pad), _pack_bhsd(k, sk_pad), _pack_bhsd(v, sk_pad),
-        _pack_bhsd(do, sq_pad), _pack_row(lse, sq_pad),
+        _pack_merged(q, sq_pad), _pack_merged(k, sk_pad),
+        _pack_merged(v, sk_pad),
+        _pack_merged(do, sq_pad), _pack_row(lse, sq_pad),
         _pack_row(delta, sq_pad),
         int(num_cond_tokens), Sk, float(scale), bq, bk, interpret,
         offs=_offs_arr(q_offset, k_offset, kv_valid if dyn else 0),
-        dyn_kvlen=dyn,
+        dyn_kvlen=dyn, nh=H,
     )
-    return jnp.swapaxes(dq[:, :Sq].reshape(B, H, Sq, D), 1, 2)
+    return dq[:, :Sq].reshape(B, Sq, H, D)
 
 
 def flash_chunk_dkv(q, k, v, do, lse, delta, q_offset, k_offset, *,
@@ -563,13 +585,14 @@ def flash_chunk_dkv(q, k, v, do, lse, delta, q_offset, k_offset, *,
     dyn = kv_valid is not None
     bq, bk, sq_pad, sk_pad = _chunk_geom(Sq, Sk, block_q, block_k)
     dk, dv = _flash_bwd_dkv_impl(
-        _pack_bhsd(q, sq_pad), _pack_bhsd(k, sk_pad), _pack_bhsd(v, sk_pad),
-        _pack_bhsd(do, sq_pad), _pack_row(lse, sq_pad),
+        _pack_merged(q, sq_pad), _pack_merged(k, sk_pad),
+        _pack_merged(v, sk_pad),
+        _pack_merged(do, sq_pad), _pack_row(lse, sq_pad),
         _pack_row(delta, sq_pad),
         int(num_cond_tokens), Sk, float(scale), bq, bk, interpret,
         offs=_offs_arr(q_offset, k_offset, kv_valid if dyn else 0),
-        dyn_kvlen=dyn,
+        dyn_kvlen=dyn, nh=H,
     )
-    dk = jnp.swapaxes(dk[:, :Sk].reshape(B, H, Sk, D), 1, 2)
-    dv = jnp.swapaxes(dv[:, :Sk].reshape(B, H, Sk, D), 1, 2)
+    dk = dk[:, :Sk].reshape(B, Sk, H, D)
+    dv = dv[:, :Sk].reshape(B, Sk, H, D)
     return dk, dv
