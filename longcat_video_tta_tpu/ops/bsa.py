@@ -260,6 +260,20 @@ def bsa_attention(
     Sk = k.shape[1]
     if scale is None:
         scale = D ** -0.5
+    if D % 128 != 0 and H > 1:
+        # Mosaic: [tile, D] blocks along the merged H*D axis need D to
+        # be a lane multiple (128); sub-128 head_dim folds heads into
+        # batch instead so D is the FULL last dim (always legal). Same
+        # rule as ops/flash_attention._needs_head_split.
+        def sp(x):
+            return x.transpose(0, 2, 1, 3).reshape(B * H, x.shape[1], 1, D)
+
+        o = bsa_attention(
+            sp(q), sp(k), sp(v), num_cond_tokens=num_cond_tokens,
+            top_k=top_k, block_q=block_q, block_k=block_k, scale=scale,
+            q_token_offset=q_token_offset, kv_valid=kv_valid,
+            qk_int8=qk_int8, interpret=interpret)
+        return o.reshape(B, H, Sq, D).transpose(0, 2, 1, 3)
     if q_token_offset is None:
         q_token_offset = Sk - Sq  # decode: queries follow the cache
 

@@ -36,6 +36,33 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _needs_head_split(H: int, D: int) -> bool:
+    """Mosaic requires a block's last dim to be a lane multiple (128) OR
+    the full array dim. The merged-head layout addresses [tile, D]
+    blocks along an H*D axis, so sub-128 head_dim (CogVideoX's 64, the
+    tiny test presets) must instead fold heads into batch — then D IS
+    the full last dim and any width is legal (the pre-merge layout)."""
+    return D % 128 != 0 and H > 1
+
+
+def _split_heads(x: jnp.ndarray) -> jnp.ndarray:
+    """[B, S, H, D] -> [B*H, S, 1, D] (heads folded into batch)."""
+    B, S, H, D = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(B * H, S, 1, D)
+
+
+def _unsplit_heads(x: jnp.ndarray, B: int, H: int) -> jnp.ndarray:
+    """[B*H, S, 1, D] -> [B, S, H, D]."""
+    _, S, _, D = x.shape
+    return x.reshape(B, H, S, D).transpose(0, 2, 1, 3)
+
+
+def _split_rows(x: jnp.ndarray) -> jnp.ndarray:
+    """[B, S, H] fp32 rows (lse/delta) -> [B*H, S, 1]."""
+    B, S, H = x.shape
+    return x.transpose(0, 2, 1).reshape(B * H, S, 1)
+
+
 def _mask_tile(q_off, k_off, bq: int, bk: int, ncond: int, kvlen: int,
                sk_pad: int, q_glob=0, k_glob=0, kv_dyn=None):
     """Boolean allowed-mask [bq, bk] for one tile, or None if all-allowed.
@@ -455,6 +482,13 @@ def flash_attention(
     Sk = k.shape[1]
     if scale is None:
         scale = D ** -0.5
+    if _needs_head_split(H, D):
+        o = flash_attention(
+            _split_heads(q), _split_heads(k), _split_heads(v),
+            num_cond_tokens=num_cond_tokens, kv_valid_len=kv_valid_len,
+            scale=scale, block_q=block_q, block_k=block_k,
+            interpret=interpret)
+        return _unsplit_heads(o, B, H)
     dyn = kv_valid_len is not None and not isinstance(kv_valid_len, int)
     kvlen = Sk if (kv_valid_len is None or dyn) else int(kv_valid_len)
     # Conditioning queries only exist in the no-cache (Sq == Sk) path.
@@ -535,6 +569,14 @@ def flash_chunk_fwd(q, k, v, q_offset, k_offset, *, num_cond_tokens: int,
     Sk = k.shape[1]
     if scale is None:
         scale = D ** -0.5
+    if _needs_head_split(H, D):
+        o, lse = flash_chunk_fwd(
+            _split_heads(q), _split_heads(k), _split_heads(v),
+            q_offset, k_offset, num_cond_tokens=num_cond_tokens,
+            scale=scale, block_q=block_q, block_k=block_k,
+            interpret=interpret, kv_valid=kv_valid)
+        return (_unsplit_heads(o, B, H),
+                lse.reshape(B, H, Sq).transpose(0, 2, 1))
     dyn = kv_valid is not None
     bq, bk, sq_pad, sk_pad = _chunk_geom(Sq, Sk, block_q, block_k)
     o, lse = _flash_fwd_impl(
@@ -559,6 +601,14 @@ def flash_chunk_dq(q, k, v, do, lse, delta, q_offset, k_offset, *,
     Sk = k.shape[1]
     if scale is None:
         scale = D ** -0.5
+    if _needs_head_split(H, D):
+        dq = flash_chunk_dq(
+            _split_heads(q), _split_heads(k), _split_heads(v),
+            _split_heads(do), _split_rows(lse), _split_rows(delta),
+            q_offset, k_offset, num_cond_tokens=num_cond_tokens,
+            scale=scale, block_q=block_q, block_k=block_k,
+            interpret=interpret, kv_valid=kv_valid)
+        return _unsplit_heads(dq, B, H)
     dyn = kv_valid is not None
     bq, bk, sq_pad, sk_pad = _chunk_geom(Sq, Sk, block_q, block_k)
     dq = _flash_bwd_dq_impl(
@@ -582,6 +632,14 @@ def flash_chunk_dkv(q, k, v, do, lse, delta, q_offset, k_offset, *,
     Sk = k.shape[1]
     if scale is None:
         scale = D ** -0.5
+    if _needs_head_split(H, D):
+        dk, dv = flash_chunk_dkv(
+            _split_heads(q), _split_heads(k), _split_heads(v),
+            _split_heads(do), _split_rows(lse), _split_rows(delta),
+            q_offset, k_offset, num_cond_tokens=num_cond_tokens,
+            scale=scale, block_q=block_q, block_k=block_k,
+            interpret=interpret, kv_valid=kv_valid)
+        return _unsplit_heads(dk, B, H), _unsplit_heads(dv, B, H)
     dyn = kv_valid is not None
     bq, bk, sq_pad, sk_pad = _chunk_geom(Sq, Sk, block_q, block_k)
     dk, dv = _flash_bwd_dkv_impl(
