@@ -28,7 +28,7 @@ import numpy as np
 
 from ..config import CLIPTextConfig, CLIPVisionConfig
 from ..ops.layers import layer_norm
-from .clip_text import _quick_gelu, clip_text_pooled, init_clip_text
+from .clip_text import clip_encoder, clip_text_pooled, init_clip_text
 
 # CLIPProcessor / OPENAI_CLIP normalization constants
 CLIP_IMAGE_MEAN = (0.48145466, 0.4578275, 0.40821073)
@@ -88,33 +88,6 @@ def init_clip_model(rng: jax.Array, vcfg: CLIPVisionConfig,
     }
 
 
-def _encoder(layers: Dict[str, Any], x: jnp.ndarray, num_heads: int,
-             head_dim: int) -> jnp.ndarray:
-    """Pre-LN CLIP transformer stack (non-causal), scanned."""
-    B, S, _ = x.shape
-
-    def body(x, lp):
-        h = layer_norm(x, lp["ln1"]["weight"], lp["ln1"]["bias"], eps=1e-5)
-
-        def proj(p, t):
-            return (jnp.dot(t, p["kernel"]) + p["bias"]).reshape(
-                B, S, num_heads, head_dim)
-
-        q, k, v = proj(lp["q"], h), proj(lp["k"], h), proj(lp["v"], h)
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * (head_dim ** -0.5)
-        o = jnp.einsum("bhqk,bkhd->bqhd",
-                       jax.nn.softmax(logits, axis=-1), v)
-        x = x + jnp.dot(o.reshape(B, S, -1), lp["out"]["kernel"]) \
-            + lp["out"]["bias"]
-        h = layer_norm(x, lp["ln2"]["weight"], lp["ln2"]["bias"], eps=1e-5)
-        h = _quick_gelu(jnp.dot(h, lp["fc1"]["kernel"]) + lp["fc1"]["bias"])
-        x = x + jnp.dot(h, lp["fc2"]["kernel"]) + lp["fc2"]["bias"]
-        return x, None
-
-    x, _ = jax.lax.scan(body, x, layers)
-    return x
-
-
 def vision_embed_tokens(params: Dict[str, Any], cfg: CLIPVisionConfig,
                         pixels: jnp.ndarray) -> jnp.ndarray:
     """[B, S, S, 3] preprocessed pixels -> embedded tokens [B, N+1, W]
@@ -141,7 +114,7 @@ def clip_vision_pooled(
     x = vision_embed_tokens(params, cfg, pixels)
     x = layer_norm(x, params["pre_ln"]["weight"],
                    params["pre_ln"]["bias"], eps=1e-5)
-    x = _encoder(params["layers"], x, cfg.num_heads, cfg.head_dim)
+    x = clip_encoder(params["layers"], x, cfg.num_heads, cfg.head_dim)
     return layer_norm(x[:, 0], params["post_ln"]["weight"],
                       params["post_ln"]["bias"], eps=1e-5)
 
@@ -167,13 +140,22 @@ def clip_text_embed(clip_params, tcfg: CLIPTextConfig, input_ids):
 def preprocess_frames(frames: np.ndarray, image_size: int) -> jnp.ndarray:
     """[T, H, W, 3] float [0,1] -> [T, S, S, 3] CLIP-normalized
     (CLIPProcessor protocol: bicubic shortest-edge resize, center crop,
-    mean/std normalize)."""
+    mean/std normalize).
+
+    The torch path hands frames to ``CLIPProcessor`` which first
+    quantizes to uint8 (PIL) — mirror that here so both scorers see the
+    same input domain. The residual difference vs PIL is the resampler
+    (jax.image "cubic" vs PIL bicubic, ~1e-3 on embeddings); thresholds
+    tuned on the reference to finer precision than that should run
+    ``--clip-gate-scorer torch`` (bit-compatible) or be recalibrated
+    with sweep/diagnostics.py::clip_gate_calibration."""
     t, h, w, _ = frames.shape
     scale = image_size / min(h, w)
     nh, nw = max(image_size, int(round(h * scale))), \
         max(image_size, int(round(w * scale)))
-    x = jax.image.resize(jnp.asarray(frames, jnp.float32),
-                         (t, nh, nw, 3), "cubic")
+    x = jnp.asarray(frames, jnp.float32)
+    x = jnp.round(jnp.clip(x, 0.0, 1.0) * 255.0) / 255.0
+    x = jax.image.resize(x, (t, nh, nw, 3), "cubic")
     y0, x0 = (nh - image_size) // 2, (nw - image_size) // 2
     x = x[:, y0:y0 + image_size, x0:x0 + image_size]
     x = jnp.clip(x, 0.0, 1.0)

@@ -59,20 +59,15 @@ def _quick_gelu(x):
     return x * jax.nn.sigmoid(1.702 * x)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def clip_text_pooled(
-    params: Dict[str, Any],
-    cfg: CLIPTextConfig,
-    input_ids: jnp.ndarray,        # [B, max_length] int32
-) -> jnp.ndarray:
-    """-> pooled [B, width]: final-LN hidden at the EOT position
-    (EOT = argmax token id, the CLIP convention)."""
-    B, S = input_ids.shape
-    nH, dh = cfg.num_heads, cfg.head_dim
-    x = params["token_embedding"][input_ids] \
-        + params["position_embedding"][None, :S]
+def clip_encoder(layers: Dict[str, Any], x: jnp.ndarray, num_heads: int,
+                 head_dim: int, causal: bool = False) -> jnp.ndarray:
+    """Pre-LN quick-GELU CLIP transformer stack, scanned over layers.
 
-    causal = jnp.tril(jnp.ones((S, S), bool))
+    One body for BOTH towers (text: causal; vision: non-causal, see
+    models/clip.py) so numerics fixes — e.g. the LN eps — cannot drift
+    between the gate scorer and the MMDiT y_vec path."""
+    B, S, _ = x.shape
+    mask = jnp.tril(jnp.ones((S, S), bool)) if causal else None
     neg = jnp.asarray(-1e30, jnp.float32)
 
     def body(x, lp):
@@ -80,11 +75,12 @@ def clip_text_pooled(
 
         def proj(p, t):
             return (jnp.dot(t, p["kernel"]) + p["bias"]).reshape(
-                B, S, nH, dh)
+                B, S, num_heads, head_dim)
 
         q, k, v = proj(lp["q"], h), proj(lp["k"], h), proj(lp["v"], h)
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * (dh ** -0.5)
-        logits = jnp.where(causal[None, None], logits, neg)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * (head_dim ** -0.5)
+        if mask is not None:
+            logits = jnp.where(mask[None, None], logits, neg)
         o = jnp.einsum("bhqk,bkhd->bqhd", jax.nn.softmax(logits, axis=-1), v)
         x = x + jnp.dot(o.reshape(B, S, -1), lp["out"]["kernel"]) \
             + lp["out"]["bias"]
@@ -94,7 +90,23 @@ def clip_text_pooled(
         x = x + jnp.dot(h, lp["fc2"]["kernel"]) + lp["fc2"]["bias"]
         return x, None
 
-    x, _ = jax.lax.scan(body, x, params["layers"])
+    x, _ = jax.lax.scan(body, x, layers)
+    return x
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def clip_text_pooled(
+    params: Dict[str, Any],
+    cfg: CLIPTextConfig,
+    input_ids: jnp.ndarray,        # [B, max_length] int32
+) -> jnp.ndarray:
+    """-> pooled [B, width]: final-LN hidden at the EOT position
+    (EOT = argmax token id, the CLIP convention)."""
+    B, S = input_ids.shape
+    x = params["token_embedding"][input_ids] \
+        + params["position_embedding"][None, :S]
+    x = clip_encoder(params["layers"], x, cfg.num_heads, cfg.head_dim,
+                     causal=True)
     x = layer_norm(x, params["final_ln"]["weight"],
                    params["final_ln"]["bias"], eps=1e-5)
     eot = jnp.argmax(input_ids, axis=-1)

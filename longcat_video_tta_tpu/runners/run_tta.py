@@ -719,6 +719,24 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
             out[i] = {"error": exc}
         return out
 
+    def record_adapter_result(res, tp, losses, idx, vid_id):
+        """Adapter fields + optional artifact, identical for the
+        sequential and --video-parallel paths (the vp == sequential
+        results contract depends on both writing the same keys)."""
+        res["losses"] = losses
+        res["adapter_norm"] = adapter_norm(tp)
+        res["trainable_params"] = scheme.num_params(tp)
+        if args.save_adapters:
+            # per-video adapter artifact (reference: run_lora_tta
+            # torch.save of LoRA weights, run_lora_tta.py:412-418;
+            # consumed by runners/run_eval_adapters.py)
+            from ..utils.checkpoint import save_adapter_state
+
+            ap = os.path.join(args.output_dir, "adapters",
+                              f"{idx:04d}_{vid_id}")
+            save_adapter_state(ap, tp)
+            res["adapter_path"] = ap
+
     # ---- per-video loop ------------------------------------------------
     for idx in range(start_idx, len(videos)):
         entry = videos[idx]
@@ -777,16 +795,7 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
                     res["vp_steps_executed"] = pre.get("steps_executed")
                     if pre["es_info"] is not None:
                         res["early_stopping_info"] = pre["es_info"]
-                    res["losses"] = losses
-                    res["adapter_norm"] = adapter_norm(tp)
-                    res["trainable_params"] = scheme.num_params(tp)
-                    if args.save_adapters:
-                        from ..utils.checkpoint import save_adapter_state
-
-                        ap = os.path.join(args.output_dir, "adapters",
-                                          f"{idx:04d}_{vid_id}")
-                        save_adapter_state(ap, tp)
-                        res["adapter_path"] = ap
+                    record_adapter_result(res, tp, losses, idx, vid_id)
             else:
                 cond_l, train_l, val_l = split_tta_latents(
                     window_lat, n_ctx_lat, escfg.holdout_fraction)
@@ -931,19 +940,7 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
                 if stopper is not None and val_l is not None:
                     tp = stopper.restore()
                     res["early_stopping_info"] = stopper.state
-                res["losses"] = losses
-                res["adapter_norm"] = adapter_norm(tp)
-                res["trainable_params"] = scheme.num_params(tp)
-                if args.save_adapters:
-                    # per-video adapter artifact (reference: run_lora_tta
-                    # torch.save of LoRA weights, run_lora_tta.py:412-418;
-                    # consumed by runners/run_eval_adapters.py)
-                    from ..utils.checkpoint import save_adapter_state
-
-                    ap = os.path.join(args.output_dir, "adapters",
-                                      f"{idx:04d}_{vid_id}")
-                    save_adapter_state(ap, tp)
-                    res["adapter_path"] = ap
+                record_adapter_result(res, tp, losses, idx, vid_id)
 
             # ---- generation -------------------------------------------
             gen_time = 0.0

@@ -123,9 +123,14 @@ def prune_and_summarize(
             # exact stem or the '<idx>_<stem>' save pattern (as
             # annotate_existing_videos matches) — raw substring
             # containment would keep 'v12' for keep-key 'v1' and
-            # deletion is irreversible
+            # deletion is irreversible. run_tta names saved mp4s
+            # '<idx>_<basename-with-source-extension>.mp4' while keep
+            # keys are extension-stripped stems, so the source-suffix-
+            # stripped form must match too ('0003_clip.npy.mp4' ->
+            # bare 'clip.npy' -> 'clip').
             bare = re.sub(r"^\d+_", "", mp4.stem)
-            if not (mp4.stem in keep or bare in keep):
+            if not (mp4.stem in keep or bare in keep
+                    or Path(bare).stem in keep):
                 removed.append(mp4.name)
                 if not dry_run:
                     mp4.unlink()

@@ -146,9 +146,46 @@ def main():
 
     missing = [attr for *_, attr in plan if attr not in out_params]
     if missing:
-        rb = ModelBundle.init_random(cfg, seed=0)
+        # Materialize ONLY the missing components (a full
+        # ModelBundle.init_random would re-create the 13.6 B DiT just
+        # to throw it away when e.g. only the text encoder failed).
+        # Key split mirrors init_random(seed=0) so --allow-partial
+        # fallbacks are bit-identical to a full random bundle.
+        k_dit, k_vae, k_text, k_clip = jax.random.split(
+            jax.random.PRNGKey(0), 4)
+        init_by_attr = {
+            "vae_params": ("vae", k_vae),
+            "text_params": ("text", k_text),
+            "clip_params": ("clip", k_clip),
+            "dit_params": ("dit", k_dit),
+        }
         for attr in missing:
-            out_params[attr] = getattr(rb, attr)
+            kind, key = init_by_attr[attr]
+            if kind == "dit":
+                if cfg.arch == "mmdit":
+                    from longcat_video_tta_tpu.models.mmdit import init_mmdit
+                    fn = lambda k: init_mmdit(k, cfg.dit, zero_init=False)
+                elif cfg.arch == "cogvideox":
+                    from longcat_video_tta_tpu.models.cogvideox import (
+                        init_cogvideox,
+                    )
+                    fn = lambda k: init_cogvideox(k, cfg.dit,
+                                                  zero_init=False)
+                else:
+                    from longcat_video_tta_tpu.models.dit import init_dit
+                    fn = lambda k: init_dit(k, cfg.dit, zero_init=False)
+            elif kind == "vae":
+                from longcat_video_tta_tpu.models.vae import init_vae
+                fn = lambda k: init_vae(k, cfg.vae)
+            elif kind == "text":
+                from longcat_video_tta_tpu.models.umt5 import init_umt5
+                fn = lambda k: init_umt5(k, cfg.text)
+            else:
+                from longcat_video_tta_tpu.models.clip_text import (
+                    init_clip_text,
+                )
+                fn = lambda k: init_clip_text(k, cfg.clip)
+            out_params[attr] = jax.jit(fn)(key)
     bundle = ModelBundle(
         cfg=cfg,
         dit_params=out_params["dit_params"],

@@ -84,6 +84,28 @@ def test_prune_creates_keep_list_and_results_md(tmp_path):
     assert out["stats"]["psnr"]["mean"] == pytest.approx(19.5)
 
 
+def test_prune_keeps_run_tta_save_pattern(tmp_path):
+    # run_tta saves videos as f"{idx:04d}_{basename}.mp4" where
+    # basename RETAINS the source extension ("clip_3.npy"), while keep
+    # keys are extension-stripped stems ("clip_3") — the keep match
+    # must survive that (regression: exact-stem matching deleted every
+    # kept video of a real run).
+    d = str(tmp_path / "run")
+    vids = [(f"/data/clip_{i}.npy", 15.0 + i) for i in range(6)]
+    _summary(d, vids)
+    os.makedirs(os.path.join(d, "videos"))
+    for i, (v, _) in enumerate(vids):
+        name = f"{i:04d}_{os.path.basename(v)}.mp4"
+        open(os.path.join(d, "videos", name), "wb").write(b"x")
+
+    out = prune_and_summarize(d, create_keep_list=True, top_n=2,
+                              bottom_n=1)
+    assert set(out["kept"]) == {"clip_5", "clip_4", "clip_0"}
+    left = sorted(os.listdir(os.path.join(d, "videos")))
+    assert left == ["0000_clip_0.npy.mp4", "0004_clip_4.npy.mp4",
+                    "0005_clip_5.npy.mp4"]
+
+
 def test_prune_with_existing_keep_list(tmp_path):
     d1 = str(tmp_path / "run1")
     d2 = str(tmp_path / "run2")
