@@ -276,7 +276,7 @@ def main():
             # scripts/measure_longhorizon.py, 24 gen latents, int8 +
             # BSA keep 0.15 (corr 0.99986 vs dense at this geometry),
             # segment 5 — see ARCHITECTURE.md
-            "gen_93frame_50step_s_recorded": 96.3,
+            "gen_93frame_50step_s_recorded": 87.0,
             "baseline": "Delta-A lr5e-3 5 steps: 20.9 s/video on 1xH200 "
                         "13.6B (summary_printout.txt:134); per-param "
                         "normalization factor 1.19/13.6",
