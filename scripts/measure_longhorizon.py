@@ -31,6 +31,9 @@ def main():
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--segment", type=int, default=5)
     ap.add_argument("--no-int8", action="store_true")
+    ap.add_argument("--int8qk", action="store_true",
+                    help="int8 QK^T inside the BSA kernel "
+                         "(--quantize-decode int8qk)")
     args = ap.parse_args()
 
     import jax
@@ -58,7 +61,7 @@ def main():
                              (B, 16, 4, lat_h, lat_w))
     qparams = params if args.no_int8 else jax.jit(
         quantize_dit_blocks_int8)(params)
-    bsa = BSAConfig(keep_ratio=args.keep)
+    bsa = BSAConfig(keep_ratio=args.keep, qk_int8=args.int8qk)
 
     if args.mode == "corr":
         # fidelity vs dense bf16. NOTE: run at the geometry you intend
@@ -111,6 +114,7 @@ def main():
     frames = 1 + (args.gen_latents - 1) * 4
     print(json.dumps({
         "mode": "wall", "keep": args.keep, "int8": not args.no_int8,
+        "int8qk": args.int8qk,
         "gen_latents": args.gen_latents, "frames": frames,
         "steps": args.steps, "segment": args.segment,
         "first_incl_compile_s": round(warm_incl_compile, 1),
