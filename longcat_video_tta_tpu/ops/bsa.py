@@ -34,7 +34,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-NEG_INF = -1e30
+from .attention import NEG_INF
+from .flash_attention import _needs_head_split, _pack_merged, _split_heads
 
 
 def _round_up(x: int, m: int) -> int:
@@ -56,6 +57,7 @@ def select_blocks(
     num_cond_tokens: int = 0,
     q_token_offset: int = 0,
     kv_valid=None,
+    interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """-> int32 [B*H, nQb, top_k] selected k-block indices (sorted).
 
@@ -87,7 +89,9 @@ def select_blocks(
         # whole call across 16 layers x 50 steps)
         cnt = jnp.minimum(
             jnp.maximum(S - jnp.arange(nb) * bs, 0), bs).astype(jnp.float32)
-        xb = _block_sum(x, bs, interpret=jax.default_backend() != "tpu")
+        itp = (jax.default_backend() != "tpu" if interpret is None
+               else interpret)
+        xb = _block_sum(x, bs, interpret=itp)
         return xb / jnp.maximum(cnt, 1.0)[None, :, None, None]
 
     qb = pool(q, block_q, nQb)   # [B, nQb, H, D]
@@ -260,16 +264,14 @@ def bsa_attention(
     Sk = k.shape[1]
     if scale is None:
         scale = D ** -0.5
-    if D % 128 != 0 and H > 1:
+    if _needs_head_split(H, D):
         # Mosaic: [tile, D] blocks along the merged H*D axis need D to
         # be a lane multiple (128); sub-128 head_dim folds heads into
-        # batch instead so D is the FULL last dim (always legal). Same
-        # rule as ops/flash_attention._needs_head_split.
-        def sp(x):
-            return x.transpose(0, 2, 1, 3).reshape(B * H, x.shape[1], 1, D)
-
+        # batch instead so D is the FULL last dim (always legal) —
+        # same fallback as ops/flash_attention's public entries.
         o = bsa_attention(
-            sp(q), sp(k), sp(v), num_cond_tokens=num_cond_tokens,
+            _split_heads(q), _split_heads(k), _split_heads(v),
+            num_cond_tokens=num_cond_tokens,
             top_k=top_k, block_q=block_q, block_k=block_k, scale=scale,
             q_token_offset=q_token_offset, kv_valid=kv_valid,
             qk_int8=qk_int8, interpret=interpret)
@@ -287,7 +289,8 @@ def bsa_attention(
 
     idx = select_blocks(q, k, block_q=block_q, block_k=block_k,
                         top_k=top_k, num_cond_tokens=num_cond_tokens,
-                        q_token_offset=q_token_offset, kv_valid=kv_valid)
+                        q_token_offset=q_token_offset, kv_valid=kv_valid,
+                        interpret=interpret or None)
 
     bq = min(block_q, _round_up(Sq, 8))
     bk = min(block_k, _round_up(Sk, 8))
@@ -301,11 +304,7 @@ def bsa_attention(
     # [B,S,H,D]<->[BH,S,D] transposes (q/k/v in + o out, ~2x the
     # operand bytes at decode shapes). The output lands directly in the
     # [B, Sq, H*D] layout the following proj matmul consumes.
-    def merge(x, s_pad):
-        if s_pad > x.shape[1]:
-            x = jnp.pad(x, ((0, 0), (0, s_pad - x.shape[1]),
-                            (0, 0), (0, 0)))
-        return x.reshape(B, s_pad, H * D)
+    merge = _pack_merged
 
     if qk_int8:
         # quantize in 4-D (per-token-per-head scales), then merge; the

@@ -87,6 +87,11 @@ def cp_self_attention(
     ``attention_xla`` (tested on the virtual CPU mesh).
     """
     shard_map = _shard_map_fn()
+    if q.shape[1] != k.shape[1]:
+        # decode: every query is a noise token; the local q_offset below
+        # counts query tokens, not global positions (see
+        # ring_self_attention for the full rationale)
+        num_cond_tokens = 0
 
     def local(ql, kl, vl):
         kg = jax.lax.all_gather(kl, "context", axis=1, tiled=True)
@@ -216,21 +221,34 @@ def _ring_fwd_impl(q, k, v, axis: str, n: int, ncond: int, scale: float,
     q_off = my * Sq
     perm = _ring_perm(n)
 
-    def step(carry, i):
-        o_acc, lse_acc, kc, vc = carry
-        src = (my + i) % n
-        o_i, lse_i = chunk_fwd(q, kc, vc, q_off, src * Sk)
+    def combine(o_acc, lse_acc, o_i, lse_i):
         lse_new = jnp.logaddexp(lse_acc, lse_i)
         o_acc = (o_acc * jnp.exp(lse_acc - lse_new)[..., None]
                  + o_i.astype(jnp.float32)
                  * jnp.exp(lse_i - lse_new)[..., None])
-        if n > 1:
-            kc, vc = jax.lax.ppermute((kc, vc), axis, perm)
-        return (o_acc, lse_new, kc, vc), None
+        return o_acc, lse_new
+
+    def step(carry, i):
+        o_acc, lse_acc, kc, vc = carry
+        src = (my + i) % n
+        o_i, lse_i = chunk_fwd(q, kc, vc, q_off, src * Sk)
+        o_acc, lse_acc = combine(o_acc, lse_acc, o_i, lse_i)
+        # rotating at the tail lets XLA overlap the permute with the
+        # next iteration's chunk compute
+        kc, vc = jax.lax.ppermute((kc, vc), axis, perm)
+        return (o_acc, lse_acc, kc, vc), None
 
     init = (jnp.zeros((B, Sq, H, D), jnp.float32),
             jnp.full((B, Sq, H), NEG_INF, jnp.float32), k, v)
-    (o, lse, _, _), _ = jax.lax.scan(step, init, jnp.arange(n))
+    if n > 1:
+        # scan covers chunks 0..n-2; the LAST chunk runs unrolled below
+        # so its post-compute rotation (whose result nothing consumes)
+        # is never issued — 1/n of the ring's K/V ICI traffic
+        (o, lse, kc, vc), _ = jax.lax.scan(step, init, jnp.arange(n - 1))
+    else:
+        o, lse, kc, vc = init
+    o_i, lse_i = chunk_fwd(q, kc, vc, q_off, ((my + n - 1) % n) * Sk)
+    o, lse = combine(o, lse, o_i, lse_i)
     return o.astype(q.dtype), lse
 
 
@@ -341,6 +359,14 @@ def ring_self_attention(
         scale = q.shape[-1] ** -0.5
     if impl is None:
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    # Conditioning QUERIES only exist in the no-cache (Sq == Sk) path —
+    # same convention as ops/flash_attention.flash_attention. In decode
+    # (Sq != Sk) every query is a noise token at global position
+    # Sk - Sq + i, but q_off inside the ring counts query tokens from 0;
+    # without this guard the first ncond noise queries would be silently
+    # restricted to the cond prefix.
+    if q.shape[1] != k.shape[1]:
+        num_cond_tokens = 0
 
     if kv_valid is None:
         def local(ql, kl, vl):

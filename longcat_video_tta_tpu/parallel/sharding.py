@@ -111,6 +111,22 @@ def param_specs(params: Dict[str, Any],
             if ps == suffix:
                 matched[0] += 1
                 return spec
+        # int8-quantized linears (ops/quant.py) rename kernel ->
+        # kernel_i8 (same [.., K, N] layout) and add a per-output-
+        # channel scale ([.., N] = the kernel spec minus its
+        # contraction axis). Without this mapping every heavy matmul
+        # of a quantized tree would silently replicate under TP — and
+        # the matched==0 guard below could not fire because the
+        # unquantized small leaves still match.
+        if ps.endswith("/kernel_i8") or ps.endswith("/scale"):
+            base = ps.rsplit("/", 1)[0] + "/kernel"
+            for suffix, spec in rules:
+                if base == suffix:
+                    matched[0] += 1
+                    if ps.endswith("/kernel_i8"):
+                        return spec
+                    tup = tuple(spec)
+                    return P(*(tup[:-2] + tup[-1:]))
         return P()  # replicate
 
     out = jax.tree_util.tree_map_with_path(spec_for, params)

@@ -48,6 +48,24 @@ def test_param_specs_cover_tensor_axis(inputs):
     assert any("tensor" in str(s) for s in flat)
 
 
+def test_param_specs_cover_int8_quantized_tree(inputs):
+    """ops/quant.py renames kernel -> kernel_i8 and adds a per-output
+    scale; the TP rules must keep sharding those (regression: the heavy
+    matmuls of a quantized tree silently replicated under TP)."""
+    from longcat_video_tta_tpu.ops.quant import quantize_dit_blocks_int8
+
+    params, *_ = inputs
+    specs = param_specs(quantize_dit_blocks_int8(params))
+    qkv = specs["blocks"]["attn"]["qkv"]
+    # column-parallel: kernel_i8 [L,K,N] out-sharded, scale [L,N] too
+    assert tuple(qkv["kernel_i8"]) == (None, None, "tensor")
+    assert tuple(qkv["scale"]) == (None, "tensor")
+    proj = specs["blocks"]["attn"]["proj"]
+    # row-parallel: kernel_i8 in-sharded, scale [L,N] replicated
+    assert tuple(proj["kernel_i8"]) == (None, "tensor", None)
+    assert tuple(proj["scale"]) == (None, None)
+
+
 def test_sharded_forward_matches_single_device(inputs):
     """dp=2 x cp=2 x tp=2 sharded forward == unsharded forward."""
     params, latents, text, mask = inputs
@@ -211,6 +229,26 @@ def test_ring_attention_decode_shapes():
         out = ring_self_attention(q, k, v, mesh, num_cond_tokens=0,
                                   impl="xla")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+    # ncond > 0 with Sq != Sk: conditioning QUERIES only exist in the
+    # no-cache path, so the prefix rule must be dropped exactly like
+    # flash_attention/attention_xla drop it (regression: the ring
+    # applied it in query-local coordinates, silently restricting the
+    # first ncond noise queries to the cond prefix).
+    ref_c = attention_xla(q, k, v, num_cond_tokens=16)
+    with mesh:
+        out_c = ring_self_attention(q, k, v, mesh, num_cond_tokens=16,
+                                    impl="xla")
+    np.testing.assert_allclose(np.asarray(out_c), np.asarray(ref_c),
+                               atol=2e-5, rtol=2e-5)
+
+    from longcat_video_tta_tpu.parallel.context_attention import (
+        cp_self_attention,
+    )
+    with mesh:
+        out_cp = cp_self_attention(q, k, v, mesh, num_cond_tokens=16)
+    np.testing.assert_allclose(np.asarray(out_cp), np.asarray(ref_c),
                                atol=2e-5, rtol=2e-5)
 
 
