@@ -205,16 +205,61 @@ def estimate_memory_gb(method: str, params: Dict[str, Any],
     return {"device_hbm_gb": round(device, 1), "host_gb": host}
 
 
+def _execute_row(info: Dict[str, Any], argv: List[str],
+                 subprocess_mode: bool, max_retries: int,
+                 extra_env: Optional[Dict[str, str]] = None) -> None:
+    """Run one sweep row (with requeue-on-failure), mutating ``info``."""
+    t0 = time.time()
+    for attempt in range(max_retries + 1):
+        if subprocess_mode or extra_env:
+            import subprocess
+            import sys
+
+            env = {**os.environ, **extra_env} if extra_env else None
+            r = subprocess.run(
+                [sys.executable, "-m",
+                 "longcat_video_tta_tpu.runners.run_tta", *argv], env=env)
+            info["returncode"] = r.returncode
+            info["status"] = "ok" if r.returncode == 0 else "failed"
+        else:
+            from ..runners.run_tta import main as run_main
+
+            try:
+                run_main(argv)
+                info["status"] = "ok"
+            except Exception as e:
+                info["status"] = f"failed: {type(e).__name__}: {e}"
+        if info["status"] == "ok":
+            break
+        if attempt < max_retries:
+            print(f"[sweep] {info['run_id']} failed; requeue "
+                  f"{attempt + 1}/{max_retries} (resumes from "
+                  f"checkpoint.json)")
+            info["retries"] = attempt + 1
+    info["wall_minutes"] = round((time.time() - t0) / 60.0, 2)
+
+
 def run_sweep(config_path: str, output_base: str,
               data_dir: Optional[str] = None,
               run_ids: Optional[List[str]] = None,
               dry_run: bool = False,
               subprocess_mode: bool = False,
-              max_retries: int = 0) -> List[Dict[str, Any]]:
+              max_retries: int = 0,
+              jobs: int = 1,
+              device_pool: Optional[List[str]] = None
+              ) -> List[Dict[str, Any]]:
     """``max_retries``: re-dispatch failed rows up to N times — the local
     analogue of SLURM preempt+requeue (run_sweep.sbatch:11-12); each
     retry resumes from the row's checkpoint.json via the runner's
-    per-video resume."""
+    per-video resume.
+
+    ``jobs`` > 1: run up to N rows concurrently, each in its own
+    subprocess — the pod-host analogue of the reference's one-SLURM-job-
+    per-row fleet (run_sweep.py:405-440). ``device_pool`` pins each
+    concurrent slot to its own chip via TPU_VISIBLE_DEVICES (e.g.
+    ["0","1","2","3"] on a v5e-4 host); without it the processes share
+    the default device set. Intra-process DP over videos is the
+    runner's own --video-parallel."""
     cfg = load_config(config_path)
     method = cfg["method"]
     series = cfg.get("series_name") or cfg["series"]
@@ -223,6 +268,7 @@ def run_sweep(config_path: str, output_base: str,
         rows = [r for r in rows if str(r["run_id"]) in set(run_ids)]
 
     launched = []
+    pending = []   # (info, argv) rows that actually execute
     for row in rows:
         run_id = str(row["run_id"])
         params = dict(cfg["fixed"])
@@ -234,47 +280,51 @@ def run_sweep(config_path: str, output_base: str,
         info = {"run_id": run_id, "series": series, "method": method,
                 "output_dir": out_dir, "argv": argv,
                 "estimated_minutes": round(est, 1)}
+        launched.append(info)
         if os.path.exists(os.path.join(out_dir, "summary.json")):
             info["status"] = "skipped (summary.json exists)"
-            launched.append(info)
             print(f"[sweep] {run_id}: already complete, skipping")
             continue
         if dry_run:
             info["status"] = "dry-run"
-            launched.append(info)
             print(f"[sweep] DRY {run_id} (~{est:.0f} min): "
                   f"run_tta {' '.join(argv)}")
             continue
-        print(f"[sweep] RUN {run_id} (~{est:.0f} min)")
         info["estimated_memory"] = estimate_memory_gb(method, params)
-        t0 = time.time()
-        for attempt in range(max_retries + 1):
-            if subprocess_mode:
-                import subprocess
-                import sys
+        pending.append((info, argv))
 
-                r = subprocess.run(
-                    [sys.executable, "-m",
-                     "longcat_video_tta_tpu.runners.run_tta", *argv])
-                info["returncode"] = r.returncode
-                info["status"] = "ok" if r.returncode == 0 else "failed"
-            else:
-                from ..runners.run_tta import main as run_main
+    if jobs <= 1:
+        for info, argv in pending:
+            print(f"[sweep] RUN {info['run_id']} "
+                  f"(~{info['estimated_minutes']:.0f} min)")
+            _execute_row(info, argv, subprocess_mode, max_retries)
+    elif pending:
+        # concurrent rows, each its own subprocess; a chip from the
+        # pool travels with the worker slot, not the row
+        import queue
+        from concurrent.futures import ThreadPoolExecutor
 
-                try:
-                    run_main(argv)
-                    info["status"] = "ok"
-                except Exception as e:
-                    info["status"] = f"failed: {type(e).__name__}: {e}"
-            if info["status"] == "ok":
-                break
-            if attempt < max_retries:
-                print(f"[sweep] {run_id} failed; requeue "
-                      f"{attempt + 1}/{max_retries} (resumes from "
-                      f"checkpoint.json)")
-                info["retries"] = attempt + 1
-        info["wall_minutes"] = round((time.time() - t0) / 60.0, 2)
-        launched.append(info)
+        devq: "queue.Queue[Optional[str]]" = queue.Queue()
+        for i in range(jobs):
+            devq.put(device_pool[i % len(device_pool)]
+                     if device_pool else None)
+
+        def worker(item):
+            info, argv = item
+            dev = devq.get()
+            try:
+                env = {"TPU_VISIBLE_DEVICES": dev} if dev else {}
+                info["device"] = dev
+                print(f"[sweep] RUN {info['run_id']} "
+                      f"(~{info['estimated_minutes']:.0f} min"
+                      f"{', chip ' + dev if dev else ''})")
+                _execute_row(info, argv, True, max_retries,
+                             extra_env=env or None)
+            finally:
+                devq.put(dev)
+
+        with ThreadPoolExecutor(max_workers=jobs) as ex:
+            list(ex.map(worker, pending))
 
     os.makedirs(output_base, exist_ok=True)
     with open(os.path.join(output_base, f"sweep_{series}.json"), "w") as f:
@@ -296,11 +346,21 @@ def main(argv=None):
                    help="requeue failed rows up to N times (the SLURM "
                         "preempt+requeue analogue; rows resume from "
                         "checkpoint.json)")
+    p.add_argument("--jobs", type=int, default=1,
+                   help="run up to N rows concurrently, each in its own "
+                        "subprocess (the pod-host analogue of the "
+                        "reference's one-SLURM-job-per-row fleet)")
+    p.add_argument("--device-pool", default=None,
+                   help="comma-separated chip ids to pin concurrent "
+                        "rows to via TPU_VISIBLE_DEVICES, e.g. "
+                        "'0,1,2,3' on a v5e-4 host")
     args = p.parse_args(argv)
     run_ids = args.run_ids.split(",") if args.run_ids else None
+    pool = args.device_pool.split(",") if args.device_pool else None
     return run_sweep(args.config, args.output_base, args.data_dir, run_ids,
                      args.dry_run, args.subprocess,
-                     max_retries=args.max_retries)
+                     max_retries=args.max_retries, jobs=args.jobs,
+                     device_pool=pool)
 
 
 if __name__ == "__main__":

@@ -77,6 +77,50 @@ def test_dry_run(sweep_out):
     assert rows[0]["status"] == "dry-run" and "--lr" in rows[0]["argv"]
 
 
+def test_jobs_concurrent_rows_with_device_pool(tmp_path, monkeypatch):
+    """--jobs N runs rows as concurrent subprocesses, each slot pinned
+    to a pool chip via TPU_VISIBLE_DEVICES (the SLURM-array analogue,
+    reference run_sweep.py:405-440). The subprocess is stubbed: this
+    tests the scheduler, not the runner."""
+    import threading
+    import time as _time
+
+    import longcat_video_tta_tpu.sweep.run_sweep as rs
+
+    cfg = yaml.safe_load(open("configs/smoke_tiny.yaml"))
+    cfg["sweep"] = [{"run_id": f"r{i}", "lr": 0.01} for i in range(4)]
+    p = os.path.join(str(tmp_path), "cfg.yaml")
+    yaml.safe_dump(cfg, open(p, "w"))
+
+    lock = threading.Lock()
+    state = {"live": 0, "max_live": 0, "devices": [], "calls": 0}
+
+    class _R:
+        returncode = 0
+
+    def fake_run(cmd, env=None):
+        with lock:
+            state["live"] += 1
+            state["max_live"] = max(state["max_live"], state["live"])
+            state["devices"].append((env or {}).get("TPU_VISIBLE_DEVICES"))
+            state["calls"] += 1
+        _time.sleep(0.15)
+        with lock:
+            state["live"] -= 1
+        return _R()
+
+    import subprocess
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    launched = rs.run_sweep(p, os.path.join(str(tmp_path), "res"),
+                            jobs=2, device_pool=["0", "1"])
+    assert state["calls"] == 4
+    assert state["max_live"] == 2          # genuinely concurrent, capped
+    assert set(state["devices"]) == {"0", "1"}
+    assert all(l["status"] == "ok" for l in launched)
+    assert all(l["device"] in ("0", "1") for l in launched)
+
+
 def test_export_and_baseline_matching(sweep_out):
     out, results_base, _ = sweep_out
     all_results = os.path.join(out, "all_results.json")
