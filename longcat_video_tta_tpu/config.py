@@ -435,7 +435,10 @@ def longcat_bench() -> ModelConfig:
             text_dim=2048,
             text_len=512,
             rope_dims=(32, 48, 48),
-            remat_policy="dots",
+            # dots_attn also saves the flash kernel residuals: 0.331
+            # s/step vs 0.365 (dots) / 0.40 (full) measured on v5e-1
+            # (scripts/measure_remat_policy.py)
+            remat_policy="dots_attn",
         ),
         vae=VAEConfig(param_dtype="bfloat16", compute_dtype="bfloat16"),
         text=TextEncoderConfig(

@@ -428,8 +428,17 @@ def _flash_core(q, k, v, offs, ncond, kvlen, scale, bq, bk, interpret,
 
 def _flash_core_fwd(q, k, v, offs, ncond, kvlen, scale, bq, bk, interpret,
                     dyn_kvlen, nh):
+    from jax.ad_checkpoint import checkpoint_name
+
     o, lse = _flash_fwd_impl(q, k, v, ncond, kvlen, scale, bq, bk, interpret,
                              offs=offs, dyn_kvlen=dyn_kvlen, nh=nh)
+    # Name the kernel-produced residuals so a remat policy can elect to
+    # save them (ops/layers.py remat_wrap policy "dots_attn"): with
+    # o/lse stored, the rematerialized block backward never re-runs the
+    # forward flash kernel — it only needs q/k/v (cheap reshapes of
+    # saved projection dots) plus these two tensors.
+    o = checkpoint_name(o, "flash_out")
+    lse = checkpoint_name(lse, "flash_lse")
     return o, (q, k, v, o, lse, offs)
 
 

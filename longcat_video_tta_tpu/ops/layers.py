@@ -146,7 +146,13 @@ def remat_wrap(body, remat: bool, policy: str = "full"):
     (jax.checkpoint_policies.dots_with_no_batch_dims_saveable) — ~10%
     faster TTA step at bench scale on v5e when HBM allows; "full" is the
     minimum-memory default (the reference's non-reentrant torch
-    checkpoint, run_delta_a.py:469-473)."""
+    checkpoint, run_delta_a.py:469-473).
+
+    ``policy="dots_attn"`` additionally saves the flash-attention kernel
+    residuals (the "flash_out"/"flash_lse" names tagged in
+    ops/flash_attention.py), so the block backward skips the forward
+    flash kernel re-run entirely — costs one extra [B,S,D] bf16 + one
+    [B,H,S] f32 per attention site."""
     import jax
 
     if not remat:
@@ -155,4 +161,11 @@ def remat_wrap(body, remat: bool, policy: str = "full"):
         return jax.checkpoint(
             body,
             policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+    if policy == "dots_attn":
+        return jax.checkpoint(
+            body,
+            policy=jax.checkpoint_policies.save_from_both_policies(
+                jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+                jax.checkpoint_policies.save_only_these_names(
+                    "flash_out", "flash_lse")))
     return jax.checkpoint(body)

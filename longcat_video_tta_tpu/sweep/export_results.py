@@ -65,7 +65,7 @@ def extract_run(run_dir: str) -> Optional[Dict[str, Any]]:
     rec["avg_gen_time"] = summary.get("avg_gen_time")
     rec["avg_es_check_time"] = summary.get("avg_es_check_time")
     # final-loss + ES stop stats
-    final_losses, stopped = [], 0
+    final_losses, stopped, best_steps = [], 0, []
     trainable = None
     for r in results:
         if r.get("losses"):
@@ -73,10 +73,20 @@ def extract_run(run_dir: str) -> Optional[Dict[str, Any]]:
         es = r.get("early_stopping_info") or {}
         if es.get("stopped_early"):
             stopped += 1
+        if es.get("best_step") is not None:
+            best_steps.append(es["best_step"])
         trainable = r.get("trainable_params", trainable)
     if final_losses:
         rec["final_loss_mean"] = float(np.mean(final_losses))
     rec["es_stopped_ratio"] = (stopped / len(results)) if results else None
+    rec["es_stopped_count"] = stopped
+    rec["es_total_count"] = len(results)
+    if best_steps:
+        rec["es_best_step_mean"] = float(np.mean(best_steps))
+    # full config dict: the ES-ablation / sweep-knob figures read swept
+    # keys straight from it (reference extract_run keeps the whole
+    # config, export_all_results.py:104-267)
+    rec["config"] = dict(cfg)
     rec["trainable_params"] = trainable
     fvd = (summary.get("online_eval") or {}).get("fvd")
     if fvd is not None:

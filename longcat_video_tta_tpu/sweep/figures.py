@@ -175,8 +175,28 @@ def _sweep_line(runs, out_dir, xkey: str, name: str, xlabel: str,
 
 
 def fig_lr_sweep(runs, out_dir):
-    return _sweep_line(runs, out_dir, "lr", "lr_sweep", "learning rate",
-                       logx=True)
+    made = [_sweep_line(runs, out_dir, "lr", "lr_sweep", "learning rate",
+                        logx=True)]
+    # AdaSteer LR-sensitivity detail: best PSNR per lr over every
+    # delta_b row (reference lr_sweep_adasteer_detail combines the main
+    # sweep with the low-lr series, generate_figures.py:590-614)
+    db = [r for r in _complete(runs)
+          if r.get("method") == "delta_b" and r.get("lr")]
+    if len({r["lr"] for r in db}) >= 2:
+        pts: Dict[Any, float] = {}
+        for r in db:
+            pts[r["lr"]] = max(pts.get(r["lr"], -1e9), r["psnr_mean"])
+        xs = sorted(pts)
+        fig, ax = plt.subplots(figsize=(7, 5))
+        ax.plot(xs, [pts[x] for x in xs], "-D", color="#2a9d8f",
+                markersize=6, markeredgecolor="white", lw=1.8)
+        ax.set_xscale("log")
+        ax.set_xlabel("learning rate")
+        ax.set_ylabel("PSNR (dB)")
+        ax.set_title("AdaSteer learning-rate sensitivity",
+                     fontweight="bold")
+        made.append(_save(fig, out_dir, "lr_sweep_adasteer_detail"))
+    return [m for m in made if m] or None
 
 
 def fig_steps_sweep(runs, out_dir):
@@ -212,23 +232,173 @@ def fig_time_cost(runs, out_dir):
     ax.set_ylabel("ΔPSNR (dB)")
     ax.set_title("Quality vs adaptation cost")
     ax.legend(fontsize=8)
-    return _save(fig, out_dir, "time_cost")
+    made = [_save(fig, out_dir, "time_cost")]
+
+    # reference emits two bar charts besides the scatter
+    # (generate_figures.py:1525-1584): per-method train time and the
+    # train/generation-time ratio
+    best = _best_per_method(rows)
+    methods = sorted(best, key=lambda m: best[m]["avg_train_time"])
+    fig, ax = plt.subplots(figsize=(5.5, 4.5))
+    for i, m in enumerate(methods):
+        tt = best[m]["avg_train_time"]
+        bar = ax.bar(i, tt, 0.82, color="#2a9d8f", zorder=3)
+        ax.text(i, tt * 1.02, f"{tt:.0f}s", ha="center", fontsize=9)
+    ax.set_xticks(range(len(methods)))
+    ax.set_xticklabels(methods, fontsize=9, rotation=20)
+    ax.set_ylabel("training time per video (s)")
+    ax.set_title("TTA training cost per video", fontweight="bold")
+    made.append(_save(fig, out_dir, "train_time"))
+
+    ratio_rows = [m for m in methods if best[m].get("avg_gen_time")]
+    if ratio_rows:
+        fig, ax = plt.subplots(figsize=(5.5, 4.5))
+        for i, m in enumerate(ratio_rows):
+            ratio = best[m]["avg_train_time"] / best[m]["avg_gen_time"]
+            ax.bar(i, ratio, 0.82, color="#2a9d8f", zorder=3)
+            ax.text(i, ratio * 1.02, f"{ratio:.2f}x", ha="center",
+                    fontsize=9)
+        ax.axhline(1.0, color="#888888", ls="--", lw=1.0, alpha=0.55,
+                   zorder=0)
+        ax.set_xticks(range(len(ratio_rows)))
+        ax.set_xticklabels(ratio_rows, fontsize=9, rotation=20)
+        ax.set_ylabel("train time / generation time")
+        ax.set_title("Training overhead relative to generation",
+                     fontweight="bold")
+        made.append(_save(fig, out_dir, "train_gen_ratio"))
+    return made
+
+
+_ES_METRIC_PANELS = (("psnr_mean", "PSNR (dB)"), ("ssim_mean", "SSIM"),
+                     ("lpips_mean", "LPIPS"))
+
+
+def _es_series_colors(rows):
+    palette = ["#264653", "#2a9d8f", "#e9c46a", "#f4a261", "#e76f51",
+               "#8ab17d", "#6d597a"]
+    series = sorted({r.get("series", "") for r in rows})
+    cmap = {s: palette[i % len(palette)] for i, s in enumerate(series)}
+    return series, cmap
+
+
+def _es_metric_scatter(ax, rows, xs, key, label, colors, ref_val=None):
+    ax.scatter(xs, [r.get(key) for r in rows], c=colors, s=64,
+               edgecolors="white", linewidths=0.8, zorder=5)
+    ax.set_ylabel(label, fontsize=10)
+    if ref_val is not None:
+        ax.axhline(ref_val, color="#888888", ls=":", lw=1.0, alpha=0.6,
+                   zorder=0)
 
 
 def fig_es_time_savings(runs, out_dir):
-    """Early-stopping stop ratio vs train time (reference ES figures)."""
+    """The reference's 5-chart ES time-savings family
+    (fig_early_stopping_time_savings, generate_figures.py:1241-1373):
+    train time vs videos-stopped-early, per-metric stability panels, the
+    combined two-panel, time-saved, and train-time-vs-metric charts."""
     rows = [r for r in _complete(runs)
-            if r.get("es_stopped_ratio") is not None
+            if r.get("es_stopped_count") is not None
             and r.get("avg_train_time")]
     if not rows:
         return None
+    # no-ES reference time: an es-disabled row if present, else the
+    # slowest row (the reference pins series es_ablation_disable)
+    def _es_off(r):
+        return bool((r.get("config") or {}).get("es_disable")) \
+            or "disable" in str(r.get("series", ""))
+    no_es = [r for r in rows if _es_off(r)]
+    no_es_time = (np.mean([r["avg_train_time"] for r in no_es])
+                  if no_es else max(r["avg_train_time"] for r in rows))
+    es_ref = no_es[0] if no_es else None
+
+    n_early = [r["es_stopped_count"] for r in rows]
+    train_t = [r["avg_train_time"] for r in rows]
+    series, cmap = _es_series_colors(rows)
+    colors = [cmap[r.get("series", "")] for r in rows]
+
+    def _legend(ax):
+        from matplotlib.lines import Line2D
+        handles = [Line2D([0], [0], marker="o", color="w",
+                          markerfacecolor=cmap[s], markersize=8, label=s)
+                   for s in series]
+        ax.legend(handles=handles, frameon=False, fontsize=7)
+
+    # 1. train time vs # early
+    fig, ax = plt.subplots(figsize=(6.5, 4.5))
+    ax.axhline(no_es_time, color="#888888", ls="--", lw=1.2, alpha=0.7,
+               zorder=0, label="no early stopping")
+    ax.scatter(n_early, train_t, c=colors, s=72, edgecolors="white",
+               linewidths=1.0, zorder=5)
+    ax.set_xlabel("videos stopped early")
+    ax.set_ylabel("mean training time per video (s)")
+    ax.set_title("Early stopping reduces training time",
+                 fontweight="bold")
+    _legend(ax)
+    made = [_save(fig, out_dir, "es_time_vs_early")]
+
+    # 2. metric stability vs # early (3 stacked panels)
+    fig, axes = plt.subplots(3, 1, figsize=(6.5, 8), sharex=True)
+    for ax, (key, label) in zip(axes, _ES_METRIC_PANELS):
+        _es_metric_scatter(ax, rows, n_early, key, label, colors,
+                           es_ref.get(key) if es_ref else None)
+    axes[2].set_xlabel("videos stopped early")
+    axes[0].set_title("Performance unchanged across ES settings",
+                      fontweight="bold")
+    fig.tight_layout()
+    made.append(_save(fig, out_dir, "es_metrics_vs_early"))
+
+    # 3. two-panel: time + metric row
+    fig = plt.figure(figsize=(12, 5))
+    gs = fig.add_gridspec(1, 2, width_ratios=[1, 1.2])
+    ax_time = fig.add_subplot(gs[0])
+    ax_time.axhline(no_es_time, color="#888888", ls="--", lw=1.2,
+                    alpha=0.7, zorder=0)
+    ax_time.scatter(n_early, train_t, c=colors, s=64,
+                    edgecolors="white", linewidths=1.0, zorder=5)
+    ax_time.set_xlabel("videos stopped early")
+    ax_time.set_ylabel("mean training time (s)")
+    ax_time.set_title("Training time", fontweight="bold")
+    gs_right = gs[1].subgridspec(1, 3)
+    for i, (key, label) in enumerate(_ES_METRIC_PANELS):
+        ax = fig.add_subplot(gs_right[0, i])
+        _es_metric_scatter(ax, rows, n_early, key, label, colors,
+                           es_ref.get(key) if es_ref else None)
+        ax.set_xlabel("# early", fontsize=9)
+    fig.suptitle("Early stopping: time savings without quality loss",
+                 fontweight="bold")
+    fig.tight_layout()
+    made.append(_save(fig, out_dir, "es_time_savings_two_panel"))
+
+    # 4. time saved vs # early
+    saved = [no_es_time - t for t in train_t]
+    fig, ax = plt.subplots(figsize=(6.5, 4.5))
+    ax.scatter(n_early, saved, c=colors, s=72, edgecolors="white",
+               linewidths=1.0, zorder=5)
+    ax.axhline(0, color="#888888", ls="--", lw=1.0, alpha=0.5, zorder=0)
+    ax.set_xlabel("videos stopped early")
+    ax.set_ylabel("time saved per video (s)")
+    ax.set_title("Time saved vs videos stopped early", fontweight="bold")
+    _legend(ax)
+    made.append(_save(fig, out_dir, "es_time_saved_vs_early"))
+
+    # 5. train time vs metrics (1x3)
+    fig, axes = plt.subplots(1, 3, figsize=(11, 4), sharex=True)
+    for ax, (key, label) in zip(axes, _ES_METRIC_PANELS):
+        _es_metric_scatter(ax, rows, train_t, key, label, colors,
+                           es_ref.get(key) if es_ref else None)
+        ax.set_xlabel("mean TTA train time (s)")
+    fig.suptitle("Metrics vs mean TTA train time (ES ablations)",
+                 fontweight="bold")
+    fig.tight_layout()
+    made.append(_save(fig, out_dir, "es_train_time_vs_metrics"))
+    # legacy single-chart name kept for downstream links
     fig, ax = plt.subplots(figsize=(6.5, 4))
-    ax.scatter([r["es_stopped_ratio"] for r in rows],
-               [r["avg_train_time"] for r in rows], s=36, alpha=0.8)
+    ax.scatter([r["es_stopped_ratio"] for r in rows], train_t, c=colors,
+               s=36, alpha=0.8)
     ax.set_xlabel("fraction of videos stopped early")
     ax.set_ylabel("per-video TTA time (s)")
     ax.set_title("Early stopping time savings")
-    return _save(fig, out_dir, "es_time_savings")
+    made.append(_save(fig, out_dir, "es_time_savings"))
+    return made
 
 
 def fig_early_stopping(runs, out_dir):
@@ -268,7 +438,68 @@ def fig_early_stopping(runs, out_dir):
         ax.set_ylabel("PSNR (dB)", color="#2a9d8f")
         ax.set_title(f"Early stopping: {xlabel}", fontweight="bold")
     fig.tight_layout()
-    return _save(fig, out_dir, "es_ablation")
+    made = [_save(fig, out_dir, "es_ablation")]
+
+    # patience vs train time vs PSNR (reference
+    # _fig_es_patience_train_time_psnr: PSNR-colored scatter with the
+    # mean generation time as a cost-context line)
+    prows = [r for r in _complete(runs)
+             if r.get("series") == "es_ablation_patience"
+             and (r.get("config") or {}).get("es_patience") is not None
+             and r.get("avg_train_time")]
+    if len(prows) >= 2:
+        pat = [r["config"]["es_patience"] for r in prows]
+        tt = [r["avg_train_time"] for r in prows]
+        ps = [r["psnr_mean"] for r in prows]
+        fig, ax = plt.subplots(figsize=(7, 5))
+        sc = ax.scatter(pat, tt, c=ps, s=120, cmap="viridis",
+                        edgecolors="white", linewidths=2, zorder=5)
+        fig.colorbar(sc, ax=ax, shrink=0.7).set_label("PSNR (dB)")
+        gen_ts = [r["avg_gen_time"] for r in prows
+                  if r.get("avg_gen_time")]
+        if gen_ts:
+            ax.axhline(np.mean(gen_ts), color="#888888", ls="--",
+                       lw=1.2, alpha=0.85, label="avg inference time")
+            ax.legend(frameon=False, fontsize=9)
+        for p_, t_, v_ in zip(pat, tt, ps):
+            ax.annotate(f"{v_:.2f}", (p_, t_),
+                        textcoords="offset points", xytext=(0, 8),
+                        ha="center", fontsize=9)
+        ax.set_xlabel("patience")
+        ax.set_ylabel("mean TTA training time per video (s)")
+        ax.set_title("Patience vs training time vs PSNR",
+                     fontweight="bold")
+        made.append(_save(fig, out_dir, "es_patience_train_time_psnr"))
+
+    # long-train ES overview (reference long_train_es barh: total steps
+    # vs average best step, with the stopped-early count)
+    lrows = sorted(
+        [r for r in _complete(runs)
+         if "long_train" in str(r.get("series", ""))
+         and r.get("es_best_step_mean") is not None and r.get("steps")],
+        key=lambda r: r["steps"])
+    if lrows:
+        fig, ax = plt.subplots(figsize=(8, 4))
+        labels = []
+        for i, r in enumerate(lrows):
+            total = r["steps"]
+            best = r["es_best_step_mean"]
+            labels.append(f"{r.get('method', '?')}\n({total} steps)")
+            ax.barh(i, total, color="#f1e4c0", edgecolor="#cccccc",
+                    height=0.55, zorder=1)
+            ax.barh(i, best, color="#2a9d8f", height=0.55, zorder=2)
+            ax.text(best + total * 0.02, i,
+                    f"avg best = step {best:.0f}  "
+                    f"({r.get('es_stopped_count', 0)} stopped early)",
+                    va="center", fontsize=9, zorder=3)
+        ax.set_yticks(range(len(labels)))
+        ax.set_yticklabels(labels)
+        ax.set_xlabel("training steps")
+        ax.set_title("Early stopping on long training runs",
+                     fontweight="bold")
+        ax.invert_yaxis()
+        made.append(_save(fig, out_dir, "long_train_es"))
+    return made
 
 
 def fig_loss_curves(curves: List[Dict], out_dir):
@@ -507,7 +738,50 @@ def fig_naive_methods(runs, out_dir):
     ax.axvline(0, color="k", lw=0.8)
     ax.set_xlabel("best ΔPSNR (dB)")
     ax.set_title("Naive output/modulation adapters vs input-side methods")
-    return _save(fig, out_dir, "naive_methods")
+    made = [_save(fig, out_dir, "naive_methods")]
+
+    # per-method sweep details (reference normtune_sweep / film_sweep /
+    # delta_c_iter_sweep, generate_figures.py:1753-1806)
+    def _lr_detail(method, name, title):
+        rs = [r for r in rows if r["method"] == method and r.get("lr")]
+        if len(rs) < 2:
+            return None
+        fig, ax = plt.subplots(figsize=(6, 4.5))
+        for r in rs:
+            ax.scatter(r["lr"], r["psnr_mean"], c="#e76f51", s=65,
+                       zorder=5, edgecolors="white", lw=0.8)
+            if r.get("trainable_params"):
+                ax.annotate(f"{r['trainable_params'] / 1e3:.0f}K",
+                            (r["lr"], r["psnr_mean"]),
+                            textcoords="offset points", xytext=(6, 6),
+                            fontsize=7, color="#555555")
+        ax.set_xscale("log")
+        ax.set_xlabel("learning rate")
+        ax.set_ylabel("PSNR (dB)")
+        ax.set_title(title, fontweight="bold")
+        return _save(fig, out_dir, name)
+
+    made.append(_lr_detail("norm_tune", "normtune_sweep",
+                           "NormTune sweep"))
+    made.append(_lr_detail("film", "film_sweep", "FiLM adapter sweep"))
+
+    dc = sorted([r for r in rows if r["method"] == "delta_c"
+                 and r.get("steps")], key=lambda r: r["steps"])
+    if len({r["steps"] for r in dc}) >= 2:
+        pts: Dict[Any, float] = {}
+        for r in dc:
+            pts[r["steps"]] = max(pts.get(r["steps"], -1e9),
+                                  r["psnr_mean"])
+        xs = sorted(pts)
+        fig, ax = plt.subplots(figsize=(6, 4.5))
+        ax.plot(xs, [pts[x] for x in xs], "-o", color="#e76f51",
+                markersize=7, markeredgecolor="white", lw=2)
+        ax.set_xlabel("training steps")
+        ax.set_ylabel("PSNR (dB)")
+        ax.set_title("Delta-C (output residual) iteration sweep",
+                     fontweight="bold")
+        made.append(_save(fig, out_dir, "delta_c_iter_sweep"))
+    return [m for m in made if m]
 
 
 def fig_clip_threshold_curves(runs, out_dir):

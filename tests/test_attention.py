@@ -190,3 +190,27 @@ def test_flash_dynamic_kv_valid_len_fwd_and_bwd():
     for a, b in zip(g_dyn, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-4, rtol=5e-4)
+
+
+def test_flash_grad_under_dots_attn_remat_policy():
+    """remat policy "dots_attn" (ops/layers.py) saves the named
+    flash_out/flash_lse residuals; gradients through a checkpointed
+    body must match the un-rematerialized gradient exactly."""
+    from longcat_video_tta_tpu.ops.layers import remat_wrap
+
+    q, k, v = _rand_qkv(jax.random.PRNGKey(7), B=1, S=128, H=2, D=32)
+
+    def body(q, k, v):
+        o = flash_attention(q, k, v, num_cond_tokens=32, interpret=True)
+        return jnp.tanh(o) * o
+
+    def loss(fn, q, k, v):
+        return jnp.sum(fn(q, k, v) ** 2)
+
+    g_plain = jax.grad(lambda *a: loss(body, *a), argnums=(0, 1, 2))(q, k, v)
+    for policy in ("full", "dots", "dots_attn"):
+        wrapped = remat_wrap(body, True, policy)
+        g = jax.grad(lambda *a: loss(wrapped, *a), argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g, g_plain):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5, rtol=1e-5)

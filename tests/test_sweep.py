@@ -172,6 +172,10 @@ def test_es_ablation_and_multimetric_figures(tmp_path):
                 "ssim_mean": 0.7 + 0.01 * rng.rand(), "ssim_std": 0.01,
                 "lpips_mean": 0.25, "lpips_std": 0.02,
                 "es_stopped_ratio": float(rng.rand()),
+                "es_stopped_count": int(rng.randint(0, 20)),
+                "es_total_count": 20,
+                "avg_train_time": 60.0 + 30 * rng.rand(),
+                "avg_gen_time": 120.0,
                 "config": {key: v},
                 "delta_psnr": rng.rand(), "dataset": "panda",
             })
@@ -183,10 +187,34 @@ def test_es_ablation_and_multimetric_figures(tmp_path):
                 "ssim_mean": 0.71, "ssim_std": 0.01,
                 "lpips_mean": 0.24, "lpips_std": 0.02,
                 "delta_psnr": 0.3, "dataset": ds, "config": {},
+                "avg_train_time": 40.0, "avg_gen_time": 110.0,
             })
+    runs.append({
+        "status": "complete", "series": "full_long_train",
+        "run_id": "LT1", "method": "full", "psnr_mean": 24.5,
+        "ssim_mean": 0.8, "lpips_mean": 0.2, "delta_psnr": 2.5,
+        "dataset": "panda", "steps": 500, "es_best_step_mean": 230.0,
+        "es_stopped_count": 18, "es_total_count": 30,
+        "es_stopped_ratio": 0.6, "avg_train_time": 168.0,
+        "config": {}})
     out = str(tmp_path / "figs")
     es = figures.fig_early_stopping(runs, out)
-    assert es and os.path.exists(es)
+    names = [os.path.basename(p) for p in es]
+    assert "es_ablation.png" in names
+    assert "es_patience_train_time_psnr.png" in names
+    assert "long_train_es.png" in names
+    ets = figures.fig_es_time_savings(runs, out)
+    names = [os.path.basename(p) for p in ets]
+    for expect in ("es_time_vs_early.png", "es_metrics_vs_early.png",
+                   "es_time_savings_two_panel.png",
+                   "es_time_saved_vs_early.png",
+                   "es_train_time_vs_metrics.png", "es_time_savings.png"):
+        assert expect in names, expect
+    tc = figures.fig_time_cost(runs, out)
+    names = [os.path.basename(p) for p in tc]
+    assert "time_cost.png" in names
+    assert "train_time.png" in names
+    assert "train_gen_ratio.png" in names
     mc = figures.fig_method_comparison(runs, out)
     names = [os.path.basename(p) for p in mc]
     assert "method_comparison.png" in names
@@ -197,6 +225,41 @@ def test_es_ablation_and_multimetric_figures(tmp_path):
     names = [os.path.basename(p) for p in cd]
     assert "cross_dataset.png" in names
     assert "cross_dataset_ucf101_psnr.png" in names
+
+
+def test_naive_and_lr_detail_figures(tmp_path):
+    """Reference chart-set parity for fig_naive_methods (4 charts) and
+    fig_lr_sweep (2 charts) — generate_figures.py:551-614, 1727-1806."""
+    import numpy as np
+
+    rng = np.random.RandomState(1)
+    runs = []
+    for m, lrs in (("norm_tune", (1e-4, 1e-3, 1e-2)),
+                   ("film", (1e-4, 1e-3)),
+                   ("delta_b", (1e-3, 5e-3, 1e-2))):
+        for lr in lrs:
+            runs.append({
+                "status": "complete", "series": f"{m}_sweep",
+                "run_id": f"{m}{lr:g}", "method": m, "lr": lr,
+                "psnr_mean": 21.0 + rng.rand(), "delta_psnr": -0.5,
+                "trainable_params": 24000, "dataset": "panda",
+                "config": {}})
+    for steps in (5, 10, 20):
+        runs.append({
+            "status": "complete", "series": "delta_c_iter_sweep",
+            "run_id": f"dc{steps}", "method": "delta_c", "steps": steps,
+            "psnr_mean": 20.0 + 0.1 * steps / 5, "delta_psnr": -1.5,
+            "dataset": "panda", "config": {}})
+    out = str(tmp_path / "figs")
+    nm = figures.fig_naive_methods(runs, out)
+    names = [os.path.basename(p) for p in nm]
+    for expect in ("naive_methods.png", "normtune_sweep.png",
+                   "film_sweep.png", "delta_c_iter_sweep.png"):
+        assert expect in names, expect
+    lr = figures.fig_lr_sweep(runs, out)
+    names = [os.path.basename(p) for p in lr]
+    assert "lr_sweep.png" in names
+    assert "lr_sweep_adasteer_detail.png" in names
 
 
 def test_full_config_matrix_dry_runs(tmp_path):
