@@ -42,6 +42,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    choices=["longcat_13b", "longcat_tiny", "longcat_bench",
                             "cogvideox_5b", "cogvideox_tiny",
                             "opensora_v2", "opensora_v2_tiny"])
+    p.add_argument("--remat-policy", default=None,
+                   choices=["full", "dots", "dots_attn"],
+                   help="Override the preset's gradient-checkpoint "
+                        "policy (ops/layers.py::remat_wrap): 'full' = "
+                        "minimum memory; 'dots' saves matmul outputs; "
+                        "'dots_attn' also saves the flash-attention "
+                        "residuals (fastest, most HBM)")
     p.add_argument("--synthetic", type=int, default=0,
                    help="Generate N synthetic clips instead of --data-dir")
     p.add_argument("--max-videos", type=int, default=100)
@@ -267,6 +274,12 @@ def load_bundle(args):
     from ..pipeline import ModelBundle
 
     cfg = get_model_config(args.preset)
+    if getattr(args, "remat_policy", None):
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, dit=dataclasses.replace(cfg.dit,
+                                         remat_policy=args.remat_policy))
     if args.checkpoint_dir:
         from ..models.convert import load_converted_bundle
 

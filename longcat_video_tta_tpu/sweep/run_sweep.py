@@ -76,6 +76,7 @@ _KEY_TO_FLAG = {
     # decode-lever flags (round 2)
     "bsa_keep_ratio": "--bsa-keep-ratio",
     "quantize_decode": "--quantize-decode",
+    "remat_policy": "--remat-policy",
     "loss_fetch_every": "--loss-fetch-every",
     # round-3 levers
     "video_parallel": "--video-parallel",

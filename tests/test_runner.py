@@ -276,3 +276,14 @@ def test_step_keys_no_cross_video_aliasing():
         [np.asarray(step_keys(42, idx, 0, 250)) for idx in range(5)])
     uniq = {tuple(k) for k in keys}
     assert len(uniq) == 5 * 250
+
+
+def test_remat_policy_flag_end_to_end(tmp_path):
+    """--remat-policy overrides the preset policy; dots_attn through the
+    xla-attention CPU path (no named residuals to save) must still run
+    and produce a finite loss."""
+    out, summary = _run(tmp_path, "delta_a",
+                        extra=("--remat-policy", "dots_attn"))
+    assert summary["num_success"] == 2
+    assert summary["config"]["remat_policy"] == "dots_attn"
+    assert np.isfinite(summary["results"][0]["losses"][-1])
