@@ -59,8 +59,43 @@ def save_results(path: str, summary: Dict[str, Any]):
     _atomic_write_json(path, summary)
 
 
+def environment_provenance() -> Dict[str, Any]:
+    """Framework git commit + library versions + device inventory,
+    recorded into every run's config.json (the reference logs repo git
+    commits and python/torch/transformers versions per job,
+    run_sweep.sbatch:177-200)."""
+    import subprocess
+    import sys
+
+    prov: Dict[str, Any] = {"python": sys.version.split()[0]}
+    try:
+        repo_dir = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        prov["git_commit"] = subprocess.run(
+            ["git", "-C", repo_dir, "rev-parse", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or None
+    except Exception:
+        prov["git_commit"] = None
+    for mod in ("jax", "numpy", "optax", "flax"):
+        try:
+            prov[mod] = __import__(mod).__version__
+        except Exception:
+            pass
+    try:
+        import jax
+
+        prov["backend"] = jax.default_backend()
+        prov["num_devices"] = jax.device_count()
+    except Exception:
+        pass
+    return prov
+
+
 def save_config(path: str, config: Dict[str, Any]):
-    _atomic_write_json(path, config)
+    doc = dict(config)
+    doc.setdefault("environment", environment_provenance())
+    _atomic_write_json(path, doc)
 
 
 def save_adapter_state(path: str, train_params):
