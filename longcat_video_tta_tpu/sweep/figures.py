@@ -174,6 +174,27 @@ def _sweep_line(runs, out_dir, xkey: str, name: str, xlabel: str,
     return _save(fig, out_dir, name)
 
 
+def _best_line(rows, out_dir, xkey, name, title, xlabel, *, logx=False,
+               color="#2a9d8f", marker="D"):
+    """Best-PSNR-per-x single-series line (shared by the AdaSteer LR
+    detail and the delta_c iteration sweep)."""
+    if len({r[xkey] for r in rows}) < 2:
+        return None
+    pts: Dict[Any, float] = {}
+    for r in rows:
+        pts[r[xkey]] = max(pts.get(r[xkey], -1e9), r["psnr_mean"])
+    xs = sorted(pts)
+    fig, ax = plt.subplots(figsize=(7, 5))
+    ax.plot(xs, [pts[x] for x in xs], ls="-", marker=marker, color=color,
+            markersize=6, markeredgecolor="white", lw=1.8)
+    if logx:
+        ax.set_xscale("log")
+    ax.set_xlabel(xlabel)
+    ax.set_ylabel("PSNR (dB)")
+    ax.set_title(title, fontweight="bold")
+    return _save(fig, out_dir, name)
+
+
 def fig_lr_sweep(runs, out_dir):
     made = [_sweep_line(runs, out_dir, "lr", "lr_sweep", "learning rate",
                         logx=True)]
@@ -182,20 +203,9 @@ def fig_lr_sweep(runs, out_dir):
     # sweep with the low-lr series, generate_figures.py:590-614)
     db = [r for r in _complete(runs)
           if r.get("method") == "delta_b" and r.get("lr")]
-    if len({r["lr"] for r in db}) >= 2:
-        pts: Dict[Any, float] = {}
-        for r in db:
-            pts[r["lr"]] = max(pts.get(r["lr"], -1e9), r["psnr_mean"])
-        xs = sorted(pts)
-        fig, ax = plt.subplots(figsize=(7, 5))
-        ax.plot(xs, [pts[x] for x in xs], "-D", color="#2a9d8f",
-                markersize=6, markeredgecolor="white", lw=1.8)
-        ax.set_xscale("log")
-        ax.set_xlabel("learning rate")
-        ax.set_ylabel("PSNR (dB)")
-        ax.set_title("AdaSteer learning-rate sensitivity",
-                     fontweight="bold")
-        made.append(_save(fig, out_dir, "lr_sweep_adasteer_detail"))
+    made.append(_best_line(db, out_dir, "lr", "lr_sweep_adasteer_detail",
+                           "AdaSteer learning-rate sensitivity",
+                           "learning rate", logx=True))
     return [m for m in made if m] or None
 
 
@@ -242,7 +252,7 @@ def fig_time_cost(runs, out_dir):
     fig, ax = plt.subplots(figsize=(5.5, 4.5))
     for i, m in enumerate(methods):
         tt = best[m]["avg_train_time"]
-        bar = ax.bar(i, tt, 0.82, color="#2a9d8f", zorder=3)
+        ax.bar(i, tt, 0.82, color="#2a9d8f", zorder=3)
         ax.text(i, tt * 1.02, f"{tt:.0f}s", ha="center", fontsize=9)
     ax.set_xticks(range(len(methods)))
     ax.set_xticklabels(methods, fontsize=9, rotation=20)
@@ -295,12 +305,23 @@ def fig_es_time_savings(runs, out_dir):
     (fig_early_stopping_time_savings, generate_figures.py:1241-1373):
     train time vs videos-stopped-early, per-metric stability panels, the
     combined two-panel, time-saved, and train-time-vs-metric charts."""
+    def _stopped_count(r):
+        # pre-r3 exports carry only es_stopped_ratio; derive the count
+        # so old all_results.json files still render the full family
+        if r.get("es_stopped_count") is not None:
+            return r["es_stopped_count"]
+        ratio = r.get("es_stopped_ratio")
+        n = r.get("es_total_count") or r.get("num_success") \
+            or r.get("num_videos")
+        if ratio is not None and n:
+            return int(round(ratio * n))
+        return None
+
     rows = [r for r in _complete(runs)
-            if r.get("es_stopped_count") is not None
-            and r.get("avg_train_time")]
+            if _stopped_count(r) is not None and r.get("avg_train_time")]
     if not rows:
         return None
-    # no-ES reference time: an es-disabled row if present, else the
+    # no-ES reference time: es-disabled rows if present, else the
     # slowest row (the reference pins series es_ablation_disable)
     def _es_off(r):
         return bool((r.get("config") or {}).get("es_disable")) \
@@ -308,18 +329,27 @@ def fig_es_time_savings(runs, out_dir):
     no_es = [r for r in rows if _es_off(r)]
     no_es_time = (np.mean([r["avg_train_time"] for r in no_es])
                   if no_es else max(r["avg_train_time"] for r in rows))
-    es_ref = no_es[0] if no_es else None
 
-    n_early = [r["es_stopped_count"] for r in rows]
+    def _es_ref(key):
+        # per-metric no-ES reference: mean over ALL es-disabled rows
+        # (not an arbitrary first row)
+        vals = [r[key] for r in no_es if r.get(key) is not None]
+        return float(np.mean(vals)) if vals else None
+
+    n_early = [_stopped_count(r) for r in rows]
     train_t = [r["avg_train_time"] for r in rows]
     series, cmap = _es_series_colors(rows)
     colors = [cmap[r.get("series", "")] for r in rows]
 
-    def _legend(ax):
+    def _legend(ax, with_no_es=False):
         from matplotlib.lines import Line2D
         handles = [Line2D([0], [0], marker="o", color="w",
                           markerfacecolor=cmap[s], markersize=8, label=s)
                    for s in series]
+        if with_no_es:
+            handles.insert(0, Line2D(
+                [0], [0], color="#888888", ls="--", lw=1.2,
+                label="no early stopping"))
         ax.legend(handles=handles, frameon=False, fontsize=7)
 
     # 1. train time vs # early
@@ -332,14 +362,14 @@ def fig_es_time_savings(runs, out_dir):
     ax.set_ylabel("mean training time per video (s)")
     ax.set_title("Early stopping reduces training time",
                  fontweight="bold")
-    _legend(ax)
+    _legend(ax, with_no_es=True)
     made = [_save(fig, out_dir, "es_time_vs_early")]
 
     # 2. metric stability vs # early (3 stacked panels)
     fig, axes = plt.subplots(3, 1, figsize=(6.5, 8), sharex=True)
     for ax, (key, label) in zip(axes, _ES_METRIC_PANELS):
         _es_metric_scatter(ax, rows, n_early, key, label, colors,
-                           es_ref.get(key) if es_ref else None)
+                           _es_ref(key))
     axes[2].set_xlabel("videos stopped early")
     axes[0].set_title("Performance unchanged across ES settings",
                       fontweight="bold")
@@ -361,7 +391,7 @@ def fig_es_time_savings(runs, out_dir):
     for i, (key, label) in enumerate(_ES_METRIC_PANELS):
         ax = fig.add_subplot(gs_right[0, i])
         _es_metric_scatter(ax, rows, n_early, key, label, colors,
-                           es_ref.get(key) if es_ref else None)
+                           _es_ref(key))
         ax.set_xlabel("# early", fontsize=9)
     fig.suptitle("Early stopping: time savings without quality loss",
                  fontweight="bold")
@@ -377,14 +407,14 @@ def fig_es_time_savings(runs, out_dir):
     ax.set_xlabel("videos stopped early")
     ax.set_ylabel("time saved per video (s)")
     ax.set_title("Time saved vs videos stopped early", fontweight="bold")
-    _legend(ax)
+    _legend(ax, with_no_es=True)
     made.append(_save(fig, out_dir, "es_time_saved_vs_early"))
 
     # 5. train time vs metrics (1x3)
     fig, axes = plt.subplots(1, 3, figsize=(11, 4), sharex=True)
     for ax, (key, label) in zip(axes, _ES_METRIC_PANELS):
         _es_metric_scatter(ax, rows, train_t, key, label, colors,
-                           es_ref.get(key) if es_ref else None)
+                           _es_ref(key))
         ax.set_xlabel("mean TTA train time (s)")
     fig.suptitle("Metrics vs mean TTA train time (ES ablations)",
                  fontweight="bold")
@@ -392,8 +422,12 @@ def fig_es_time_savings(runs, out_dir):
     made.append(_save(fig, out_dir, "es_train_time_vs_metrics"))
     # legacy single-chart name kept for downstream links
     fig, ax = plt.subplots(figsize=(6.5, 4))
-    ax.scatter([r["es_stopped_ratio"] for r in rows], train_t, c=colors,
-               s=36, alpha=0.8)
+    ratios = [r["es_stopped_ratio"] if r.get("es_stopped_ratio")
+              is not None
+              else _stopped_count(r) / max(r.get("es_total_count")
+                                           or r.get("num_success") or 1, 1)
+              for r in rows]
+    ax.scatter(ratios, train_t, c=colors, s=36, alpha=0.8)
     ax.set_xlabel("fraction of videos stopped early")
     ax.set_ylabel("per-video TTA time (s)")
     ax.set_title("Early stopping time savings")
@@ -765,22 +799,10 @@ def fig_naive_methods(runs, out_dir):
                            "NormTune sweep"))
     made.append(_lr_detail("film", "film_sweep", "FiLM adapter sweep"))
 
-    dc = sorted([r for r in rows if r["method"] == "delta_c"
-                 and r.get("steps")], key=lambda r: r["steps"])
-    if len({r["steps"] for r in dc}) >= 2:
-        pts: Dict[Any, float] = {}
-        for r in dc:
-            pts[r["steps"]] = max(pts.get(r["steps"], -1e9),
-                                  r["psnr_mean"])
-        xs = sorted(pts)
-        fig, ax = plt.subplots(figsize=(6, 4.5))
-        ax.plot(xs, [pts[x] for x in xs], "-o", color="#e76f51",
-                markersize=7, markeredgecolor="white", lw=2)
-        ax.set_xlabel("training steps")
-        ax.set_ylabel("PSNR (dB)")
-        ax.set_title("Delta-C (output residual) iteration sweep",
-                     fontweight="bold")
-        made.append(_save(fig, out_dir, "delta_c_iter_sweep"))
+    dc = [r for r in rows if r["method"] == "delta_c" and r.get("steps")]
+    made.append(_best_line(dc, out_dir, "steps", "delta_c_iter_sweep",
+                           "Delta-C (output residual) iteration sweep",
+                           "training steps", color="#e76f51", marker="o"))
     return [m for m in made if m]
 
 

@@ -94,7 +94,8 @@ def environment_provenance() -> Dict[str, Any]:
 
 def save_config(path: str, config: Dict[str, Any]):
     doc = dict(config)
-    doc.setdefault("environment", environment_provenance())
+    if "environment" not in doc:
+        doc["environment"] = environment_provenance()
     _atomic_write_json(path, doc)
 
 

@@ -278,3 +278,19 @@ def test_full_config_matrix_dry_runs(tmp_path):
         assert all(r["status"] == "dry-run" for r in launched), cfg
         total_rows += len(launched)
     assert total_rows >= 230  # the reference fleet ran ~230 rows
+
+
+def test_es_time_savings_renders_from_legacy_ratio_only_records(tmp_path):
+    """Pre-r3 exports carry es_stopped_ratio but no es_stopped_count;
+    the 6-chart family must still render (count derived from ratio)."""
+    runs = [{
+        "status": "complete", "series": "es_ablation_patience",
+        "run_id": f"P{i}", "method": "full",
+        "psnr_mean": 22.0 + 0.01 * i, "ssim_mean": 0.77,
+        "lpips_mean": 0.24, "es_stopped_ratio": 0.1 * i,
+        "num_success": 20, "avg_train_time": 90.0 - 5 * i,
+    } for i in range(4)]
+    made = figures.fig_es_time_savings(runs, str(tmp_path / "figs"))
+    names = [os.path.basename(p) for p in made]
+    assert "es_time_savings.png" in names
+    assert "es_time_vs_early.png" in names
