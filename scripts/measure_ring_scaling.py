@@ -26,7 +26,72 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 
+def train_mode():
+    """fwd+bwd kernel throughput at query shards of the TTA train
+    geometry (Sq=Sk=4680, H=16, dh=128): ring-CP *training* splits the
+    query tokens per chip while the full K/V stream rotates past, so
+    per-chip work is (Sq/N x Sk) in the fwd AND both backward kernels.
+    Near-constant TF/s across rows = ring TTA training scales
+    near-linearly too (decode-side validation is the default mode)."""
+    import jax
+    import jax.numpy as jnp
+
+    from longcat_video_tta_tpu.ops.flash_attention import flash_attention
+
+    B, H, dh = 1, 16, 128
+    nhw = 1560                    # 60x104/4 patches per latent frame
+    n_lat = 3                     # default: canonical cond 2 + train 1
+    for a in sys.argv:
+        if a.startswith("--latents="):
+            n_lat = int(a.split("=")[1])
+    Sq_full = Sk = n_lat * nhw
+    CH = 4
+    rows = []
+    for shards in (1, 2, 4, 8):
+        Sq = Sq_full // shards
+        rng = np.random.RandomState(shards)
+        mk = lambda s: jnp.asarray(
+            rng.randn(B, s, H, dh) * 0.05, jnp.bfloat16)
+
+        def one(q, k, v):
+            def loss(q, k, v):
+                o = flash_attention(q, k, v)
+                return jnp.sum(o.astype(jnp.float32) ** 2)
+            l, g = jax.value_and_grad(loss, argnums=(0, 1, 2))(q, k, v)
+            return l + sum(jnp.sum(x.astype(jnp.float32) ** 2)
+                           for x in g)
+
+        @jax.jit
+        def chained(inps):
+            return sum(one(*t) for t in inps)
+
+        def mkset(seed0):
+            return tuple((mk(Sq), mk(Sk), mk(Sk))
+                         for _ in range(CH))
+        sets = [mkset(j) for j in range(3)]
+        float(chained(sets[0]))   # compile + warm
+        t0 = time.perf_counter()
+        for j in (1, 2):
+            float(chained(sets[j]))
+        dt = (time.perf_counter() - t0) / 2
+        flops = 3.5 * B * 4 * Sq * Sk * H * dh * CH  # fwd + ~2.5x bwd
+        rows.append({"shards": shards, "Sq": Sq, "Sk": Sk,
+                     "fwd_bwd_ms_per_call": round(dt / CH * 1e3, 1),
+                     "tflops_per_s": round(flops / dt / 1e12, 1)})
+        print(rows[-1])
+    print(json.dumps({
+        "mode": "train (fwd+bwd, 4x-chained amortized)",
+        "geometry": f"B={B} H={H} dh={dh} Sq=Sk={Sk} (TTA train window)",
+        "rows": rows,
+        "retention_8way": round(
+            rows[-1]["tflops_per_s"] / rows[0]["tflops_per_s"], 3),
+    }))
+
+
 def main():
+    if "--train" in sys.argv:
+        return train_mode()
+
     import jax
     import jax.numpy as jnp
 
