@@ -26,25 +26,40 @@ def decode_frames(
     video_path: str,
     num_frames: int,
     start_frame: int = 0,
+    target_fps: Optional[float] = None,
 ) -> np.ndarray:
     """Decode up to ``num_frames`` RGB frames after skipping
     ``start_frame`` (reference: load_video_frames start_frame skip +
-    pad-last-frame, common.py:103-141). Returns [T, H, W, 3] uint8."""
+    pad-last-frame, common.py:103-141). Returns [T, H, W, 3] uint8.
+
+    ``target_fps`` subsamples by stride ``round(native_fps/target)``
+    (the reference baseline loads at 15 fps this way,
+    run_baseline.py:85-118); ``start_frame`` counts native frames,
+    applied before the stride."""
     if video_path.endswith(".npy"):
         arr = np.load(video_path)
         if arr.dtype != np.uint8:
             arr = (np.clip(arr, 0, 1) * 255).astype(np.uint8)
-        frames = list(arr[start_frame:start_frame + num_frames])
+        stride = 1
+        if target_fps:
+            native = 24.0  # npy clips carry no fps metadata
+            stride = max(1, round(native / target_fps))
+        frames = list(arr[start_frame::stride][:num_frames])
     else:
         cv2 = _cv2()
         cap = cv2.VideoCapture(video_path)
+        stride = 1
+        if target_fps:
+            native = cap.get(cv2.CAP_PROP_FPS) or 30.0
+            stride = max(1, round(native / target_fps))
         frames = []
         decoded = 0
         while True:
             ok, frame = cap.read()
             if not ok:
                 break
-            if decoded < start_frame:
+            if decoded < start_frame or \
+                    (decoded - start_frame) % stride != 0:
                 decoded += 1
                 continue
             if len(frames) >= num_frames:
@@ -78,10 +93,12 @@ def load_video_frames(
     height: int = 480,
     width: int = 832,
     start_frame: int = 0,
+    target_fps: Optional[float] = None,
 ) -> np.ndarray:
     """Decode + resize + scale to [-1, 1]; returns [1, 3, T, H, W] float32
     (reference contract: common.py:103-155)."""
-    frames = decode_frames(video_path, num_frames, start_frame)
+    frames = decode_frames(video_path, num_frames, start_frame,
+                           target_fps=target_fps)
     frames = resize_frames(frames, height, width)
     x = frames.astype(np.float32) / 255.0 * 2.0 - 1.0
     return x.transpose(3, 0, 1, 2)[None]  # [1, 3, T, H, W]
@@ -93,10 +110,12 @@ def load_gt_frames(
     height: int,
     width: int,
     start_frame: int,
+    target_fps: Optional[float] = None,
 ) -> np.ndarray:
     """GT frames for metrics: [N, H, W, 3] in [0, 1]
     (reference: evaluate_generation_metrics GT decode at the anchor)."""
-    frames = decode_frames(video_path, num_frames, start_frame)
+    frames = decode_frames(video_path, num_frames, start_frame,
+                           target_fps=target_fps)
     frames = resize_frames(frames, height, width)
     return frames.astype(np.float32) / 255.0
 

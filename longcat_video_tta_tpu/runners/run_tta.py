@@ -208,6 +208,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--debug-nans", action="store_true",
                    help="Enable jax debug_nans (CI sanitizer analogue)")
     # host IO
+    p.add_argument("--load-fps", type=float, default=None,
+                   help="Subsample decoded frames to this fps (stride = "
+                        "round(native/target)); the reference baseline "
+                        "loads at 15 fps (run_baseline.py:85-118). "
+                        "Default: consecutive frames (the TTA runners' "
+                        "behavior)")
     p.add_argument("--native-prefetch", action="store_true",
                    help="Use the C++ threaded prefetch loader for the TTA "
                         "window decode (overlaps host IO with device "
@@ -529,7 +535,8 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
         else:
             px = load_video_frames(path, frames.tta_total_frames,
                                    frames.height, frames.width,
-                                   start_frame=start)
+                                   start_frame=start,
+                                   target_fps=args.load_fps)
         return px, bundle.encode_video(jnp.asarray(px))
 
     # ---- video-parallel DP (--video-parallel V) -----------------------
@@ -964,7 +971,8 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
                 cond_px = load_video_frames(
                     entry["path"], frames.num_cond_frames, frames.height,
                     frames.width,
-                    start_frame=frames.gen_start_frame - frames.num_cond_frames)
+                    start_frame=frames.gen_start_frame - frames.num_cond_frames,
+                    target_fps=args.load_fps)
                 t0 = time.time()
                 gen = generate_vc(
                     bundle, jnp.asarray(cond_px), entry["caption"],
@@ -987,7 +995,8 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
                 gen_time = time.time() - t0
 
                 gt = load_gt_frames(entry["path"], len(gen), frames.height,
-                                    frames.width, frames.gen_start_frame)
+                                    frames.width, frames.gen_start_frame,
+                                    target_fps=args.load_fps)
                 res.update(evaluate_generation_metrics(
                     gen, gt, lpips_feature_fn=lpips_fn))
                 if fvd.enabled:

@@ -177,3 +177,22 @@ def test_save_video_npy_fallback(tmp_path):
     frames = np.random.RandomState(0).rand(4, 16, 16, 3)
     path = save_video(frames, str(tmp_path / "out.npy"))
     assert os.path.exists(path)
+
+
+def test_decode_frames_fps_subsample(tmp_path):
+    """target_fps subsamples by stride (reference baseline loads at
+    15 fps, run_baseline.py:85-118); npy clips assume 24 fps native."""
+    import numpy as np
+
+    from longcat_video_tta_tpu.data.video_io import decode_frames
+
+    arr = np.arange(24, dtype=np.uint8)[:, None, None, None] * np.ones(
+        (1, 4, 4, 3), np.uint8)
+    p = str(tmp_path / "clip.npy")
+    np.save(p, arr)
+    # 24 fps native -> 12 fps target = stride 2
+    out = decode_frames(p, 6, start_frame=1, target_fps=12.0)
+    assert out[:, 0, 0, 0].tolist() == [1, 3, 5, 7, 9, 11]
+    # no target_fps: consecutive
+    out = decode_frames(p, 4, start_frame=2)
+    assert out[:, 0, 0, 0].tolist() == [2, 3, 4, 5]
