@@ -144,6 +144,15 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--aug-rotate-degrees", default="")
     p.add_argument("--aug-speed-factors", default="")
     # caption guard / override
+    p.add_argument("--caption-guard-topk", type=int, default=5)
+    p.add_argument("--caption-guard-min-nonempty-ratio", type=float,
+                   default=0.95)
+    p.add_argument("--caption-guard-min-unique-ratio", type=float,
+                   default=0.10)
+    p.add_argument("--caption-guard-max-top1-ratio", type=float,
+                   default=0.50)
+    p.add_argument("--caption-guard-max-generic-top1-ratio", type=float,
+                   default=0.20)
     p.add_argument("--caption-guard-mode", default="fail",
                    choices=["fail", "warn", "off"])
     p.add_argument("--fixed-caption", default=None)
@@ -191,6 +200,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--retrieval-pool-dir", default=None)
     # online eval
     p.add_argument("--fvd-enabled", action="store_true")
+    p.add_argument("--min-fvd-videos", type=int, default=256,
+                   help="small-sample warning threshold for the online "
+                        "Frechet accumulator (reference min_videos=256, "
+                        "common.py:2141-2431)")
     p.add_argument("--i3d-model-path", default=None)
     p.add_argument("--inception-model-path", default=None,
                    help="torchvision inception_v3 state_dict; enables "
@@ -401,7 +414,13 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
                              seed=args.seed)
     apply_fixed_caption(videos, args.fixed_caption)
     caption_stats = validate_caption_quality(
-        videos, CaptionGuardConfig(mode=args.caption_guard_mode))
+        videos, CaptionGuardConfig(
+            mode=args.caption_guard_mode,
+            min_nonempty_ratio=args.caption_guard_min_nonempty_ratio,
+            min_unique_ratio=args.caption_guard_min_unique_ratio,
+            max_top1_ratio=args.caption_guard_max_top1_ratio,
+            max_generic_top1_ratio=args.caption_guard_max_generic_top1_ratio,
+            topk=args.caption_guard_topk))
 
     # ---- model + method ----------------------------------------------
     bundle = load_bundle(args)
@@ -491,7 +510,8 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
         inception_fn = make_inception_feature_fn(
             load_inception_params(args.inception_model_path))
     fvd = OnlineFrechetAccumulator(video_feature_fn=i3d_fn,
-                                   frame_feature_fn=inception_fn)
+                                   frame_feature_fn=inception_fn,
+                                   min_videos=args.min_fvd_videos)
     lpips_fn = None
     if args.lpips_model_path:
         from ..eval.lpips import load_lpips_params, make_lpips_feature_fn

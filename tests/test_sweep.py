@@ -294,3 +294,36 @@ def test_es_time_savings_renders_from_legacy_ratio_only_records(tmp_path):
     names = [os.path.basename(p) for p in made]
     assert "es_time_savings.png" in names
     assert "es_time_vs_early.png" in names
+
+
+def test_reference_yaml_keys_drop_in():
+    """A sweep row written with the reference's key names
+    (run_sweep.py:51-136: delta_lr/delta_steps/resolution/
+    clip_gate_aggregation/target_modules/...) maps onto the unified
+    driver's flags unchanged."""
+    argv = build_argv("delta_b", {
+        "delta_lr": 5e-3, "delta_steps": 20, "resolution": "480p",
+        "num_groups": 1, "delta_target_blocks": "all",
+        "clip_gate_enabled": True, "clip_gate_aggregation": "mean",
+        "clip_gate_late_only": True, "clip_gate_fail_open": False,
+        "compute_fvd": True, "compute_fid": True, "min_fvd_videos": 64,
+        "caption_guard_topk": 7, "delta_mode": "per_channel",
+        "target_ffn": True, "run_id": "R1",
+    }, "/tmp/o", None)
+    s = " ".join(argv)
+    assert "--lr 0.005" in s and "--steps 20" in s
+    assert "--height 480" in s and "--width 832" in s
+    assert "--target-blocks all" in s
+    assert "--clip-gate-aggregate mean" in s
+    assert "--clip-gate-sampling-mode late_only" in s
+    assert "--clip-gate-fail-closed" in s
+    assert "--fvd-enabled" in s
+    assert "--min-fvd-videos 64" in s
+    assert "--caption-guard-topk 7" in s
+    assert "--lora-target-ffn" in s
+    assert "compute_fid" not in s  # accepted, note-only
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        build_argv("delta_c", {"delta_mode": "weird"}, "/tmp/o", None)
+    with _pytest.raises(ValueError):
+        build_argv("full", {"resolution": "720p"}, "/tmp/o", None)
