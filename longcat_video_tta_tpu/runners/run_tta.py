@@ -200,6 +200,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--retrieval-pool-dir", default=None)
     # online eval
     p.add_argument("--fvd-enabled", action="store_true")
+    p.add_argument("--compute-vbench", action="store_true",
+                   help="run VBench++ over the saved mp4s at "
+                        "finalization (reference finalize_online_eval, "
+                        "common.py:2453-2522; reports a skip marker "
+                        "when the external vbench package is absent)")
     p.add_argument("--min-fvd-videos", type=int, default=256,
                    help="small-sample warning threshold for the online "
                         "Frechet accumulator (reference min_videos=256, "
@@ -1081,6 +1086,10 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
         "wall_time": time.time() - t_start,
         "results": results,
     }
+    if args.compute_vbench:
+        from ..eval.vbench import run_vbench
+
+        summary["online_eval"]["vbench"] = run_vbench(videos_dir)
     save_results(os.path.join(args.output_dir, "summary.json"), summary)
     print(f"\nDone: {len(ok)}/{len(results)} videos, "
           f"summary at {args.output_dir}/summary.json")

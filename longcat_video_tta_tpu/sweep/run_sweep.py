@@ -138,6 +138,7 @@ _BOOL_FLAGS = {
     "clip_gate_fail_closed": "--clip-gate-fail-closed",
     "bucket_shapes": "--bucket-shapes",
     "save_adapters": "--save-adapters",
+    "compute_vbench": "--compute-vbench",
 }
 
 
@@ -182,13 +183,12 @@ def build_argv(method: str, params: Dict[str, Any], output_dir: str,
             # per-channel by construction (run_delta_c.py:82-246)
             if str(val) != "per_channel":
                 raise ValueError(f"unknown delta_mode '{val}'")
-        elif key in ("compute_fid", "compute_vbench"):
-            # FID enables via inception_model_path; VBench runs offline
-            # (sweep/run_eval.py --mode vbench, same as the reference's
-            # run_eval.sbatch dispatch)
-            print(f"[sweep] note: '{key}' is driven by "
-                  f"{'inception_model_path' if key == 'compute_fid' else 'run_eval --mode vbench'}"
-                  f" here; key accepted for reference-YAML compat")
+        elif key == "compute_fid":
+            # FID enables via inception_model_path here; key accepted
+            # for reference-YAML compat
+            print("[sweep] note: 'compute_fid' is driven by "
+                  "inception_model_path here; key accepted for "
+                  "reference-YAML compat")
         elif key in _BOOL_FLAGS:
             if val:
                 argv.append(_BOOL_FLAGS[key])
