@@ -125,11 +125,20 @@ def main():
 
     # int8 W8A8 block matmuls + BSA — the combined decode lever stack
     # (ops/quant.py; measured 30.5 s vs 48.7 dense bf16, corr 0.9999)
+    gen_pab_s = None
     try:
         from longcat_video_tta_tpu.ops.quant import quantize_dit_blocks_int8
 
         qparams = jax.jit(quantize_dit_blocks_int8)(params)
         gen_fast_s = _timed_gen(qparams, 7, bsa_cfg=bsa_cfg)
+        # + Pyramid Attention Broadcast (arXiv:2408.12588): reuse
+        # self-attention outputs on broadcast steps (r3 lever; measured
+        # 93-frame 87.0 -> 55.2 s at identical latent corr 0.99986)
+        from longcat_video_tta_tpu.config import PABConfig
+
+        gen_pab_s = _timed_gen(
+            qparams, 11, bsa_cfg=bsa_cfg,
+            pab_cfg=PABConfig(every=4, start_frac=0.06, end_frac=0.96))
     except Exception as e:
         print(f"[bench] int8+BSA gen failed: {type(e).__name__}: {e}",
               file=sys.stderr)
@@ -261,6 +270,10 @@ def main():
                                       if gen_fast_s else None),
             "gen_int8_bsa_speedup": (round(gen_s / gen_fast_s, 3)
                                      if gen_fast_s else None),
+            "gen_50step_int8_bsa_pab_s": (round(gen_pab_s, 2)
+                                          if gen_pab_s else None),
+            "gen_int8_bsa_pab_speedup": (round(gen_s / gen_pab_s, 3)
+                                         if gen_pab_s else None),
             # north-star #2: fused LoRA-TTA step <= 2x base denoise
             # step (BASELINE.md:41-42); denoise step = one CFG step of
             # the 50-step KV-cached continuation at the same geometry
@@ -274,9 +287,11 @@ def main():
             "mfu_advantage_vs_h200": round(mfu_advantage, 2),
             # recorded offline (too slow for the round bench window):
             # scripts/measure_longhorizon.py, 24 gen latents, int8 +
-            # BSA keep 0.15 (corr 0.99986 vs dense at this geometry),
-            # segment 5 — see ARCHITECTURE.md
-            "gen_93frame_50step_s_recorded": 87.0,
+            # BSA keep 0.15 + PAB every-4 [0.06,0.96) (latent corr
+            # 0.99986 vs dense at this geometry — identical to the
+            # stack without PAB; PAB-only rel err 0.18%), segment 5 —
+            # see ARCHITECTURE.md
+            "gen_93frame_50step_s_recorded": 55.2,
             "baseline": "Delta-A lr5e-3 5 steps: 20.9 s/video on 1xH200 "
                         "13.6B (summary_printout.txt:134); per-param "
                         "normalization factor 1.19/13.6",

@@ -228,6 +228,22 @@ class BSAConfig:
 
 
 @dataclass(frozen=True)
+class PABConfig:
+    """Pyramid Attention Broadcast (arXiv:2408.12588) for the decode
+    hot loop — no reference analogue (TPU-first lever, like BSA/int8):
+    self-attention outputs drift slowly across adjacent denoise steps,
+    so mid-trajectory steps reuse the previous computed step's per-block
+    attention outputs instead of recomputing them. ``every=2`` computes
+    attention on every 2nd step inside [start_frac, end_frac) of the
+    trajectory; early and late steps (where the latent changes fastest)
+    always compute."""
+
+    every: int = 2
+    start_frac: float = 0.1
+    end_frac: float = 0.9
+
+
+@dataclass(frozen=True)
 class VAEConfig:
     """Causal WAN-style 3D VAE (reference: AutoencoderKLWan usage,
     common.py:158-221; 4x temporal / 8x spatial factors, z_dim-channel

@@ -336,10 +336,21 @@ def _ffn(bp, x, lora, lora_scale):
 def _block(bp, blk_adapters, x, t_emb, y, rope_cos, rope_sin,
            cfg: DiTConfig, num_cond_tokens: int, attn_impl,
            kv_cache=None, return_kv: bool = False, cp_mesh=None,
-           kv_valid=None, bsa_cfg=None):
+           kv_valid=None, bsa_cfg=None, pab_reuse=None, pab_cache=None):
     """One DiT block. ``blk_adapters``: per-block slices of the adapter dict.
 
-    Returns (x_out, kv or None).
+    Returns (x_out, kv or None, self_attn_out or None).
+
+    ``pab_reuse``/``pab_cache``: Pyramid-Attention-Broadcast decode
+    lever (arXiv:2408.12588; no reference analogue): when ``pab_reuse``
+    (a traced bool) is set, the self-attention output is taken from
+    ``pab_cache`` (the last fully-computed step's output for this
+    block) instead of being recomputed — attention outputs drift slowly
+    across adjacent denoise steps, so mid-trajectory steps can skip the
+    dominant FLOPs entirely. ``lax.cond`` ensures the skipped branch
+    costs nothing. Cross-attention is NOT broadcast: at LongCat decode
+    shapes it is ~1% of self-attention FLOPs, so caching it would only
+    spend HBM.
     """
     cdtype = x.dtype
     t_blk = t_emb
@@ -359,11 +370,24 @@ def _block(bp, blk_adapters, x, t_emb, y, rope_cos, rope_sin,
     lora_scale = blk_adapters.get("lora_scale", 1.0)
 
     h = modulate(layer_norm(x), expand(shift_msa), expand(scale_msa))
-    attn_out, kv = _self_attention(
-        bp, h, rope_cos, rope_sin, cfg, num_cond_tokens, lora, lora_scale,
-        attn_impl, kv_cache=kv_cache, return_kv=return_kv, cp_mesh=cp_mesh,
-        kv_valid=kv_valid, bsa_cfg=bsa_cfg,
-    )
+    if pab_reuse is not None:
+        def _compute(h):
+            out, _ = _self_attention(
+                bp, h, rope_cos, rope_sin, cfg, num_cond_tokens, lora,
+                lora_scale, attn_impl, kv_cache=kv_cache, return_kv=False,
+                cp_mesh=cp_mesh, kv_valid=kv_valid, bsa_cfg=bsa_cfg,
+            )
+            return out.astype(cdtype)
+
+        attn_out = jax.lax.cond(
+            pab_reuse, lambda h: pab_cache.astype(cdtype), _compute, h)
+        kv = None
+    else:
+        attn_out, kv = _self_attention(
+            bp, h, rope_cos, rope_sin, cfg, num_cond_tokens, lora,
+            lora_scale, attn_impl, kv_cache=kv_cache, return_kv=return_kv,
+            cp_mesh=cp_mesh, kv_valid=kv_valid, bsa_cfg=bsa_cfg,
+        )
     x = x + expand(gate_msa) * attn_out
 
     h = layer_norm(x, bp["pre_crs_norm"]["weight"], bp["pre_crs_norm"]["bias"])
@@ -374,7 +398,7 @@ def _block(bp, blk_adapters, x, t_emb, y, rope_cos, rope_sin,
 
     if blk_adapters.get("delta_h_blocks") is not None:
         x = x + blk_adapters["delta_h_blocks"].astype(x.dtype)[None, None, None, :]
-    return x, kv
+    return x, kv, (attn_out if pab_reuse is not None else None)
 
 
 # ---------------------------------------------------------------------------
@@ -454,7 +478,7 @@ def dit_forward(
     def body(carry, inp):
         bp, ad = inp
         blk_ad = _blk_adapter_slice(ad, lora_scale)
-        out, _ = _block(
+        out, _, _ = _block(
             bp, blk_ad, carry, t_emb, y, rope_cos, rope_sin, cfg,
             num_cond_tokens, attn_impl, cp_mesh=cp_mesh, kv_valid=kv_valid,
         )
@@ -518,7 +542,7 @@ def dit_precompute_cond_cache(
     def body(carry, inp):
         bp, ad = inp
         blk_ad = _blk_adapter_slice(ad, lora_scale)
-        out, kv = _block(
+        out, kv, _ = _block(
             bp, blk_ad, carry, t_emb, y, rope_cos, rope_sin, cfg,
             num_cond_tokens, attn_impl, return_kv=True, cp_mesh=cp_mesh,
         )
@@ -547,10 +571,20 @@ def dit_forward_with_cache(
     cp_mesh=None,
     bsa_cfg=None,
     num_valid_latents: Optional[jnp.ndarray] = None,
+    pab_reuse: Optional[jnp.ndarray] = None,
+    pab_cache=None,
 ) -> jnp.ndarray:
     """Decode-phase forward: noise tokens only, self-attention against
     [cached cond K/V ++ fresh noise K/V]. Returns velocity for the noise
     region only: [B, C_out, T_noise, H, W] fp32.
+
+    ``pab_reuse``/``pab_cache``: Pyramid Attention Broadcast
+    (arXiv:2408.12588) — when ``pab_cache`` (per-block self-attention
+    outputs [depth, B, nt, nhw, D] from the previous fully-computed
+    denoise step) is given, the return becomes ``(out, new_cache)`` and
+    ``pab_reuse`` (traced bool) selects per step between recomputing
+    attention (cache refreshed) and reusing the cached outputs
+    (attention skipped entirely via lax.cond). See pab_init_cache.
 
     ``bsa_cfg``: optional BSAConfig — block-sparse attention over the
     cached+fresh key blocks (the reference pipeline's BSA decode lever,
@@ -580,24 +614,55 @@ def dit_forward_with_cache(
 
     scan_xs, lora_scale = _split_adapters(adapters)
 
-    def body(carry, inp):
-        bp, ad, kv = inp
-        blk_ad = _blk_adapter_slice(ad, lora_scale)
-        out, _ = _block(
-            bp, blk_ad, carry, t_emb, y, rope_cos, rope_sin, cfg,
-            0, attn_impl, kv_cache=kv, cp_mesh=cp_mesh, bsa_cfg=bsa_cfg,
-            kv_valid=kv_valid,
-        )
-        return out, None
+    if pab_cache is not None:
+        def body(carry, inp):
+            bp, ad, kv, cache_blk = inp
+            blk_ad = _blk_adapter_slice(ad, lora_scale)
+            out, _, attn_out = _block(
+                bp, blk_ad, carry, t_emb, y, rope_cos, rope_sin, cfg,
+                0, attn_impl, kv_cache=kv, cp_mesh=cp_mesh,
+                bsa_cfg=bsa_cfg, kv_valid=kv_valid,
+                pab_reuse=pab_reuse, pab_cache=cache_blk,
+            )
+            return out, attn_out
 
-    x, _ = jax.lax.scan(body, x, (params["blocks"], scan_xs, kv_cache))
+        x, new_cache = jax.lax.scan(
+            body, x, (params["blocks"], scan_xs, kv_cache, pab_cache))
+    else:
+        def body(carry, inp):
+            bp, ad, kv = inp
+            blk_ad = _blk_adapter_slice(ad, lora_scale)
+            out, _, _ = _block(
+                bp, blk_ad, carry, t_emb, y, rope_cos, rope_sin, cfg,
+                0, attn_impl, kv_cache=kv, cp_mesh=cp_mesh, bsa_cfg=bsa_cfg,
+                kv_valid=kv_valid,
+            )
+            return out, None
+
+        x, _ = jax.lax.scan(body, x, (params["blocks"], scan_xs, kv_cache))
+        new_cache = None
 
     if adapters and "delta_h_final" in adapters:
         x = x + adapters["delta_h_final"].astype(x.dtype)[None, None, None, :]
     out = _final_layer(params, cfg, x, t_emb, nt, nh, nw)
     if adapters and "delta_out" in adapters:
         out = out + adapters["delta_out"].astype(out.dtype)[None, :, None, None, None]
-    return out.astype(jnp.float32)
+    out = out.astype(jnp.float32)
+    if pab_cache is not None:
+        return out, new_cache
+    return out
+
+
+def pab_init_cache(cfg: DiTConfig, batch: int, t_noise: int, lat_h: int,
+                   lat_w: int) -> jnp.ndarray:
+    """Zero-initialized PAB self-attention cache
+    [depth, B, nt, nh*nw, D] (the sampler always computes step 0, so the
+    zeros are never consumed)."""
+    pt, ph, pw = cfg.patch_size
+    nt, nh, nw = t_noise // pt, lat_h // ph, lat_w // pw
+    return jnp.zeros(
+        (cfg.depth, batch, nt, nh * nw, cfg.hidden_size),
+        resolve_dtype(cfg.compute_dtype))
 
 
 def count_params(params) -> int:

@@ -263,6 +263,7 @@ def generate_vc(
     quantize_decode: str = "none",
     bucket_gen: bool = False,
     gen_segment_steps: int = 0,
+    pab_cfg=None,
 ) -> np.ndarray:
     """Video continuation. Returns generated frames [N, H, W, 3] in [0, 1]
     (N = num_frames rounded to 4k+1), matching the contract of
@@ -307,7 +308,7 @@ def generate_vc(
         # padding changes the conditioning channel layout. Segmented
         # dispatch (gen_segment_steps) IS supported on all three archs.
         for flag, name in ((bsa_cfg, "bsa_cfg"), (bucket_gen, "bucket_gen"),
-                           (cp_mesh, "cp_mesh")):
+                           (cp_mesh, "cp_mesh"), (pab_cfg, "pab_cfg")):
             if flag:
                 raise NotImplementedError(
                     f"{name} is not supported on the {cfg.arch} decode "
@@ -421,6 +422,14 @@ def generate_vc(
         # always traced (even at exact bucket size) so every horizon in
         # the bucket shares one trace
         num_valid = jnp.int32(n_gen_latents)
+    if pab_cfg is not None and cp_mesh is not None:
+        raise NotImplementedError(
+            "pab_cfg does not compose with cp_mesh yet (the ring "
+            "shard_map inside the broadcast lax.cond is unvalidated); "
+            "drop one of the two")
+    if pab_cfg is not None and not use_kv_cache:
+        raise NotImplementedError(
+            "pab_cfg requires the KV-cache decode path (use_kv_cache)")
     sample_kwargs = dict(
         num_gen_latents=gen_bucket,
         num_steps=num_inference_steps,
@@ -432,6 +441,7 @@ def generate_vc(
         cp_mesh=cp_mesh,
         bsa_cfg=bsa_cfg,
         num_valid_gen_latents=num_valid,
+        pab_cfg=pab_cfg,
     )
     if gen_segment_steps > 0:
         # bounded per-dispatch execution time (long-horizon decode on

@@ -23,6 +23,7 @@ from ..models.dit import (
     dit_forward,
     dit_forward_with_cache,
     dit_precompute_cond_cache,
+    pab_init_cache,
 )
 
 
@@ -34,39 +35,51 @@ def _cfg_batch(x, neg_first=False):
 @functools.partial(
     jax.jit,
     static_argnames=("dit_cfg", "sched_cfg", "n_cond", "use_kv_cache",
-                     "attn_impl", "cp_mesh", "bsa_cfg"),
-    donate_argnums=(3,),
+                     "attn_impl", "cp_mesh", "bsa_cfg", "pab_cfg"),
+    donate_argnums=(3, 12),  # x and the PAB cache (4.9 GB at 93-frame)
 )
 def _denoise_scan(dit_params, dit_cfg, sched_cfg, x, sig_pairs, emb2,
-                  mask2, g, cond2, kv_cache, adapters, nv, *,
-                  n_cond, use_kv_cache, attn_impl, cp_mesh, bsa_cfg):
+                  mask2, g, cond2, kv_cache, adapters, nv, pab_state=None,
+                  pab_reuse_flags=None, *, n_cond, use_kv_cache, attn_impl,
+                  cp_mesh, bsa_cfg, pab_cfg=None):
     """The CFG euler denoise loop over ``sig_pairs`` (one lax.scan, x
     donated). Shared by the one-dispatch ``sample_latents`` and the
     segmented driver (``segment_steps``) — segmenting bounds single
     device executions, which this runtime kills past ~1-2 min (see
-    .claude/skills/verify/SKILL.md long-execution fault)."""
+    .claude/skills/verify/SKILL.md long-execution fault).
+
+    ``pab_cfg`` (PABConfig, static) enables Pyramid Attention Broadcast
+    on the KV-cache path: ``pab_reuse_flags`` [n_steps] bool marks the
+    steps that reuse the carried per-block attention cache
+    (``pab_state``) instead of recomputing self-attention; returns
+    (x, pab_state) so segmented dispatch carries the cache across
+    segments."""
     B = x.shape[0]
     nt_total = n_cond + x.shape[2]
+    if pab_cfg is not None and not (use_kv_cache and n_cond > 0):
+        raise NotImplementedError(
+            "PAB is implemented for the KV-cache continuation path; "
+            "drop pab_cfg for t2v / no-cache sampling")
 
-    def step(x, sig_pair):
-        sigma, sigma_next = sig_pair
-        t_val = sched.sigma_to_timestep(sigma, sched_cfg)
+    def forward(x, t_val, pab_reuse=None, pab_state=None):
         x2 = jnp.concatenate([x, x], axis=0)
         if n_cond == 0:
-            v2 = dit_forward(
+            return dit_forward(
                 dit_params, dit_cfg, x2.astype(jnp.float32),
                 jnp.full((2 * B,), t_val), emb2, mask2,
                 num_cond_latents=0, adapters=adapters, attn_impl=attn_impl,
                 cp_mesh=cp_mesh, num_valid_latents=nv,
-            )
+            ), None
         elif use_kv_cache:
-            v2 = dit_forward_with_cache(
+            out = dit_forward_with_cache(
                 dit_params, dit_cfg, x2.astype(jnp.float32),
                 jnp.full((2 * B,), t_val), emb2, mask2, kv_cache,
                 num_cond_latents=n_cond, adapters=adapters,
                 attn_impl=attn_impl, cp_mesh=cp_mesh, bsa_cfg=bsa_cfg,
                 num_valid_latents=nv,
+                pab_reuse=pab_reuse, pab_cache=pab_state,
             )
+            return out if pab_state is not None else (out, None)
         else:
             full2 = jnp.concatenate([cond2, x2], axis=2)
             tsteps = jnp.zeros((2 * B, nt_total)).at[:, n_cond:].set(t_val)
@@ -77,22 +90,59 @@ def _denoise_scan(dit_params, dit_cfg, sched_cfg, x, sig_pairs, emb2,
                 num_valid_latents=(None if nv is None
                                    else jnp.int32(n_cond) + nv),
             )
-            v2 = v_all[:, :, n_cond:]
+            return v_all[:, :, n_cond:], None
+
+    def euler(x, v2, sigma, sigma_next):
         v_u, v_c = v2[:B], v2[B:]
         v = v_u + g * (v_c - v_u)
-        x = sched.euler_step(x, v, sigma, sigma_next)
-        return x, None
+        return sched.euler_step(x, v, sigma, sigma_next)
 
-    x, _ = jax.lax.scan(step, x, sig_pairs)
-    return x
+    if pab_cfg is None:
+        def step(x, sig_pair):
+            sigma, sigma_next = sig_pair
+            t_val = sched.sigma_to_timestep(sigma, sched_cfg)
+            v2, _ = forward(x, t_val)
+            return euler(x, v2, sigma, sigma_next), None
 
+        x, _ = jax.lax.scan(step, x, sig_pairs)
+        return x
+
+    def step_pab(carry, inp):
+        x, cache = carry
+        sig_pair, reuse = inp
+        sigma, sigma_next = sig_pair
+        t_val = sched.sigma_to_timestep(sigma, sched_cfg)
+        v2, cache = forward(x, t_val, pab_reuse=reuse, pab_state=cache)
+        return (euler(x, v2, sigma, sigma_next), cache), None
+
+    (x, pab_state), _ = jax.lax.scan(
+        step_pab, (x, pab_state), (sig_pairs, pab_reuse_flags))
+    return x, pab_state
+
+
+
+
+def _pab_reuse_flags(num_steps: int, pab_cfg) -> jnp.ndarray:
+    """[num_steps] bool: True = reuse the attention cache at that step.
+    Steps outside [start_frac, end_frac) and every ``every``-th step
+    inside it recompute (refreshing the cache); step 0 always
+    recomputes by construction."""
+    import numpy as np
+
+    start = int(round(pab_cfg.start_frac * num_steps))
+    end = int(round(pab_cfg.end_frac * num_steps))
+    flags = np.zeros(num_steps, bool)
+    for i in range(num_steps):
+        if start <= i < end and (i - start) % max(1, pab_cfg.every) != 0:
+            flags[i] = True
+    return jnp.asarray(flags)
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "dit_cfg", "sched_cfg", "num_gen_latents", "num_steps",
         "use_kv_cache", "attn_impl", "lat_h", "lat_w", "cp_mesh",
-        "bsa_cfg",
+        "bsa_cfg", "pab_cfg",
     ),
 )
 def sample_latents(
@@ -117,6 +167,7 @@ def sample_latents(
     cp_mesh=None,
     bsa_cfg=None,
     num_valid_gen_latents: Optional[jnp.ndarray] = None,
+    pab_cfg=None,
 ) -> jnp.ndarray:
     """Returns denoised latents for the generated region
     [B, C, num_gen_latents, lat_h, lat_w] (normalized latent space).
@@ -155,14 +206,19 @@ def sample_latents(
             )
 
     sig_pairs = jnp.stack([sigmas[:-1], sigmas[1:]], axis=1)
-    return _denoise_scan(
+    pab_state = pab_flags = None
+    if pab_cfg is not None:
+        pab_state = pab_init_cache(dit_cfg, 2 * B, Lg, lat_h, lat_w)
+        pab_flags = _pab_reuse_flags(num_steps, pab_cfg)
+    out = _denoise_scan(
         dit_params, dit_cfg, sched_cfg, x, sig_pairs, emb2, mask2, g,
         cond2 if (n_cond > 0 and not use_kv_cache) else None,
         kv_cache if (n_cond > 0 and use_kv_cache) else None,
-        adapters, num_valid_gen_latents,
+        adapters, num_valid_gen_latents, pab_state, pab_flags,
         n_cond=n_cond, use_kv_cache=use_kv_cache, attn_impl=attn_impl,
-        cp_mesh=cp_mesh, bsa_cfg=bsa_cfg,
+        cp_mesh=cp_mesh, bsa_cfg=bsa_cfg, pab_cfg=pab_cfg,
     )
+    return out[0] if pab_cfg is not None else out
 
 
 def sample_latents_segmented(
@@ -170,7 +226,7 @@ def sample_latents_segmented(
     neg_text_emb, neg_text_mask, guidance_scale, *,
     num_gen_latents, num_steps, lat_h, lat_w, segment_steps,
     cond_latents=None, adapters=None, use_kv_cache=True, attn_impl=None,
-    cp_mesh=None, bsa_cfg=None, num_valid_gen_latents=None,
+    cp_mesh=None, bsa_cfg=None, num_valid_gen_latents=None, pab_cfg=None,
 ):
     """``sample_latents`` split into ceil(num_steps/segment_steps)
     device dispatches with the denoised carry fetched between segments.
@@ -204,17 +260,27 @@ def sample_latents_segmented(
             )
 
     sig_pairs = jnp.stack([sigmas[:-1], sigmas[1:]], axis=1)
+    pab_state = pab_flags = None
+    if pab_cfg is not None:
+        pab_state = pab_init_cache(dit_cfg, 2 * B, num_gen_latents,
+                                   lat_h, lat_w)
+        pab_flags = _pab_reuse_flags(num_steps, pab_cfg)  # GLOBAL steps
     seg = max(1, int(segment_steps))
     for s in range(0, num_steps, seg):
-        x = _denoise_scan(
+        out = _denoise_scan(
             dit_params, dit_cfg, sched_cfg, x, sig_pairs[s:s + seg],
             emb2, mask2, g,
             cond2 if (n_cond > 0 and not use_kv_cache) else None,
             kv_cache if (n_cond > 0 and use_kv_cache) else None,
-            adapters, num_valid_gen_latents,
+            adapters, num_valid_gen_latents, pab_state,
+            None if pab_flags is None else pab_flags[s:s + seg],
             n_cond=n_cond, use_kv_cache=use_kv_cache, attn_impl=attn_impl,
-            cp_mesh=cp_mesh, bsa_cfg=bsa_cfg,
+            cp_mesh=cp_mesh, bsa_cfg=bsa_cfg, pab_cfg=pab_cfg,
         )
+        if pab_cfg is not None:
+            x, pab_state = out
+        else:
+            x = out
         jax.block_until_ready(x)  # bound the in-flight execution
     return x
 

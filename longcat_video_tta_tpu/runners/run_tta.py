@@ -97,6 +97,17 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "attention QK^T in int8 with per-token scales "
                         "(LongCat decode; rides the BSA kernel). "
                         "Training stays bf16")
+    p.add_argument("--pab-every", type=int, default=0,
+                   help="Pyramid Attention Broadcast (arXiv:2408.12588): "
+                        "compute decode self-attention only every Nth "
+                        "step inside the broadcast range, reusing the "
+                        "previous computed step's per-block outputs "
+                        "(0 = off; LongCat KV-cache decode; composes "
+                        "with int8/BSA/bucketing/segmenting)")
+    p.add_argument("--pab-start-frac", type=float, default=0.1,
+                   help="broadcast range start as a fraction of steps")
+    p.add_argument("--pab-end-frac", type=float, default=0.9,
+                   help="broadcast range end as a fraction of steps")
     p.add_argument("--gen-segment-steps", type=int, default=0,
                    help="split the denoise loop into N-step dispatches "
                         "(bounds single-execution time for long-horizon "
@@ -322,6 +333,7 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
     from ..config import (
         AdapterConfig, AugmentationConfig, BSAConfig, CaptionGuardConfig,
         ClipGateConfig, EarlyStoppingConfig, FrameConfig, OptimConfig,
+        PABConfig,
     )
     from ..data import (
         apply_fixed_caption, build_augmented_latent_variants,
@@ -1016,6 +1028,10 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
                     quantize_decode=args.quantize_decode,
                     bucket_gen=args.bucket_gen,
                     gen_segment_steps=args.gen_segment_steps,
+                    pab_cfg=(None if args.pab_every <= 0 else PABConfig(
+                        every=args.pab_every,
+                        start_frac=args.pab_start_frac,
+                        end_frac=args.pab_end_frac)),
                 )
                 gen_time = time.time() - t0
 

@@ -88,6 +88,9 @@ _KEY_TO_FLAG = {
     "aug_rotate_degrees": "--aug-rotate-degrees",
     "aug_speed_factors": "--aug-speed-factors",
     "gen_segment_steps": "--gen-segment-steps",
+    "pab_every": "--pab-every",
+    "pab_start_frac": "--pab-start-frac",
+    "pab_end_frac": "--pab-end-frac",
     "load_fps": "--load-fps",
     "i3d_model_path": "--i3d-model-path",
     "inception_model_path": "--inception-model-path",

@@ -34,12 +34,21 @@ def main():
     ap.add_argument("--int8qk", action="store_true",
                     help="int8 QK^T inside the BSA kernel "
                          "(--quantize-decode int8qk)")
+    ap.add_argument("--pab-every", type=int, default=0,
+                    help="Pyramid Attention Broadcast: compute decode "
+                         "self-attention only every Nth step inside "
+                         "[--pab-start, --pab-end) of the trajectory "
+                         "(0 = off)")
+    ap.add_argument("--pab-start", type=float, default=0.1)
+    ap.add_argument("--pab-end", type=float, default=0.9)
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
 
-    from longcat_video_tta_tpu.config import BSAConfig, longcat_bench
+    from longcat_video_tta_tpu.config import (
+        BSAConfig, PABConfig, longcat_bench,
+    )
     from longcat_video_tta_tpu.models import dit as M
     from longcat_video_tta_tpu.ops.quant import quantize_dit_blocks_int8
     from longcat_video_tta_tpu.pipeline.sampler import (
@@ -62,6 +71,9 @@ def main():
     qparams = params if args.no_int8 else jax.jit(
         quantize_dit_blocks_int8)(params)
     bsa = BSAConfig(keep_ratio=args.keep, qk_int8=args.int8qk)
+    pab = (None if args.pab_every <= 0 else PABConfig(
+        every=args.pab_every, start_frac=args.pab_start,
+        end_frac=args.pab_end))
 
     if args.mode == "corr":
         # fidelity vs dense bf16. NOTE: run at the geometry you intend
@@ -80,13 +92,16 @@ def main():
         ref = np.asarray(sampler(
             params, dcfg, cfg.scheduler, jax.random.PRNGKey(7), text,
             mask, jnp.zeros_like(text), mask, 4.0, **kw), np.float32)
+        if not args.no_int8:
+            del params  # free the bf16 tree before the lever-stack run
         fast = np.asarray(sampler(
             qparams, dcfg, cfg.scheduler, jax.random.PRNGKey(7), text,
-            mask, jnp.zeros_like(text), mask, 4.0, bsa_cfg=bsa, **kw),
-            np.float32)
+            mask, jnp.zeros_like(text), mask, 4.0, bsa_cfg=bsa,
+            pab_cfg=pab, **kw), np.float32)
         corr = float(np.corrcoef(ref.ravel(), fast.ravel())[0, 1])
         rel = float(np.linalg.norm(fast - ref) / np.linalg.norm(ref))
         print(json.dumps({"mode": "corr", "keep": args.keep,
+                          "pab_every": args.pab_every,
                           "int8": not args.no_int8, "steps": args.steps,
                           "gen_latents": args.gen_latents,
                           "segment": args.segment,
@@ -94,11 +109,16 @@ def main():
                           "rel_err": round(rel, 4)}))
         return
 
-    # wall mode: segmented long-horizon decode
+    # wall mode: segmented long-horizon decode. Free the bf16 tree when
+    # int8 is in use — at 93-frame the PAB cache (4.9 GB) + both param
+    # copies exceed v5e HBM (the product driver quantizes via a cache
+    # that also drops the bf16 decode copy).
+    if not args.no_int8:
+        del params
     kw = dict(num_gen_latents=args.gen_latents, num_steps=args.steps,
               lat_h=lat_h, lat_w=lat_w,
               segment_steps=args.segment, cond_latents=cond,
-              use_kv_cache=True, bsa_cfg=bsa)
+              use_kv_cache=True, bsa_cfg=bsa, pab_cfg=pab)
     t0 = time.perf_counter()
     out = sample_latents_segmented(
         qparams, dcfg, cfg.scheduler, jax.random.PRNGKey(5), text, mask,
@@ -114,7 +134,7 @@ def main():
     frames = 1 + (args.gen_latents - 1) * 4
     print(json.dumps({
         "mode": "wall", "keep": args.keep, "int8": not args.no_int8,
-        "int8qk": args.int8qk,
+        "int8qk": args.int8qk, "pab_every": args.pab_every,
         "gen_latents": args.gen_latents, "frames": frames,
         "steps": args.steps, "segment": args.segment,
         "first_incl_compile_s": round(warm_incl_compile, 1),

@@ -200,3 +200,64 @@ def test_generate_vc_segmented(bundle):
                     num_inference_steps=3, seed=0, gen_segment_steps=2)
     np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_pab_every1_is_exact_and_every2_faithful(bundle):
+    """Pyramid Attention Broadcast (config.PABConfig): every=1 never
+    reuses (the (i-start)%every==0 refresh rule fires at each step), so
+    the PAB code path must reproduce the plain sampler exactly; every=2
+    is an approximation that must stay finite and close at tiny scale.
+    The segmented dispatch must carry the attention cache across
+    segments (global flags) and match the one-dispatch PAB result."""
+    from longcat_video_tta_tpu.config import PABConfig
+    from longcat_video_tta_tpu.pipeline.sampler import (
+        sample_latents_segmented,
+    )
+
+    cond = bundle.encode_video(
+        jax.random.uniform(jax.random.PRNGKey(3), (1, 3, 5, 16, 32),
+                           minval=-1.0, maxval=1.0))
+    emb, mask = bundle.encode_prompt("hello")
+    nemb, nmask = bundle.encode_prompt("")
+    common = dict(num_gen_latents=2, num_steps=6, lat_h=2, lat_w=4,
+                  cond_latents=cond, use_kv_cache=True)
+
+    def run(**kw):
+        return np.asarray(sample_latents(
+            bundle.dit_params, CFG.dit, CFG.scheduler,
+            jax.random.PRNGKey(0), emb, mask, nemb, nmask, 4.0,
+            **common, **kw))
+
+    base = run()
+    pab1 = run(pab_cfg=PABConfig(every=1))
+    np.testing.assert_allclose(pab1, base, atol=1e-5, rtol=1e-5)
+
+    pab2_cfg = PABConfig(every=2, start_frac=0.2, end_frac=0.9)
+    pab2 = run(pab_cfg=pab2_cfg)
+    assert np.isfinite(pab2).all()
+    assert not np.allclose(pab2, base)  # approximation engaged
+    # crude fidelity bound at tiny scale: same order of magnitude and
+    # positively correlated with the dense trajectory
+    c = np.corrcoef(pab2.ravel(), base.ravel())[0, 1]
+    assert c > 0.8, c
+
+    seg = np.asarray(sample_latents_segmented(
+        bundle.dit_params, CFG.dit, CFG.scheduler, jax.random.PRNGKey(0),
+        emb, mask, nemb, nmask, 4.0, segment_steps=2,
+        pab_cfg=pab2_cfg, **common))
+    np.testing.assert_allclose(seg, pab2, atol=1e-5, rtol=1e-5)
+
+
+def test_pab_generate_vc_and_unsupported_combos(bundle):
+    from longcat_video_tta_tpu.config import PABConfig
+
+    cond = jax.random.uniform(jax.random.PRNGKey(4), (1, 3, 5, 16, 32),
+                              minval=-1.0, maxval=1.0)
+    out = generate_vc(bundle, cond, "a dog", num_frames=5,
+                      num_inference_steps=4, seed=0,
+                      pab_cfg=PABConfig(every=2))
+    assert out.shape == (5, 16, 32, 3)
+    with pytest.raises(NotImplementedError):
+        generate_vc(bundle, cond, "a dog", num_frames=5,
+                    num_inference_steps=4, seed=0, use_kv_cache=False,
+                    pab_cfg=PABConfig(every=2))
