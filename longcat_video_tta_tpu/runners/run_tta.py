@@ -97,6 +97,14 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "attention QK^T in int8 with per-token scales "
                         "(LongCat decode; rides the BSA kernel). "
                         "Training stays bf16")
+    p.add_argument("--fast-decode", action="store_true",
+                   help="enable the measured-recommended decode lever "
+                        "stack (ARCHITECTURE.md): int8 W8A8 matmuls + "
+                        "BSA (keep 0.35, or 0.15 at horizons >= 16 gen "
+                        "latents where the forced-keep floor allows) + "
+                        "PAB every-4 wide-range + 5-step segmented "
+                        "dispatch on long horizons. Explicitly-set "
+                        "individual flags win over the bundle")
     p.add_argument("--pab-every", type=int, default=0,
                    help="Pyramid Attention Broadcast (arXiv:2408.12588): "
                         "compute decode self-attention only every Nth "
@@ -324,8 +332,29 @@ def load_bundle(args):
     return ModelBundle.init_random(cfg, seed=args.seed)
 
 
+def apply_fast_decode_defaults(args) -> None:
+    """--fast-decode: fill UNSET decode-lever flags with the measured
+    recommended stack (individually-set flags win). Geometry-aware BSA
+    keep ratio: 0.15 is validated at >= 16 gen latents (the forced-keep
+    floor allows it there); shorter horizons use 0.35."""
+    if not getattr(args, "fast_decode", False):
+        return
+    n_gen_latents = (args.num_frames + 3) // 4 + 1
+    if args.quantize_decode == "none":
+        args.quantize_decode = "int8"
+    if args.bsa_keep_ratio <= 0:
+        args.bsa_keep_ratio = 0.15 if n_gen_latents >= 16 else 0.35
+    if args.pab_every <= 0:
+        args.pab_every = 4
+        args.pab_start_frac = 0.06
+        args.pab_end_frac = 0.96
+    if args.gen_segment_steps <= 0 and n_gen_latents >= 16             and args.num_inference_steps >= 20:
+        args.gen_segment_steps = 5
+
+
 def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
     args = build_arg_parser().parse_args(argv)
+    apply_fast_decode_defaults(args)
 
     import jax
     import jax.numpy as jnp

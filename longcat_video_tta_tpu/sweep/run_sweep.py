@@ -142,6 +142,7 @@ _BOOL_FLAGS = {
     "bucket_shapes": "--bucket-shapes",
     "save_adapters": "--save-adapters",
     "compute_vbench": "--compute-vbench",
+    "fast_decode": "--fast-decode",
 }
 
 

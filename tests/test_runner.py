@@ -287,3 +287,24 @@ def test_remat_policy_flag_end_to_end(tmp_path):
     assert summary["num_success"] == 2
     assert summary["config"]["remat_policy"] == "dots_attn"
     assert np.isfinite(summary["results"][0]["losses"][-1])
+
+
+def test_fast_decode_bundle_defaults():
+    """--fast-decode fills unset lever flags (geometry-aware BSA keep);
+    explicitly-set flags win."""
+    p = run_tta.build_arg_parser()
+    a = p.parse_args(["--output-dir", "/tmp/x", "--fast-decode",
+                      "--num-frames", "92"])
+    run_tta.apply_fast_decode_defaults(a)
+    assert a.quantize_decode == "int8"
+    assert a.bsa_keep_ratio == 0.15      # 24 gen latents -> long horizon
+    assert a.pab_every == 4 and a.pab_start_frac == 0.06
+    assert a.gen_segment_steps == 5
+    b = p.parse_args(["--output-dir", "/tmp/x", "--fast-decode",
+                      "--num-frames", "28", "--pab-every", "2",
+                      "--quantize-decode", "int8qk"])
+    run_tta.apply_fast_decode_defaults(b)
+    assert b.quantize_decode == "int8qk"  # explicit wins
+    assert b.bsa_keep_ratio == 0.35       # short horizon
+    assert b.pab_every == 2 and b.pab_start_frac == 0.1
+    assert b.gen_segment_steps == 0
