@@ -158,8 +158,18 @@ def cogvideox_forward(
     image_latents: Optional[jnp.ndarray] = None,  # [B, 16, T, H, W]
     adapters: AdapterDict = None,
     attn_impl: Optional[str] = None,
+    pab_reuse: Optional[jnp.ndarray] = None,
+    pab_cache=None,
 ) -> jnp.ndarray:
     """-> prediction [B, out_channels, T, H_lat, W_lat] fp32.
+
+    ``pab_reuse``/``pab_cache``: Pyramid Attention Broadcast
+    (arXiv:2408.2588-style, see models/dit.py) — ``pab_cache`` holds
+    per-block joint-attention outputs [depth, B, L+S_vid, D]; when the
+    traced bool ``pab_reuse`` is set the whole attention module
+    (projections + RoPE + attention + out-proj) is skipped via
+    lax.cond and the cached output is used. Return becomes
+    (out, new_cache).
 
     ``image_latents`` (I2V): channel-concatenated conditioning — pass
     zeros-everywhere-but-frame-0 per the CogVideoX-I2V convention; when
@@ -210,8 +220,7 @@ def cogvideox_forward(
     lora_scale = adapters.get("lora_scale", 1.0)
     lora_stack = adapters.get("lora") or {}
 
-    def body(carry, xs):
-        bp, lora = xs
+    def block(carry, bp, lora, cache_blk):
         vid, txt = carry
 
         def lin_l(site, pp, t):
@@ -220,28 +229,42 @@ def cogvideox_forward(
 
         vid_n, txt_n, g, eg = _ln_zero(bp["norm1"], temb, vid, txt, cdtype)
 
-        def qkv(t, site):
-            return lin_l(site, bp["attn"]["to_" + site[-1]], t).reshape(
-                t.shape[0], t.shape[1], nH, dh)
+        def attn_module(ops):
+            vid_n, txt_n = ops
 
-        q = jnp.concatenate([qkv(txt_n, "to_q"), qkv(vid_n, "to_q")], axis=1)
-        k = jnp.concatenate([qkv(txt_n, "to_k"), qkv(vid_n, "to_k")], axis=1)
-        v = jnp.concatenate([qkv(txt_n, "to_v"), qkv(vid_n, "to_v")], axis=1)
-        q = layer_norm(q, bp["attn"]["norm_q"]["weight"],
-                       bp["attn"]["norm_q"]["bias"], eps=cfg.norm_eps)
-        k = layer_norm(k, bp["attn"]["norm_k"]["weight"],
-                       bp["attn"]["norm_k"]["bias"], eps=cfg.norm_eps)
-        # RoPE on video tokens only (CogVideoXAttnProcessor)
-        S_vid = vid.shape[1]
+            def qkv(t, site):
+                return lin_l(site, bp["attn"]["to_" + site[-1]], t).reshape(
+                    t.shape[0], t.shape[1], nH, dh)
 
-        def rope_vid(t):
-            tv = t[:, L:].reshape(B, T, S_vid // T, nH, dh)
-            tv = apply_rope(tv, cos, sin).reshape(B, S_vid, nH, dh)
-            return jnp.concatenate([t[:, :L], tv], axis=1)
+            q = jnp.concatenate([qkv(txt_n, "to_q"), qkv(vid_n, "to_q")],
+                                axis=1)
+            k = jnp.concatenate([qkv(txt_n, "to_k"), qkv(vid_n, "to_k")],
+                                axis=1)
+            v = jnp.concatenate([qkv(txt_n, "to_v"), qkv(vid_n, "to_v")],
+                                axis=1)
+            q = layer_norm(q, bp["attn"]["norm_q"]["weight"],
+                           bp["attn"]["norm_q"]["bias"], eps=cfg.norm_eps)
+            k = layer_norm(k, bp["attn"]["norm_k"]["weight"],
+                           bp["attn"]["norm_k"]["bias"], eps=cfg.norm_eps)
+            # RoPE on video tokens only (CogVideoXAttnProcessor)
+            S_vid = vid.shape[1]
 
-        q, k = rope_vid(q), rope_vid(k)
-        o = attention(q, k, v, impl=attn_impl).reshape(B, L + S_vid, -1)
-        o = lin_l("to_out", bp["attn"]["to_out"], o)
+            def rope_vid(t):
+                tv = t[:, L:].reshape(B, T, S_vid // T, nH, dh)
+                tv = apply_rope(tv, cos, sin).reshape(B, S_vid, nH, dh)
+                return jnp.concatenate([t[:, :L], tv], axis=1)
+
+            q, k = rope_vid(q), rope_vid(k)
+            o = attention(q, k, v, impl=attn_impl).reshape(
+                B, L + S_vid, -1)
+            return lin_l("to_out", bp["attn"]["to_out"], o).astype(cdtype)
+
+        if pab_reuse is not None:
+            o = jax.lax.cond(pab_reuse,
+                             lambda ops: cache_blk.astype(cdtype),
+                             attn_module, (vid_n, txt_n))
+        else:
+            o = attn_module((vid_n, txt_n))
         txt = txt + eg * o[:, :L]
         vid = vid + g * o[:, L:]
 
@@ -251,11 +274,27 @@ def cogvideox_forward(
         h = lin_l("ff_out", bp["ff"]["w_out"], h)
         txt = txt + eg * h[:, :L]
         vid = vid + g * h[:, L:]
-        return (vid, txt), None
+        return (vid, txt), o
 
-    body_fn = remat_wrap(body, cfg.remat, cfg.remat_policy)
-    (vid, txt), _ = jax.lax.scan(body_fn, (vid, txt),
-                                 (params["blocks"], lora_stack))
+    if pab_cache is not None:
+        def body(carry, xs):
+            bp, lora, cache_blk = xs
+            carry, o = block(carry, bp, lora, cache_blk)
+            return carry, o
+
+        body_fn = remat_wrap(body, cfg.remat, cfg.remat_policy)
+        (vid, txt), new_cache = jax.lax.scan(
+            body_fn, (vid, txt), (params["blocks"], lora_stack, pab_cache))
+    else:
+        def body(carry, xs):
+            bp, lora = xs
+            carry, _ = block(carry, bp, lora, None)
+            return carry, None
+
+        body_fn = remat_wrap(body, cfg.remat, cfg.remat_policy)
+        (vid, txt), _ = jax.lax.scan(body_fn, (vid, txt),
+                                     (params["blocks"], lora_stack))
+        new_cache = None
 
     joint = jnp.concatenate([txt, vid], axis=1)
     joint = layer_norm(joint, params["norm_final"]["weight"],
@@ -270,11 +309,25 @@ def cogvideox_forward(
                      params["norm_out"]["ln"]["bias"],
                      eps=cfg.norm_eps) * (1 + scale) + shift
     out = linear(params["proj_out"], vid)
+    res = _unpack(out, T, H, W, p, cfg.out_channels)
     if adapters.get("delta_out") is not None:
-        res = _unpack(out, T, H, W, p, cfg.out_channels)
-        return (res + adapters["delta_out"].astype(res.dtype)
-                [None, :, None, None, None]).astype(jnp.float32)
-    return _unpack(out, T, H, W, p, cfg.out_channels).astype(jnp.float32)
+        res = res + adapters["delta_out"].astype(res.dtype)[
+            None, :, None, None, None]
+    res = res.astype(jnp.float32)
+    if pab_cache is not None:
+        return res, new_cache
+    return res
+
+
+def pab_init_cache_cogvideox(cfg: CogVideoXConfig, batch: int, t_lat: int,
+                             lat_h: int, lat_w: int,
+                             text_len: int) -> jnp.ndarray:
+    """Zero-init PAB cache for the joint [text | video] attention:
+    [depth, B, L + S_vid, hidden] (step 0 always computes)."""
+    p = cfg.patch_size
+    s_vid = t_lat * (lat_h // p) * (lat_w // p)
+    return jnp.zeros((cfg.depth, batch, text_len + s_vid, cfg.hidden_size),
+                     resolve_dtype(cfg.compute_dtype))
 
 
 def count_params(params) -> int:

@@ -190,7 +190,8 @@ def _qkv_heads(p, x, q_norm, k_norm, nH, dh, lora=None, scale=None):
 
 
 def _double_block(bp, lora, lscale, img, txt, vec, cos, sin,
-                  cfg: MMDiTConfig, attn_impl):
+                  cfg: MMDiTConfig, attn_impl, pab_reuse=None,
+                  pab_cache=None):
     B, L = txt.shape[:2]
     S = img.shape[1]
     nH, dh = cfg.num_heads, cfg.head_dim
@@ -204,21 +205,32 @@ def _double_block(bp, lora, lscale, img, txt, vec, cos, sin,
 
     img_n = modulate(layer_norm(img), i_sh1, i_sc1)
     txt_n = modulate(layer_norm(txt), t_sh1, t_sc1)
-    iq, ik, iv = _qkv_heads(bp["img_attn"]["qkv"], img_n,
-                            bp["img_attn"]["q_norm"],
-                            bp["img_attn"]["k_norm"], nH, dh,
-                            lora.get("img_qkv"), lscale)
-    tq, tk, tv = _qkv_heads(bp["txt_attn"]["qkv"], txt_n,
-                            bp["txt_attn"]["q_norm"],
-                            bp["txt_attn"]["k_norm"], nH, dh,
-                            lora.get("txt_qkv"), lscale)
-    # joint sequence [txt | img] (Flux order)
-    q = jnp.concatenate([tq, iq], axis=1)
-    k = jnp.concatenate([tk, ik], axis=1)
-    v = jnp.concatenate([tv, iv], axis=1)
-    q = _apply_rope_flat(q, cos, sin)
-    k = _apply_rope_flat(k, cos, sin)
-    o = attention(q, k, v, impl=attn_impl)
+
+    def attn_module(ops):
+        img_n, txt_n = ops
+        iq, ik, iv = _qkv_heads(bp["img_attn"]["qkv"], img_n,
+                                bp["img_attn"]["q_norm"],
+                                bp["img_attn"]["k_norm"], nH, dh,
+                                lora.get("img_qkv"), lscale)
+        tq, tk, tv = _qkv_heads(bp["txt_attn"]["qkv"], txt_n,
+                                bp["txt_attn"]["q_norm"],
+                                bp["txt_attn"]["k_norm"], nH, dh,
+                                lora.get("txt_qkv"), lscale)
+        # joint sequence [txt | img] (Flux order)
+        q = jnp.concatenate([tq, iq], axis=1)
+        k = jnp.concatenate([tk, ik], axis=1)
+        v = jnp.concatenate([tv, iv], axis=1)
+        q = _apply_rope_flat(q, cos, sin)
+        k = _apply_rope_flat(k, cos, sin)
+        o = attention(q, k, v, impl=attn_impl)
+        return o.reshape(B, L + S, -1).astype(img.dtype)
+
+    if pab_reuse is not None:
+        o = jax.lax.cond(pab_reuse, lambda ops: pab_cache.astype(img.dtype),
+                         attn_module, (img_n, txt_n))
+    else:
+        o = attn_module((img_n, txt_n))
+    o_cache = o
     t_o, i_o = o[:, :L].reshape(B, L, -1), o[:, L:].reshape(B, S, -1)
 
     img = img + i_g1 * _linear(bp["img_attn"]["proj"], i_o,
@@ -237,11 +249,11 @@ def _double_block(bp, lora, lscale, img, txt, vec, cos, sin,
                             lora.get("txt_mlp_in"), lscale))
     txt = txt + t_g2 * _linear(bp["txt_mlp"]["w_out"], h,
                                lora.get("txt_mlp_out"), lscale)
-    return img, txt
+    return img, txt, o_cache
 
 
 def _single_block(bp, lora, lscale, x, vec, cos, sin, cfg: MMDiTConfig,
-                  attn_impl):
+                  attn_impl, pab_reuse=None, pab_cache=None):
     B, S, D = x.shape
     nH, dh = cfg.num_heads, cfg.head_dim
     mlp = cfg.mlp_dim
@@ -252,15 +264,26 @@ def _single_block(bp, lora, lscale, x, vec, cos, sin, cfg: MMDiTConfig,
     xn = modulate(layer_norm(x), shift, scale)
     h = _linear(bp["linear1"], xn, lora.get("lin1"), lscale)
     qkv, mlp_h = h[..., :3 * D], h[..., 3 * D:]
-    qkv = qkv.reshape(B, S, 3, nH, dh)
-    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-    q = _apply_rope_flat(rms_norm(q, bp["q_norm"]), cos, sin)
-    k = _apply_rope_flat(rms_norm(k, bp["k_norm"]), cos, sin)
-    o = attention(q, k, v, impl=attn_impl).reshape(B, S, D)
+
+    def attn_module(qkv):
+        qkv = qkv.reshape(B, S, 3, nH, dh)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        q = _apply_rope_flat(rms_norm(q, bp["q_norm"]), cos, sin)
+        k = _apply_rope_flat(rms_norm(k, bp["k_norm"]), cos, sin)
+        return attention(q, k, v, impl=attn_impl).reshape(
+            B, S, D).astype(x.dtype)
+
+    if pab_reuse is not None:
+        # linear1 still runs (mlp_h shares the fused matmul); only the
+        # rope/rms/attention kernel is skipped on broadcast steps
+        o = jax.lax.cond(pab_reuse, lambda q: pab_cache.astype(x.dtype),
+                         attn_module, qkv)
+    else:
+        o = attn_module(qkv)
     out = _linear(bp["linear2"],
                   jnp.concatenate([o, jax.nn.gelu(mlp_h)], axis=-1),
                   lora.get("lin2"), lscale)
-    return x + gate * out
+    return x + gate * out, o
 
 
 # ---------------------------------------------------------------------------
@@ -280,8 +303,15 @@ def mmdit_forward(
     guidance: Optional[jnp.ndarray] = None,  # [B]
     adapters: AdapterDict = None,
     attn_impl: Optional[str] = None,
+    pab_reuse: Optional[jnp.ndarray] = None,
+    pab_cache=None,
 ) -> jnp.ndarray:
     """Velocity prediction [B, C, T, H_lat, W_lat] in fp32.
+
+    ``pab_reuse``/``pab_cache``: Pyramid Attention Broadcast (see
+    models/dit.py): ``pab_cache`` = (dbl, sgl) per-block joint-attention
+    output stacks ([n_double, B, L+S, D], [n_single, B, L+S, D]); when
+    given, the return becomes (out, new_cache).
 
     ``cond`` carries [masks | masked_ref] for v2v/i2v conditioning
     (common_opensora.py:314-357 build_cond_embed); None = t2v.
@@ -321,28 +351,57 @@ def mmdit_forward(
     cos, sin = _rope_joint(cfg, L, T, H // p, W // p)
     lscale = adapters.get("lora_scale", 1.0)
 
-    def dbl_body(carry, xs):
-        bp, lora = xs
-        img, txt_h = carry
-        img, txt_h = _double_block(bp, lora, lscale, img, txt_h, vec,
-                                   cos, sin, cfg, attn_impl)
-        return (img, txt_h), None
-
-    def sgl_body(carry, xs):
-        bp, lora = xs
-        return _single_block(bp, lora, lscale, carry, vec, cos, sin, cfg,
-                             attn_impl), None
-
-    dbl_body_fn = remat_wrap(dbl_body, cfg.remat, cfg.remat_policy)
-    sgl_body_fn = remat_wrap(sgl_body, cfg.remat, cfg.remat_policy)
-
     # {} is a leafless pytree: valid scan xs, statically "no lora"
     lora_d = adapters.get("lora_double") or {}
     lora_s = adapters.get("lora_single") or {}
-    (img, txt_h), _ = jax.lax.scan(
-        dbl_body_fn, (img, txt_h), (params["double"], lora_d))
-    x = jnp.concatenate([txt_h, img], axis=1)
-    x, _ = jax.lax.scan(sgl_body_fn, x, (params["single"], lora_s))
+    if pab_cache is not None:
+        dbl_cache, sgl_cache = pab_cache
+
+        def dbl_body(carry, xs):
+            bp, lora, cb = xs
+            img, txt_h = carry
+            img, txt_h, o = _double_block(
+                bp, lora, lscale, img, txt_h, vec, cos, sin, cfg,
+                attn_impl, pab_reuse=pab_reuse, pab_cache=cb)
+            return (img, txt_h), o
+
+        def sgl_body(carry, xs):
+            bp, lora, cb = xs
+            out, o = _single_block(bp, lora, lscale, carry, vec, cos, sin,
+                                   cfg, attn_impl, pab_reuse=pab_reuse,
+                                   pab_cache=cb)
+            return out, o
+
+        dbl_body_fn = remat_wrap(dbl_body, cfg.remat, cfg.remat_policy)
+        sgl_body_fn = remat_wrap(sgl_body, cfg.remat, cfg.remat_policy)
+        (img, txt_h), new_dbl = jax.lax.scan(
+            dbl_body_fn, (img, txt_h), (params["double"], lora_d,
+                                        dbl_cache))
+        x = jnp.concatenate([txt_h, img], axis=1)
+        x, new_sgl = jax.lax.scan(
+            sgl_body_fn, x, (params["single"], lora_s, sgl_cache))
+        new_cache = (new_dbl, new_sgl)
+    else:
+        def dbl_body(carry, xs):
+            bp, lora = xs
+            img, txt_h = carry
+            img, txt_h, _ = _double_block(bp, lora, lscale, img, txt_h,
+                                          vec, cos, sin, cfg, attn_impl)
+            return (img, txt_h), None
+
+        def sgl_body(carry, xs):
+            bp, lora = xs
+            out, _ = _single_block(bp, lora, lscale, carry, vec, cos,
+                                   sin, cfg, attn_impl)
+            return out, None
+
+        dbl_body_fn = remat_wrap(dbl_body, cfg.remat, cfg.remat_policy)
+        sgl_body_fn = remat_wrap(sgl_body, cfg.remat, cfg.remat_policy)
+        (img, txt_h), _ = jax.lax.scan(
+            dbl_body_fn, (img, txt_h), (params["double"], lora_d))
+        x = jnp.concatenate([txt_h, img], axis=1)
+        x, _ = jax.lax.scan(sgl_body_fn, x, (params["single"], lora_s))
+        new_cache = None
     img = x[:, L:]
 
     mod = _linear(params["final"]["adaln"],
@@ -350,7 +409,22 @@ def mmdit_forward(
     shift, scale = jnp.split(mod, 2, axis=-1)
     img = modulate(layer_norm(img), shift, scale)
     img = _linear(params["final"]["proj"], img)
-    return unpack_tokens(img, T, H, W, p).astype(jnp.float32)
+    out = unpack_tokens(img, T, H, W, p).astype(jnp.float32)
+    if pab_cache is not None:
+        return out, new_cache
+    return out
+
+
+def pab_init_cache_mmdit(cfg: MMDiTConfig, batch: int, t_lat: int,
+                         lat_h: int, lat_w: int, text_len: int):
+    """Zero-init PAB caches (double, single) for the joint [txt | img]
+    attention outputs: each [n_blocks, B, L+S, hidden]."""
+    p = cfg.patch_size
+    s_joint = text_len + t_lat * (lat_h // p) * (lat_w // p)
+    dt = resolve_dtype(cfg.compute_dtype)
+    shape = (batch, s_joint, cfg.hidden_size)
+    return (jnp.zeros((cfg.depth_double, *shape), dt),
+            jnp.zeros((cfg.depth_single, *shape), dt))
 
 
 def count_params(params) -> int:

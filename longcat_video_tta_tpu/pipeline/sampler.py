@@ -307,7 +307,8 @@ def flux_time_shift(ts: jnp.ndarray, image_seq_len: int) -> jnp.ndarray:
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "num_gen_latents", "num_steps", "lat_h", "lat_w",
-                     "guidance", "guidance_img", "shift", "attn_impl"),
+                     "guidance", "guidance_img", "shift", "attn_impl",
+                     "pab_cfg"),
 )
 def sample_latents_mmdit(
     params: Dict[str, Any],
@@ -326,6 +327,7 @@ def sample_latents_mmdit(
     guidance_img: float = 3.0,
     shift: bool = True,
     attn_impl: Optional[str] = None,
+    pab_cfg=None,
 ) -> jnp.ndarray:
     """Open-Sora v2 v2v/i2v denoise loop as one ``lax.scan``
     (reference: run_full_tta_opensora.py:149-260): triple-batch CFG
@@ -337,9 +339,23 @@ def sample_latents_mmdit(
         cfg, rng, txt3, num_gen_latents, num_steps, lat_h, lat_w,
         cond_latents, shift)
     g_vec = jnp.full((txt3.shape[0],), guidance, jnp.float32)
+    if pab_cfg is None:
+        step = _mmdit_denoise_step(params, cfg, txt3, y_vec3, cond3,
+                                   g_vec, guidance, guidance_img,
+                                   adapters, attn_impl)
+        x, _ = jax.lax.scan(step, x, t_pairs)
+        return x
+    from ..models.mmdit import pab_init_cache_mmdit
+
+    t_cond = 0 if cond_latents is None else cond_latents.shape[2]
+    cache = pab_init_cache_mmdit(cfg, txt3.shape[0],
+                                 t_cond + num_gen_latents, lat_h, lat_w,
+                                 txt3.shape[1])
+    flags = _pab_reuse_flags(num_steps, pab_cfg)
     step = _mmdit_denoise_step(params, cfg, txt3, y_vec3, cond3, g_vec,
-                               guidance, guidance_img, adapters, attn_impl)
-    x, _ = jax.lax.scan(step, x, t_pairs)
+                               guidance, guidance_img, adapters,
+                               attn_impl, pab=True)
+    (x, cache), _ = jax.lax.scan(step, (x, cache), (t_pairs, flags))
     return x
 
 
@@ -370,28 +386,43 @@ def _mmdit_setup(cfg, rng, txt3, num_gen_latents, num_steps, lat_h, lat_w,
 
 
 def _mmdit_denoise_step(params, cfg, txt3, y_vec3, cond3, g_vec, guidance,
-                        guidance_img, adapters, attn_impl):
+                        guidance_img, adapters, attn_impl, pab=False):
     """Shared denoise-step body for the one-dispatch and segmented
-    MMDiT samplers (identical math by construction)."""
+    MMDiT samplers (identical math by construction). ``pab=True`` makes
+    the carry (x, attn_caches) and the xs (t_pair, reuse_flag)."""
     B = txt3.shape[0] // 3
+
+    from ..models.mmdit import mmdit_forward
+
+    def combine(x, pred, t_curr, t_prev):
+        c_pred, u_pred, u2_pred = pred[:B], pred[B:2 * B], pred[2 * B:]
+        combined = (u2_pred + guidance_img * (u_pred - u2_pred)
+                    + guidance * (c_pred - u_pred))
+        return x + (t_prev - t_curr) * combined
 
     def step(x, t_pair):
         t_curr, t_prev = t_pair[0], t_pair[1]
         x3 = jnp.concatenate([x, x, x], axis=0)
-
-        from ..models.mmdit import mmdit_forward
-
         pred = mmdit_forward(
             params, cfg, x3, jnp.broadcast_to(t_curr, (3 * B,)), txt3,
             y_vec3, cond=cond3, guidance=g_vec, adapters=adapters,
             attn_impl=attn_impl,
         )
-        c_pred, u_pred, u2_pred = pred[:B], pred[B:2 * B], pred[2 * B:]
-        combined = (u2_pred + guidance_img * (u_pred - u2_pred)
-                    + guidance * (c_pred - u_pred))
-        return x + (t_prev - t_curr) * combined, None
+        return combine(x, pred, t_curr, t_prev), None
 
-    return step
+    def step_pab(carry, inp):
+        x, cache = carry
+        t_pair, reuse = inp
+        t_curr, t_prev = t_pair[0], t_pair[1]
+        x3 = jnp.concatenate([x, x, x], axis=0)
+        pred, cache = mmdit_forward(
+            params, cfg, x3, jnp.broadcast_to(t_curr, (3 * B,)), txt3,
+            y_vec3, cond=cond3, guidance=g_vec, adapters=adapters,
+            attn_impl=attn_impl, pab_reuse=reuse, pab_cache=cache,
+        )
+        return (combine(x, pred, t_curr, t_prev), cache), None
+
+    return step_pab if pab else step
 
 
 @functools.partial(
@@ -411,22 +442,53 @@ def sample_latents_mmdit_segmented(
     params, cfg, rng, txt3, y_vec3, *, num_gen_latents, num_steps,
     lat_h, lat_w, segment_steps, cond_latents=None, adapters=None,
     guidance: float = 7.5, guidance_img: float = 3.0, shift: bool = True,
-    attn_impl=None,
+    attn_impl=None, pab_cfg=None,
 ):
     """``sample_latents_mmdit`` split into bounded device dispatches
     (the long-execution-fault workaround, same as
     sample_latents_segmented). Numerically identical: same noise draw,
-    same per-step math via the shared setup + step body."""
+    same per-step math via the shared setup + step body. ``pab_cfg``
+    carries the attention caches across segments with global flags."""
     x, cond3, t_pairs = _mmdit_setup(
         cfg, rng, txt3, num_gen_latents, num_steps, lat_h, lat_w,
         cond_latents, shift)
+    cache = flags = None
+    if pab_cfg is not None:
+        from ..models.mmdit import pab_init_cache_mmdit
+
+        t_cond = 0 if cond_latents is None else cond_latents.shape[2]
+        cache = pab_init_cache_mmdit(
+            cfg, txt3.shape[0], t_cond + num_gen_latents, lat_h, lat_w,
+            txt3.shape[1])
+        flags = _pab_reuse_flags(num_steps, pab_cfg)
     seg = max(1, int(segment_steps))
     for s in range(0, num_steps, seg):
-        x = _mmdit_scan_segment(
-            params, cfg, x, t_pairs[s:s + seg], txt3, y_vec3, cond3,
-            adapters, guidance, guidance_img, attn_impl)
+        if pab_cfg is not None:
+            x, cache = _mmdit_scan_segment_pab(
+                params, cfg, x, cache,
+                (t_pairs[s:s + seg], flags[s:s + seg]), txt3, y_vec3,
+                cond3, adapters, guidance, guidance_img, attn_impl)
+        else:
+            x = _mmdit_scan_segment(
+                params, cfg, x, t_pairs[s:s + seg], txt3, y_vec3, cond3,
+                adapters, guidance, guidance_img, attn_impl)
         x.block_until_ready()
     return x
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "guidance", "guidance_img", "attn_impl"),
+    donate_argnums=(3,))
+def _mmdit_scan_segment_pab(params, cfg, x, cache, xs, txt3, y_vec3,
+                            cond3, adapters, guidance, guidance_img,
+                            attn_impl):
+    g_vec = jnp.full((txt3.shape[0],), guidance, jnp.float32)
+    step = _mmdit_denoise_step(params, cfg, txt3, y_vec3, cond3, g_vec,
+                               guidance, guidance_img, adapters,
+                               attn_impl, pab=True)
+    (x, cache), _ = jax.lax.scan(step, (x, cache), xs)
+    return x, cache
 
 
 # ---------------------------------------------------------------------------
@@ -453,7 +515,7 @@ def cogvideox_alphas_cumprod(num_train_timesteps: int = 1000,
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "num_gen_latents", "num_steps", "lat_h",
-                     "lat_w", "guidance", "attn_impl"),
+                     "lat_w", "guidance", "attn_impl", "pab_cfg"),
 )
 def sample_latents_cogvideox(
     params: Dict[str, Any],
@@ -469,18 +531,35 @@ def sample_latents_cogvideox(
     adapters=None,
     guidance: float = 6.0,
     attn_impl: Optional[str] = None,
+    pab_cfg=None,
 ) -> jnp.ndarray:
     """CogVideoX-I2V DDIM (eta=0) v-prediction loop as one ``lax.scan``
     (the diffusers CogVideoXImageToVideoPipeline denoise semantics used
     at common_cogvideo.py:283-322): 2-batch CFG, image-latent channels
     carry the conditioning frame. Returns the full latent volume
-    [B, C, T_cond + num_gen, H, W]."""
+    [B, C, T_cond + num_gen, H, W].
+
+    ``pab_cfg``: Pyramid Attention Broadcast over the joint-attention
+    outputs (models/cogvideox.py pab_* plumbing)."""
     x, img_lat2, xs = _cogvideox_setup(
         cfg, rng, text_emb2, num_gen_latents, num_steps, lat_h, lat_w,
         cond_latents)
     step = _cogvideox_denoise_step(params, cfg, text_emb2, img_lat2,
                                    guidance, adapters, attn_impl)
-    x, _ = jax.lax.scan(step, x, xs)
+    if pab_cfg is None:
+        x, _ = jax.lax.scan(step, x, xs)
+        return x
+    from ..models.cogvideox import pab_init_cache_cogvideox
+
+    t_cond = 0 if cond_latents is None else cond_latents.shape[2]
+    cache = pab_init_cache_cogvideox(
+        cfg, text_emb2.shape[0], t_cond + num_gen_latents, lat_h, lat_w,
+        text_emb2.shape[1])
+    flags = _pab_reuse_flags(num_steps, pab_cfg)
+    step_pab = _cogvideox_denoise_step(params, cfg, text_emb2, img_lat2,
+                                       guidance, adapters, attn_impl,
+                                       pab=True)
+    (x, cache), _ = jax.lax.scan(step_pab, (x, cache), (*xs, flags))
     return x
 
 
@@ -511,12 +590,19 @@ def _cogvideox_setup(cfg, rng, text_emb2, num_gen_latents, num_steps,
 
 
 def _cogvideox_denoise_step(params, cfg, text_emb2, img_lat2, guidance,
-                            adapters, attn_impl):
+                            adapters, attn_impl, pab=False):
     """Shared DDIM v-pred step body for the one-dispatch and segmented
-    CogVideoX samplers."""
+    CogVideoX samplers. ``pab=True`` makes the carry (x, attn_cache)
+    and the xs (t, a_t, a_prev, reuse_flag)."""
     B = text_emb2.shape[0] // 2
 
     from ..models.cogvideox import cogvideox_forward
+
+    def ddim(x, v, a_t, a_prev):
+        sq_a, sq_1a = jnp.sqrt(a_t), jnp.sqrt(1.0 - a_t)
+        x0 = sq_a * x - sq_1a * v
+        eps = sq_1a * x + sq_a * v
+        return jnp.sqrt(a_prev) * x0 + jnp.sqrt(1.0 - a_prev) * eps
 
     def step(x, inp):
         t, a_t, a_prev = inp
@@ -528,13 +614,23 @@ def _cogvideox_denoise_step(params, cfg, text_emb2, img_lat2, guidance,
         )
         uncond, cond = pred[:B], pred[B:]
         v = uncond + guidance * (cond - uncond)
-        sq_a, sq_1a = jnp.sqrt(a_t), jnp.sqrt(1.0 - a_t)
-        x0 = sq_a * x - sq_1a * v
-        eps = sq_1a * x + sq_a * v
-        x = jnp.sqrt(a_prev) * x0 + jnp.sqrt(1.0 - a_prev) * eps
-        return x, None
+        return ddim(x, v, a_t, a_prev), None
 
-    return step
+    def step_pab(carry, inp):
+        x, cache = carry
+        t, a_t, a_prev, reuse = inp
+        x2 = jnp.concatenate([x, x], axis=0)
+        pred, cache = cogvideox_forward(
+            params, cfg, x2, jnp.broadcast_to(t, (2 * B,)).astype(
+                jnp.float32), text_emb2,
+            image_latents=img_lat2, adapters=adapters, attn_impl=attn_impl,
+            pab_reuse=reuse, pab_cache=cache,
+        )
+        uncond, cond = pred[:B], pred[B:]
+        v = uncond + guidance * (cond - uncond)
+        return (ddim(x, v, a_t, a_prev), cache), None
+
+    return step_pab if pab else step
 
 
 @functools.partial(jax.jit,
@@ -550,19 +646,45 @@ def _cogvideox_scan_segment(params, cfg, x, xs, text_emb2, img_lat2,
 def sample_latents_cogvideox_segmented(
     params, cfg, rng, text_emb2, *, num_gen_latents, num_steps, lat_h,
     lat_w, segment_steps, cond_latents=None, adapters=None,
-    guidance: float = 6.0, attn_impl=None,
+    guidance: float = 6.0, attn_impl=None, pab_cfg=None,
 ):
     """``sample_latents_cogvideox`` split into bounded device dispatches
     (long-execution-fault workaround); numerically identical by
-    construction (same shared setup + step body)."""
+    construction (same shared setup + step body). ``pab_cfg`` carries
+    the attention cache across segments with global step flags."""
     x, img_lat2, (step_idx, ab_t, ab_prev) = _cogvideox_setup(
         cfg, rng, text_emb2, num_gen_latents, num_steps, lat_h, lat_w,
         cond_latents)
+    cache = flags = None
+    if pab_cfg is not None:
+        from ..models.cogvideox import pab_init_cache_cogvideox
+
+        t_cond = 0 if cond_latents is None else cond_latents.shape[2]
+        cache = pab_init_cache_cogvideox(
+            cfg, text_emb2.shape[0], t_cond + num_gen_latents, lat_h,
+            lat_w, text_emb2.shape[1])
+        flags = _pab_reuse_flags(num_steps, pab_cfg)
     seg = max(1, int(segment_steps))
     for s in range(0, num_steps, seg):
-        x = _cogvideox_scan_segment(
-            params, cfg, x,
-            (step_idx[s:s + seg], ab_t[s:s + seg], ab_prev[s:s + seg]),
-            text_emb2, img_lat2, adapters, guidance, attn_impl)
+        xs = (step_idx[s:s + seg], ab_t[s:s + seg], ab_prev[s:s + seg])
+        if pab_cfg is not None:
+            x, cache = _cogvideox_scan_segment_pab(
+                params, cfg, x, cache, (*xs, flags[s:s + seg]),
+                text_emb2, img_lat2, adapters, guidance, attn_impl)
+        else:
+            x = _cogvideox_scan_segment(
+                params, cfg, x, xs,
+                text_emb2, img_lat2, adapters, guidance, attn_impl)
         x.block_until_ready()
     return x
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "guidance", "attn_impl"),
+                   donate_argnums=(3,))
+def _cogvideox_scan_segment_pab(params, cfg, x, cache, xs, text_emb2,
+                                img_lat2, adapters, guidance, attn_impl):
+    step = _cogvideox_denoise_step(params, cfg, text_emb2, img_lat2,
+                                   guidance, adapters, attn_impl, pab=True)
+    (x, cache), _ = jax.lax.scan(step, (x, cache), xs)
+    return x, cache

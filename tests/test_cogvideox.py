@@ -254,3 +254,34 @@ def test_cogvideox_5b_param_count():
     analytic = cfg.depth * (4 * D * D + 2 * D * cfg.ffn_dim
                             + 2 * 6 * D * cfg.time_embed_dim)
     assert 4e9 < analytic < 7e9
+
+
+def test_pab_every1_exact_and_segment_carry():
+    """PAB on the CogVideoX joint-attention sampler: every=1 must
+    reproduce the plain sampler exactly; every=2 stays finite and the
+    segmented dispatch carries the cache (== one-dispatch PAB)."""
+    from longcat_video_tta_tpu.config import PABConfig
+    from longcat_video_tta_tpu.pipeline.sampler import (
+        sample_latents_cogvideox,
+        sample_latents_cogvideox_segmented,
+    )
+
+    params = init_cogvideox(jax.random.PRNGKey(0), CFG, zero_init=False)
+    txt = jax.random.normal(jax.random.PRNGKey(2), (2, 6, 16))
+    cond = jax.random.normal(jax.random.PRNGKey(3), (1, 4, 1, 8, 12))
+    kw = dict(num_gen_latents=2, num_steps=6, lat_h=8, lat_w=12,
+              cond_latents=cond)
+    base = np.asarray(sample_latents_cogvideox(
+        params, CFG, jax.random.PRNGKey(4), txt, **kw))
+    pab1 = np.asarray(sample_latents_cogvideox(
+        params, CFG, jax.random.PRNGKey(4), txt,
+        pab_cfg=PABConfig(every=1), **kw))
+    np.testing.assert_allclose(pab1, base, rtol=1e-5, atol=1e-6)
+    cfg2 = PABConfig(every=2, start_frac=0.2, end_frac=0.9)
+    pab2 = np.asarray(sample_latents_cogvideox(
+        params, CFG, jax.random.PRNGKey(4), txt, pab_cfg=cfg2, **kw))
+    assert np.isfinite(pab2).all() and not np.allclose(pab2, base)
+    seg = np.asarray(sample_latents_cogvideox_segmented(
+        params, CFG, jax.random.PRNGKey(4), txt, segment_steps=2,
+        pab_cfg=cfg2, **kw))
+    np.testing.assert_allclose(seg, pab2, rtol=1e-5, atol=1e-6)

@@ -299,3 +299,34 @@ def test_mmdit_param_count_full_size():
         + Ls * (3 * D * D + D * D + 2 * D * mlp + 3 * D * D)
     )
     assert 9e9 < analytic < 13e9
+
+
+def test_pab_every1_exact_and_segment_carry(setup):
+    """PAB on the MMDiT dual+single-stream sampler: every=1 exact,
+    segmented carries the (double, single) caches."""
+    from longcat_video_tta_tpu.config import PABConfig
+    from longcat_video_tta_tpu.pipeline.sampler import (
+        sample_latents_mmdit,
+        sample_latents_mmdit_segmented,
+    )
+
+    params, lat, txt, yv = setup
+    txt3 = jnp.concatenate([txt, txt, txt], axis=0)
+    yv3 = jnp.concatenate([yv, yv, yv], axis=0)
+    kw = dict(num_gen_latents=2, num_steps=6, lat_h=8, lat_w=12,
+              cond_latents=lat[:, :, :1])
+    base = np.asarray(sample_latents_mmdit(
+        params, CFG, jax.random.PRNGKey(4), txt3, yv3, **kw))
+    pab1 = np.asarray(sample_latents_mmdit(
+        params, CFG, jax.random.PRNGKey(4), txt3, yv3,
+        pab_cfg=PABConfig(every=1), **kw))
+    np.testing.assert_allclose(pab1, base, rtol=1e-5, atol=1e-6)
+    cfg2 = PABConfig(every=2, start_frac=0.2, end_frac=0.9)
+    pab2 = np.asarray(sample_latents_mmdit(
+        params, CFG, jax.random.PRNGKey(4), txt3, yv3, pab_cfg=cfg2,
+        **kw))
+    assert np.isfinite(pab2).all() and not np.allclose(pab2, base)
+    seg = np.asarray(sample_latents_mmdit_segmented(
+        params, CFG, jax.random.PRNGKey(4), txt3, yv3, segment_steps=2,
+        pab_cfg=cfg2, **kw))
+    np.testing.assert_allclose(seg, pab2, rtol=1e-5, atol=1e-6)
