@@ -342,7 +342,10 @@ def apply_fast_decode_defaults(args) -> None:
     n_gen_latents = (args.num_frames + 3) // 4 + 1
     if args.quantize_decode == "none":
         args.quantize_decode = "int8"
-    if args.bsa_keep_ratio <= 0:
+    # BSA exploits the LongCat cond-KV/noise split; the joint-volume
+    # samplers (cogvideox/mmdit) fail-loud on it, so the bundle only
+    # enables it where it applies
+    if args.bsa_keep_ratio <= 0 and args.preset.startswith("longcat"):
         args.bsa_keep_ratio = 0.15 if n_gen_latents >= 16 else 0.35
     if args.pab_every <= 0:
         args.pab_every = 4

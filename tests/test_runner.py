@@ -308,3 +308,14 @@ def test_fast_decode_bundle_defaults():
     assert b.bsa_keep_ratio == 0.35       # short horizon
     assert b.pab_every == 2 and b.pab_start_frac == 0.1
     assert b.gen_segment_steps == 0
+
+
+def test_fast_decode_skips_bsa_on_joint_volume_archs():
+    """--fast-decode must not enable BSA for cogvideox/mmdit presets
+    (their samplers fail-loud on it); int8 + PAB still apply."""
+    p = run_tta.build_arg_parser()
+    a = p.parse_args(["--output-dir", "/tmp/x", "--fast-decode",
+                      "--preset", "cogvideox_tiny", "--num-frames", "92"])
+    run_tta.apply_fast_decode_defaults(a)
+    assert a.bsa_keep_ratio == 0.0
+    assert a.quantize_decode == "int8" and a.pab_every == 4
