@@ -131,6 +131,10 @@ def main():
 
         qparams = jax.jit(quantize_dit_blocks_int8)(params)
         gen_fast_s = _timed_gen(qparams, 7, bsa_cfg=bsa_cfg)
+    except Exception as e:
+        print(f"[bench] int8+BSA gen failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+    try:
         # + Pyramid Attention Broadcast (arXiv:2408.12588): reuse
         # self-attention outputs on broadcast steps (r3 lever; measured
         # 93-frame 87.0 -> 55.2 s at identical latent corr 0.99986)
@@ -140,7 +144,7 @@ def main():
             qparams, 11, bsa_cfg=bsa_cfg,
             pab_cfg=PABConfig(every=4, start_frac=0.06, end_frac=0.96))
     except Exception as e:
-        print(f"[bench] int8+BSA gen failed: {type(e).__name__}: {e}",
+        print(f"[bench] int8+BSA+PAB gen failed: {type(e).__name__}: {e}",
               file=sys.stderr)
 
     # ---- north-star metric #2 (BASELINE.md:41-42): fused LoRA-TTA ----

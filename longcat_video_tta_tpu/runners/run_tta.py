@@ -339,7 +339,9 @@ def apply_fast_decode_defaults(args) -> None:
     floor allows it there); shorter horizons use 0.35."""
     if not getattr(args, "fast_decode", False):
         return
-    n_gen_latents = (args.num_frames + 3) // 4 + 1
+    from ..pipeline import round_frames_4k1
+
+    n_gen_latents = (round_frames_4k1(args.num_frames) - 1) // 4 + 1
     if args.quantize_decode == "none":
         args.quantize_decode = "int8"
     # BSA exploits the LongCat cond-KV/noise split; the joint-volume
@@ -349,8 +351,11 @@ def apply_fast_decode_defaults(args) -> None:
         args.bsa_keep_ratio = 0.15 if n_gen_latents >= 16 else 0.35
     if args.pab_every <= 0:
         args.pab_every = 4
-        args.pab_start_frac = 0.06
-        args.pab_end_frac = 0.96
+        # parser defaults only — a user-tuned broadcast range wins
+        if args.pab_start_frac == 0.1:
+            args.pab_start_frac = 0.06
+        if args.pab_end_frac == 0.9:
+            args.pab_end_frac = 0.96
     if args.gen_segment_steps <= 0 and n_gen_latents >= 16             and args.num_inference_steps >= 20:
         args.gen_segment_steps = 5
 

@@ -308,6 +308,19 @@ def test_fast_decode_bundle_defaults():
     assert b.bsa_keep_ratio == 0.35       # short horizon
     assert b.pab_every == 2 and b.pab_start_frac == 0.1
     assert b.gen_segment_steps == 0
+    # 57 frames = exactly 15 gen latents: one below the 0.15-keep
+    # floor (the 4k+1-aware count; the naive (nf+3)//4+1 overcounts)
+    c_ = p.parse_args(["--output-dir", "/tmp/x", "--fast-decode",
+                       "--num-frames", "57"])
+    run_tta.apply_fast_decode_defaults(c_)
+    assert c_.bsa_keep_ratio == 0.35
+    # explicit broadcast range survives the bundle
+    d_ = p.parse_args(["--output-dir", "/tmp/x", "--fast-decode",
+                       "--pab-start-frac", "0.3",
+                       "--pab-end-frac", "0.8"])
+    run_tta.apply_fast_decode_defaults(d_)
+    assert d_.pab_every == 4
+    assert d_.pab_start_frac == 0.3 and d_.pab_end_frac == 0.8
 
 
 def test_fast_decode_skips_bsa_on_joint_volume_archs():
