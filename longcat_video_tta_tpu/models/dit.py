@@ -447,8 +447,14 @@ def dit_forward(
     attn_impl: Optional[str] = None,
     cp_mesh=None,
     num_valid_latents: Optional[jnp.ndarray] = None,
+    pab_reuse: Optional[jnp.ndarray] = None,
+    pab_cache=None,
 ) -> jnp.ndarray:
     """Full forward: returns predicted velocity [B, C_out, T, H, W] in fp32.
+
+    ``pab_reuse``/``pab_cache``: Pyramid Attention Broadcast (see
+    dit_forward_with_cache) for the dense path (t2v sampling); when
+    ``pab_cache`` is given the return becomes (out, new_cache).
 
     ``num_cond_latents`` counts conditioning latent frames; their tokens
     get the prefix-attention treatment (see ops/attention.py) matching the
@@ -475,17 +481,35 @@ def dit_forward(
 
     scan_xs, lora_scale = _split_adapters(adapters)
 
-    def body(carry, inp):
-        bp, ad = inp
-        blk_ad = _blk_adapter_slice(ad, lora_scale)
-        out, _, _ = _block(
-            bp, blk_ad, carry, t_emb, y, rope_cos, rope_sin, cfg,
-            num_cond_tokens, attn_impl, cp_mesh=cp_mesh, kv_valid=kv_valid,
-        )
-        return out, None
+    if pab_cache is not None:
+        def body(carry, inp):
+            bp, ad, cache_blk = inp
+            blk_ad = _blk_adapter_slice(ad, lora_scale)
+            out, _, attn_out = _block(
+                bp, blk_ad, carry, t_emb, y, rope_cos, rope_sin, cfg,
+                num_cond_tokens, attn_impl, cp_mesh=cp_mesh,
+                kv_valid=kv_valid, pab_reuse=pab_reuse,
+                pab_cache=cache_blk,
+            )
+            return out, attn_out
 
-    body_fn = remat_wrap(body, cfg.remat, cfg.remat_policy)
-    x, _ = jax.lax.scan(body_fn, x, (params["blocks"], scan_xs))
+        body_fn = remat_wrap(body, cfg.remat, cfg.remat_policy)
+        x, new_cache = jax.lax.scan(
+            body_fn, x, (params["blocks"], scan_xs, pab_cache))
+    else:
+        def body(carry, inp):
+            bp, ad = inp
+            blk_ad = _blk_adapter_slice(ad, lora_scale)
+            out, _, _ = _block(
+                bp, blk_ad, carry, t_emb, y, rope_cos, rope_sin, cfg,
+                num_cond_tokens, attn_impl, cp_mesh=cp_mesh,
+                kv_valid=kv_valid,
+            )
+            return out, None
+
+        body_fn = remat_wrap(body, cfg.remat, cfg.remat_policy)
+        x, _ = jax.lax.scan(body_fn, x, (params["blocks"], scan_xs))
+        new_cache = None
 
     if adapters and "delta_h_final" in adapters:
         x = x + adapters["delta_h_final"].astype(x.dtype)[None, None, None, :]
@@ -493,7 +517,10 @@ def dit_forward(
     out = _final_layer(params, cfg, x, t_emb, nt, nh, nw)
     if adapters and "delta_out" in adapters:
         out = out + adapters["delta_out"].astype(out.dtype)[None, :, None, None, None]
-    return out.astype(jnp.float32)
+    out = out.astype(jnp.float32)
+    if pab_cache is not None:
+        return out, new_cache
+    return out
 
 
 def _final_layer(params, cfg: DiTConfig, x, t_emb, nt, nh, nw):

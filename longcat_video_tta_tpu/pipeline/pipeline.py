@@ -492,9 +492,11 @@ def generate_t2v(
     adapters=None,
     attn_impl: Optional[str] = None,
     cp_mesh=None,
+    pab_cfg=None,
 ) -> np.ndarray:
     """Text-to-video (reference: run_longcat_t2v.py pipe.generate_t2v).
-    Returns [N, H, W, 3] in [0, 1]."""
+    Returns [N, H, W, 3] in [0, 1]. ``pab_cfg``: Pyramid Attention
+    Broadcast on the dense t2v denoise loop."""
     cfg = bundle.cfg
     nf = round_frames_4k1(num_frames)
     n_lat = latent_len(nf, cfg.vae.temporal_factor)
@@ -514,6 +516,7 @@ def generate_t2v(
         adapters=adapters,
         attn_impl=attn_impl,
         cp_mesh=cp_mesh,
+        pab_cfg=pab_cfg,
     )
     pixels = bundle.decode_latents(latents)
     return np.asarray(pixels[0].transpose(1, 2, 3, 0)[:nf])

@@ -56,20 +56,22 @@ def _denoise_scan(dit_params, dit_cfg, sched_cfg, x, sig_pairs, emb2,
     segments."""
     B = x.shape[0]
     nt_total = n_cond + x.shape[2]
-    if pab_cfg is not None and not (use_kv_cache and n_cond > 0):
+    if pab_cfg is not None and n_cond > 0 and not use_kv_cache:
         raise NotImplementedError(
-            "PAB is implemented for the KV-cache continuation path; "
-            "drop pab_cfg for t2v / no-cache sampling")
+            "PAB is implemented for the KV-cache continuation path and "
+            "t2v; drop pab_cfg for no-cache continuation sampling")
 
     def forward(x, t_val, pab_reuse=None, pab_state=None):
         x2 = jnp.concatenate([x, x], axis=0)
         if n_cond == 0:
-            return dit_forward(
+            out = dit_forward(
                 dit_params, dit_cfg, x2.astype(jnp.float32),
                 jnp.full((2 * B,), t_val), emb2, mask2,
                 num_cond_latents=0, adapters=adapters, attn_impl=attn_impl,
                 cp_mesh=cp_mesh, num_valid_latents=nv,
-            ), None
+                pab_reuse=pab_reuse, pab_cache=pab_state,
+            )
+            return out if pab_state is not None else (out, None)
         elif use_kv_cache:
             out = dit_forward_with_cache(
                 dit_params, dit_cfg, x2.astype(jnp.float32),

@@ -37,8 +37,12 @@ def main(argv: Optional[List[str]] = None):
     p.add_argument("--negative-prompt", default=DEFAULT_NEGATIVE_PROMPT)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--attn-impl", default=None)
+    p.add_argument("--pab-every", type=int, default=0,
+                   help="Pyramid Attention Broadcast on the t2v denoise "
+                        "loop (0 = off; see run_tta --pab-every)")
     args = p.parse_args(argv)
 
+    from ..config import PABConfig
     from ..data import load_video_list, save_video
     from ..pipeline import generate_t2v
     from .run_tta import load_bundle
@@ -63,6 +67,8 @@ def main(argv: Optional[List[str]] = None):
             num_inference_steps=args.num_inference_steps,
             guidance_scale=args.guidance_scale, seed=args.seed + i,
             negative_prompt=args.negative_prompt, attn_impl=args.attn_impl,
+            pab_cfg=(None if args.pab_every <= 0 else
+                     PABConfig(every=args.pab_every)),
         )
         path = save_video(frames,
                           os.path.join(args.output_dir, f"t2v_{i:03d}.mp4"))

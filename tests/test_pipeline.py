@@ -261,3 +261,21 @@ def test_pab_generate_vc_and_unsupported_combos(bundle):
         generate_vc(bundle, cond, "a dog", num_frames=5,
                     num_inference_steps=4, seed=0, use_kv_cache=False,
                     pab_cfg=PABConfig(every=2))
+
+
+def test_pab_t2v_every1_exact(bundle):
+    """PAB on the dense t2v path (dit_forward, n_cond=0): every=1 must
+    reproduce the plain t2v sampler exactly."""
+    from longcat_video_tta_tpu.config import PABConfig
+
+    base = generate_t2v(bundle, "a cat", num_frames=5, height=16,
+                        width=32, num_inference_steps=5, seed=3)
+    pab1 = generate_t2v(bundle, "a cat", num_frames=5, height=16,
+                        width=32, num_inference_steps=5, seed=3,
+                        pab_cfg=PABConfig(every=1))
+    np.testing.assert_allclose(pab1, base, atol=1e-5, rtol=1e-5)
+    pab2 = generate_t2v(bundle, "a cat", num_frames=5, height=16,
+                        width=32, num_inference_steps=5, seed=3,
+                        pab_cfg=PABConfig(every=2, start_frac=0.2,
+                                          end_frac=1.0))
+    assert np.isfinite(pab2).all()
