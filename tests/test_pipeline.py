@@ -279,3 +279,20 @@ def test_pab_t2v_every1_exact(bundle):
                         pab_cfg=PABConfig(every=2, start_frac=0.2,
                                           end_frac=1.0))
     assert np.isfinite(pab2).all()
+
+
+def test_pab_composes_with_bucket_and_bsa(bundle):
+    """The r3 lever stack must compose: bucket_gen (padded horizon with
+    traced valid count) + BSA + PAB through generate_vc."""
+    from longcat_video_tta_tpu.config import BSAConfig, PABConfig
+
+    cond = jax.random.uniform(jax.random.PRNGKey(5), (1, 3, 5, 16, 32),
+                              minval=-1.0, maxval=1.0)
+    out = generate_vc(bundle, cond, "a dog", num_frames=5,
+                      num_inference_steps=4, seed=0, bucket_gen=True,
+                      bsa_cfg=BSAConfig(keep_ratio=0.5, block_q=8,
+                                        block_k=8, min_blocks=1),
+                      pab_cfg=PABConfig(every=2, start_frac=0.25,
+                                        end_frac=1.0))
+    assert out.shape == (5, 16, 32, 3)
+    assert np.isfinite(out).all()
