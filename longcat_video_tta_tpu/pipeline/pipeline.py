@@ -424,11 +424,6 @@ def generate_vc(
         # always traced (even at exact bucket size) so every horizon in
         # the bucket shares one trace
         num_valid = jnp.int32(n_gen_latents)
-    if pab_cfg is not None and cp_mesh is not None:
-        raise NotImplementedError(
-            "pab_cfg does not compose with cp_mesh yet (the ring "
-            "shard_map inside the broadcast lax.cond is unvalidated); "
-            "drop one of the two")
     if pab_cfg is not None and not use_kv_cache:
         raise NotImplementedError(
             "pab_cfg requires the KV-cache decode path (use_kv_cache)")

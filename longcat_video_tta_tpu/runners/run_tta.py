@@ -20,6 +20,7 @@ CLI:
 from __future__ import annotations
 
 import argparse
+import contextlib
 import dataclasses
 import json
 import os
@@ -212,6 +213,15 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--data-mesh", type=int, default=0,
                    help="Shard the --video-parallel axis over the first "
                         "N devices as a (data,) jax.sharding.Mesh")
+    p.add_argument("--context-mesh", type=int, default=0,
+                   help="Ring context parallelism over the first N "
+                        "devices: video tokens shard over the mesh "
+                        "'context' axis in BOTH the TTA train chunk and "
+                        "the KV-cache decode (Pallas ring flash "
+                        "attention, parallel/context_attention.py). "
+                        "LongCat only; composes with int8/PAB/bucketing "
+                        "but NOT --bsa-keep-ratio (block selection is "
+                        "chip-local) or --video-parallel")
     # batch TTA (reference: --batch-videos/--retrieval-pool-dir)
     p.add_argument("--batch-videos", type=int, default=1)
     p.add_argument("--batch-method", default="similarity",
@@ -346,8 +356,10 @@ def apply_fast_decode_defaults(args) -> None:
         args.quantize_decode = "int8"
     # BSA exploits the LongCat cond-KV/noise split; the joint-volume
     # samplers (cogvideox/mmdit) fail-loud on it, so the bundle only
-    # enables it where it applies
-    if args.bsa_keep_ratio <= 0 and args.preset.startswith("longcat"):
+    # enables it where it applies. Under --context-mesh the ring owns
+    # the attention (BSA is chip-local), so the bundle is int8+PAB.
+    if (args.bsa_keep_ratio <= 0 and args.preset.startswith("longcat")
+            and getattr(args, "context_mesh", 0) <= 1):
         args.bsa_keep_ratio = 0.15 if n_gen_latents >= 16 else 0.35
     if args.pab_every <= 0:
         args.pab_every = 4
@@ -501,19 +513,60 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
         raise SystemExit("--bucket-shapes is only wired for the LongCat "
                          "backbone")
 
+    # ---- ring context parallelism (--context-mesh N) -------------------
+    # First-class sequence parallelism for the product CLI (SURVEY §2.10:
+    # the reference's cp_split_hw / init_context_parallel analogue,
+    # run_baseline.py:63-79): video tokens shard over the mesh "context"
+    # axis in the train chunk AND the KV-cache decode (Pallas ring flash
+    # attention). Fail-loud on combos the ring does not own.
+    ctx_mesh = None
+    if args.context_mesh > 1:
+        if bundle.cfg.arch != "longcat":
+            raise SystemExit("--context-mesh is wired for the LongCat "
+                             "backbone only (ring decode needs the "
+                             "cond-KV/noise split)")
+        if args.bsa_keep_ratio > 0:
+            raise SystemExit("--context-mesh does not compose with "
+                             "--bsa-keep-ratio (BSA block selection is "
+                             "chip-local under a ring)")
+        if args.video_parallel > 1:
+            raise SystemExit("--context-mesh and --video-parallel are "
+                             "mutually exclusive (one mesh per run)")
+        from ..config import MeshConfig
+        from ..parallel import build_mesh
+
+        devs = jax.devices()
+        if len(devs) < args.context_mesh:
+            raise SystemExit(f"--context-mesh {args.context_mesh} but "
+                             f"only {len(devs)} devices visible")
+        # the ring shards the flattened video-token axis (nt * nhw);
+        # nhw % N guarantees every window (train, anchor, cached
+        # decode) divides evenly regardless of its latent-frame count
+        sf = bundle.cfg.vae.spatial_factor * dit_cfg.patch_size[1]
+        nhw = (frames.height // sf) * (frames.width // sf)
+        if nhw % args.context_mesh != 0:
+            raise SystemExit(
+                f"--context-mesh {args.context_mesh} needs the "
+                f"spatial token count per latent frame ({nhw} at "
+                f"{frames.height}x{frames.width}) to be divisible by "
+                "the ring size; adjust --height/--width (480p's 1560 "
+                "tokens divide by 2/4/8)")
+        ctx_mesh = build_mesh(
+            MeshConfig(data=1, context=args.context_mesh, tensor=1))
+
     scheme = build_scheme(dit_cfg, acfg) if is_tta else None
     tx = build_optimizer(OptimConfig(
         optimizer=args.optimizer, lr=args.lr, steps=args.steps,
         warmup_steps=args.warmup_steps, weight_decay=args.weight_decay,
         grad_clip_norm=args.max_grad_norm))
     step_fn = (make_train_step(scheme, dit_cfg, tx, attn_impl=args.attn_impl,
-                               loss_fn=arch_loss)
+                               loss_fn=arch_loss, cp_mesh=ctx_mesh)
                if is_tta else None)
     chunk_fn = (make_train_chunk(
         scheme, dit_cfg, tx, attn_impl=args.attn_impl,
         anchor_sigmas=tuple(float(x)
                             for x in args.es_anchor_sigmas.split(",")),
-        loss_fn=arch_loss, anchor_fn=arch_anchor)
+        loss_fn=arch_loss, anchor_fn=arch_anchor, cp_mesh=ctx_mesh)
         if is_tta else None)
     stopper = (build_early_stopper(escfg, scheme, dit_cfg, args.attn_impl,
                                    anchor_fn=arch_anchor)
@@ -1048,28 +1101,33 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
                     start_frame=frames.gen_start_frame - frames.num_cond_frames,
                     target_fps=args.load_fps)
                 t0 = time.time()
-                gen = generate_vc(
-                    bundle, jnp.asarray(cond_px), entry["caption"],
-                    num_frames=frames.num_frames,
-                    num_inference_steps=args.num_inference_steps,
-                    guidance_scale=args.guidance_scale,
-                    seed=args.seed + idx,
-                    use_kv_cache=not args.no_kv_cache,
-                    adapters=adapters,
-                    dit_params=(dit_params_override
-                                if dit_params_override is not bundle.dit_params
-                                else None),
-                    attn_impl=args.attn_impl,
-                    bsa_cfg=(None if args.bsa_keep_ratio <= 0 else
-                             BSAConfig(keep_ratio=args.bsa_keep_ratio)),
-                    quantize_decode=args.quantize_decode,
-                    bucket_gen=args.bucket_gen,
-                    gen_segment_steps=args.gen_segment_steps,
-                    pab_cfg=(None if args.pab_every <= 0 else PABConfig(
-                        every=args.pab_every,
-                        start_frac=args.pab_start_frac,
-                        end_frac=args.pab_end_frac)),
-                )
+                gen_ctx = ctx_mesh if ctx_mesh is not None else (
+                    contextlib.nullcontext())
+                with gen_ctx:
+                    gen = generate_vc(
+                        bundle, jnp.asarray(cond_px), entry["caption"],
+                        num_frames=frames.num_frames,
+                        num_inference_steps=args.num_inference_steps,
+                        guidance_scale=args.guidance_scale,
+                        seed=args.seed + idx,
+                        use_kv_cache=not args.no_kv_cache,
+                        adapters=adapters,
+                        dit_params=(dit_params_override
+                                    if dit_params_override
+                                    is not bundle.dit_params
+                                    else None),
+                        attn_impl=args.attn_impl,
+                        cp_mesh=ctx_mesh,
+                        bsa_cfg=(None if args.bsa_keep_ratio <= 0 else
+                                 BSAConfig(keep_ratio=args.bsa_keep_ratio)),
+                        quantize_decode=args.quantize_decode,
+                        bucket_gen=args.bucket_gen,
+                        gen_segment_steps=args.gen_segment_steps,
+                        pab_cfg=(None if args.pab_every <= 0 else PABConfig(
+                            every=args.pab_every,
+                            start_frac=args.pab_start_frac,
+                            end_frac=args.pab_end_frac)),
+                    )
                 gen_time = time.time() - t0
 
                 gt = load_gt_frames(entry["path"], len(gen), frames.height,

@@ -81,6 +81,7 @@ _KEY_TO_FLAG = {
     # round-3 levers
     "video_parallel": "--video-parallel",
     "data_mesh": "--data-mesh",
+    "context_mesh": "--context-mesh",
     "lpips_model_path": "--lpips-model-path",
     "clip_gate_scorer": "--clip-gate-scorer",
     "clip_gate_sampling_mode": "--clip-gate-sampling-mode",

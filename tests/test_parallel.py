@@ -276,6 +276,55 @@ def test_sample_latents_context_parallel_matches(inputs):
                                atol=2e-4, rtol=1e-3)
 
 
+def test_sample_latents_pab_under_context_parallel(inputs):
+    """Pyramid Attention Broadcast composes with ring-CP: the broadcast
+    lax.cond wraps the ring shard_map (models/dit.py::_block), so both
+    branches must carry the same token sharding. every=1 under the ring
+    == ring without PAB (the refresh rule fires each step, exactness);
+    every=2 under the ring == every=2 unsharded (the approximation is
+    mesh-invariant); the segmented dispatch carries the cache across
+    segments under the mesh."""
+    from longcat_video_tta_tpu.config import PABConfig, longcat_tiny
+    from longcat_video_tta_tpu.pipeline import sample_latents
+    from longcat_video_tta_tpu.pipeline.sampler import (
+        sample_latents_segmented,
+    )
+
+    params, latents, text, mask = inputs
+    cfg = longcat_tiny()
+    mesh = build_mesh(MeshConfig(data=1, context=4, tensor=1))
+    cond = latents[:1, :, :2]
+    emb, msk = text[:1], mask[:1]
+    common = dict(num_gen_latents=2, num_steps=4, lat_h=8, lat_w=16,
+                  cond_latents=cond, attn_impl="xla", use_kv_cache=True)
+
+    def run(cp_mesh=None, pab_cfg=None, segment_steps=0):
+        fn = sample_latents
+        kw = dict(common)
+        if segment_steps:
+            fn = sample_latents_segmented
+            kw["segment_steps"] = segment_steps
+        args = (params, CFG, cfg.scheduler, jax.random.PRNGKey(0),
+                emb, msk, emb, msk, 4.0)
+        if cp_mesh is not None:
+            with cp_mesh:
+                return np.asarray(fn(*args, cp_mesh=cp_mesh,
+                                     pab_cfg=pab_cfg, **kw))
+        return np.asarray(fn(*args, pab_cfg=pab_cfg, **kw))
+
+    cp_ref = run(cp_mesh=mesh)
+    pab1_cp = run(cp_mesh=mesh, pab_cfg=PABConfig(every=1))
+    np.testing.assert_allclose(pab1_cp, cp_ref, atol=1e-5, rtol=1e-5)
+
+    pab2_cfg = PABConfig(every=2, start_frac=0.25, end_frac=1.0)
+    pab2 = run(pab_cfg=pab2_cfg)
+    pab2_cp = run(cp_mesh=mesh, pab_cfg=pab2_cfg)
+    np.testing.assert_allclose(pab2_cp, pab2, atol=2e-4, rtol=1e-3)
+
+    seg = run(cp_mesh=mesh, pab_cfg=pab2_cfg, segment_steps=2)
+    np.testing.assert_allclose(seg, pab2_cp, atol=1e-5, rtol=1e-5)
+
+
 def test_factorize_devices_prefers_context():
     from longcat_video_tta_tpu.parallel import factorize_devices
 

@@ -70,6 +70,38 @@ def test_video_parallel_driver_matches_sequential(tmp_path):
                 [x[1] for x in eb["loss_history"]], rtol=1e-4)
 
 
+def test_context_mesh_driver_matches_single_device(tmp_path):
+    """--context-mesh N through the product driver: ring context
+    parallelism in the train chunk AND the KV-cache decode must
+    reproduce the single-device results (ring attention == unsharded,
+    test_parallel.py) — the CLI analogue of the reference's
+    init_context_parallel (run_baseline.py:63-79)."""
+    # width 64 -> 4 spatial tokens per latent frame (vae 8x * patch 2),
+    # divisible by the 4-way ring (the driver preflights this)
+    _, seq = _run(tmp_path, "delta_a", extra=("--width", "64"))
+    _, cp = _run(tmp_path, "delta_a",
+                 extra=("--width", "64", "--context-mesh", "4",
+                        "--output-dir", str(tmp_path / "out_cp")))
+    assert cp["num_success"] == seq["num_success"] == 2
+    for ra, rb in zip(cp["results"], seq["results"]):
+        np.testing.assert_allclose(ra["psnr"], rb["psnr"], rtol=1e-3)
+        np.testing.assert_allclose(ra["losses"], rb["losses"],
+                                   rtol=1e-3, atol=1e-5)
+    with pytest.raises(SystemExit):  # nhw=2 at width 32: preflight
+        _run(tmp_path, "delta_a",
+             extra=("--context-mesh", "4",
+                    "--output-dir", str(tmp_path / "out_cp_bad")))
+
+
+def test_context_mesh_rejects_unsupported_combos(tmp_path):
+    with pytest.raises(SystemExit):
+        _run(tmp_path, "delta_a",
+             extra=("--context-mesh", "4", "--bsa-keep-ratio", "0.5"))
+    with pytest.raises(SystemExit):
+        _run(tmp_path, "delta_a",
+             extra=("--context-mesh", "4", "--video-parallel", "2"))
+
+
 def test_video_parallel_padded_group_stops_on_es(tmp_path):
     """A padded group (1 real video, V=2) must exit the training loop
     when the real lane early-stops — padded lanes may not hold the loop
