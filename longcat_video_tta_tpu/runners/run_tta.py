@@ -214,14 +214,22 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="Shard the --video-parallel axis over the first "
                         "N devices as a (data,) jax.sharding.Mesh")
     p.add_argument("--context-mesh", type=int, default=0,
-                   help="Ring context parallelism over the first N "
-                        "devices: video tokens shard over the mesh "
-                        "'context' axis in BOTH the TTA train chunk and "
-                        "the KV-cache decode (Pallas ring flash "
-                        "attention, parallel/context_attention.py). "
-                        "LongCat only; composes with int8/PAB/bucketing "
+                   help="Ring context parallelism over the mesh "
+                        "'context' axis: video tokens shard in BOTH the "
+                        "TTA train chunk and the KV-cache decode (Pallas "
+                        "ring flash attention, "
+                        "parallel/context_attention.py). LongCat only; "
+                        "composes with int8/PAB/bucketing/--tensor-mesh "
                         "but NOT --bsa-keep-ratio (block selection is "
                         "chip-local) or --video-parallel")
+    p.add_argument("--tensor-mesh", type=int, default=0,
+                   help="Megatron-style tensor parallelism: shard the "
+                        "DiT weights (qkv/ffn column+row rules, "
+                        "parallel/sharding.py) over the mesh 'tensor' "
+                        "axis for train AND decode — the flagship "
+                        "memory-fit lever (scripts/aot_13b.py TP4). Any "
+                        "backbone; composes with --context-mesh "
+                        "(TPxCP), int8, PAB; not --video-parallel")
     # batch TTA (reference: --batch-videos/--retrieval-pool-dir)
     p.add_argument("--batch-videos", type=int, default=1)
     p.add_argument("--batch-method", default="similarity",
@@ -513,46 +521,65 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
         raise SystemExit("--bucket-shapes is only wired for the LongCat "
                          "backbone")
 
-    # ---- ring context parallelism (--context-mesh N) -------------------
-    # First-class sequence parallelism for the product CLI (SURVEY §2.10:
-    # the reference's cp_split_hw / init_context_parallel analogue,
-    # run_baseline.py:63-79): video tokens shard over the mesh "context"
-    # axis in the train chunk AND the KV-cache decode (Pallas ring flash
-    # attention). Fail-loud on combos the ring does not own.
+    # ---- model parallelism (--context-mesh N / --tensor-mesh M) --------
+    # First-class sequence + tensor parallelism for the product CLI
+    # (SURVEY §2.10: the reference's cp_split_hw / init_context_parallel
+    # analogue, run_baseline.py:63-79, plus the TP the reference never
+    # needed on a 141 GB H200): video tokens shard over the mesh
+    # "context" axis (ring flash attention) in the train chunk AND the
+    # KV-cache decode; DiT weights shard megatron-style over "tensor".
+    # Fail-loud on combos the mesh does not own.
     ctx_mesh = None
-    if args.context_mesh > 1:
-        if bundle.cfg.arch != "longcat":
-            raise SystemExit("--context-mesh is wired for the LongCat "
-                             "backbone only (ring decode needs the "
-                             "cond-KV/noise split)")
-        if args.bsa_keep_ratio > 0:
-            raise SystemExit("--context-mesh does not compose with "
-                             "--bsa-keep-ratio (BSA block selection is "
-                             "chip-local under a ring)")
+    n_ctx = max(1, args.context_mesh)
+    n_tp = max(1, args.tensor_mesh)
+    if n_ctx > 1 or n_tp > 1:
         if args.video_parallel > 1:
-            raise SystemExit("--context-mesh and --video-parallel are "
-                             "mutually exclusive (one mesh per run)")
+            raise SystemExit("--context-mesh/--tensor-mesh and "
+                             "--video-parallel are mutually exclusive "
+                             "(one mesh per run)")
+        if args.bsa_keep_ratio > 0:
+            raise SystemExit("--context-mesh/--tensor-mesh do not "
+                             "compose with --bsa-keep-ratio (the BSA "
+                             "kernel is chip-local)")
         from ..config import MeshConfig
-        from ..parallel import build_mesh
+        from ..parallel import build_mesh, shard_params
 
         devs = jax.devices()
-        if len(devs) < args.context_mesh:
-            raise SystemExit(f"--context-mesh {args.context_mesh} but "
-                             f"only {len(devs)} devices visible")
-        # the ring shards the flattened video-token axis (nt * nhw);
-        # nhw % N guarantees every window (train, anchor, cached
-        # decode) divides evenly regardless of its latent-frame count
-        sf = bundle.cfg.vae.spatial_factor * dit_cfg.patch_size[1]
-        nhw = (frames.height // sf) * (frames.width // sf)
-        if nhw % args.context_mesh != 0:
-            raise SystemExit(
-                f"--context-mesh {args.context_mesh} needs the "
-                f"spatial token count per latent frame ({nhw} at "
-                f"{frames.height}x{frames.width}) to be divisible by "
-                "the ring size; adjust --height/--width (480p's 1560 "
-                "tokens divide by 2/4/8)")
-        ctx_mesh = build_mesh(
-            MeshConfig(data=1, context=args.context_mesh, tensor=1))
+        if len(devs) < n_ctx * n_tp:
+            raise SystemExit(f"mesh needs {n_ctx * n_tp} devices "
+                             f"(context {n_ctx} x tensor {n_tp}) but "
+                             f"only {len(devs)} visible")
+        if n_ctx > 1:
+            if bundle.cfg.arch != "longcat":
+                raise SystemExit("--context-mesh is wired for the "
+                                 "LongCat backbone only (ring decode "
+                                 "needs the cond-KV/noise split)")
+            # the ring shards the flattened video-token axis (nt * nhw);
+            # nhw % N guarantees every window (train, anchor, cached
+            # decode) divides evenly regardless of its latent-frame count
+            sf = bundle.cfg.vae.spatial_factor * dit_cfg.patch_size[1]
+            nhw = (frames.height // sf) * (frames.width // sf)
+            if nhw % n_ctx != 0:
+                raise SystemExit(
+                    f"--context-mesh {n_ctx} needs the spatial token "
+                    f"count per latent frame ({nhw} at "
+                    f"{frames.height}x{frames.width}) to be divisible "
+                    "by the ring size; adjust --height/--width (480p's "
+                    "1560 tokens divide by 2/4/8)")
+        if n_tp > 1:
+            heads = getattr(dit_cfg, "num_heads", 0)
+            if heads and heads % n_tp != 0:
+                raise SystemExit(f"--tensor-mesh {n_tp} must divide "
+                                 f"num_heads ({heads})")
+        mesh = build_mesh(MeshConfig(data=1, context=n_ctx, tensor=n_tp))
+        if n_ctx > 1:
+            ctx_mesh = mesh
+        if n_tp > 1:
+            # place the frozen base weights with the per-arch TP rules;
+            # every jitted consumer (train chunk, anchor eval, decode,
+            # int8 quantizer) inherits the shardings via GSPMD
+            bundle.dit_params = shard_params(mesh, bundle.dit_params,
+                                             bundle.cfg.arch)
 
     scheme = build_scheme(dit_cfg, acfg) if is_tta else None
     tx = build_optimizer(OptimConfig(

@@ -93,6 +93,26 @@ def test_context_mesh_driver_matches_single_device(tmp_path):
                     "--output-dir", str(tmp_path / "out_cp_bad")))
 
 
+def test_tensor_mesh_and_tp_cp_driver_match_single_device(tmp_path):
+    """--tensor-mesh N (megatron TP via param shardings + GSPMD) and the
+    combined TPxCP mesh through the product driver must reproduce the
+    single-device results — the CLI analogue of the aot_13b.py TP4xCP2
+    flagship plan."""
+    _, seq = _run(tmp_path, "delta_a")
+    _, tp = _run(tmp_path, "delta_a",
+                 extra=("--tensor-mesh", "2",
+                        "--output-dir", str(tmp_path / "out_tp")))
+    _, tpcp = _run(tmp_path, "delta_a",
+                   extra=("--tensor-mesh", "2", "--context-mesh", "2",
+                          "--output-dir", str(tmp_path / "out_tpcp")))
+    assert tp["num_success"] == tpcp["num_success"] == seq["num_success"]
+    for a in (tp, tpcp):
+        for ra, rb in zip(a["results"], seq["results"]):
+            np.testing.assert_allclose(ra["psnr"], rb["psnr"], rtol=1e-3)
+            np.testing.assert_allclose(ra["losses"], rb["losses"],
+                                       rtol=1e-3, atol=1e-5)
+
+
 def test_context_mesh_rejects_unsupported_combos(tmp_path):
     with pytest.raises(SystemExit):
         _run(tmp_path, "delta_a",
