@@ -364,10 +364,12 @@ def apply_fast_decode_defaults(args) -> None:
         args.quantize_decode = "int8"
     # BSA exploits the LongCat cond-KV/noise split; the joint-volume
     # samplers (cogvideox/mmdit) fail-loud on it, so the bundle only
-    # enables it where it applies. Under --context-mesh the ring owns
-    # the attention (BSA is chip-local), so the bundle is int8+PAB.
+    # enables it where it applies. Under --context-mesh/--tensor-mesh
+    # the mesh owns the attention (BSA is chip-local), so the bundle
+    # degrades to int8+PAB there.
     if (args.bsa_keep_ratio <= 0 and args.preset.startswith("longcat")
-            and getattr(args, "context_mesh", 0) <= 1):
+            and getattr(args, "context_mesh", 0) <= 1
+            and getattr(args, "tensor_mesh", 0) <= 1):
         args.bsa_keep_ratio = 0.15 if n_gen_latents >= 16 else 0.35
     if args.pab_every <= 0:
         args.pab_every = 4
@@ -541,6 +543,14 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
             raise SystemExit("--context-mesh/--tensor-mesh do not "
                              "compose with --bsa-keep-ratio (the BSA "
                              "kernel is chip-local)")
+        if args.quantize_decode == "int8qk":
+            # int8qk rides the BSA kernel (keep_ratio=1.0 internally),
+            # so it hits the same chip-local limit; catch it here
+            # instead of after the full training budget is spent
+            raise SystemExit("--context-mesh/--tensor-mesh do not "
+                             "compose with --quantize-decode int8qk "
+                             "(it rides the chip-local BSA kernel); "
+                             "use --quantize-decode int8")
         from ..config import MeshConfig
         from ..parallel import build_mesh, shard_params
 
@@ -596,7 +606,7 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
         loss_fn=arch_loss, anchor_fn=arch_anchor, cp_mesh=ctx_mesh)
         if is_tta else None)
     stopper = (build_early_stopper(escfg, scheme, dit_cfg, args.attn_impl,
-                                   anchor_fn=arch_anchor)
+                                   anchor_fn=arch_anchor, cp_mesh=ctx_mesh)
                if is_tta else None)
 
     gate_scorer = None

@@ -82,6 +82,7 @@ _KEY_TO_FLAG = {
     "video_parallel": "--video-parallel",
     "data_mesh": "--data-mesh",
     "context_mesh": "--context-mesh",
+    "tensor_mesh": "--tensor-mesh",
     "lpips_model_path": "--lpips-model-path",
     "clip_gate_scorer": "--clip-gate-scorer",
     "clip_gate_sampling_mode": "--clip-gate-sampling-mode",

@@ -33,12 +33,14 @@ def fixed_noise_seed(video_id: str) -> int:
 class AnchoredEarlyStopper:
     def __init__(self, escfg: EarlyStoppingConfig, scheme: AdapterScheme,
                  dit_cfg, attn_impl: Optional[str] = None,
-                 anchor_fn=flow_matching_loss_conditioned_fixed):
+                 anchor_fn=flow_matching_loss_conditioned_fixed,
+                 cp_mesh=None):
         self.cfg = escfg
         self.scheme = scheme
         self.dit_cfg = dit_cfg
         self.attn_impl = attn_impl
         self.anchor_fn = anchor_fn
+        self.cp_mesh = cp_mesh
         self._reset()
 
     def _reset(self):
@@ -87,6 +89,8 @@ class AnchoredEarlyStopper:
             self.text_emb, self.text_mask, self.fixed_noises,
             fixed_sigmas=tuple(self.cfg.anchor_sigmas),
             adapters=adapters, attn_impl=self.attn_impl,
+            **({"cp_mesh": self.cp_mesh} if self.cp_mesh is not None
+               else {}),
         )
         return float(loss)
 
@@ -158,8 +162,9 @@ def build_early_stopper(
     escfg: EarlyStoppingConfig, scheme: AdapterScheme, dit_cfg,
     attn_impl: Optional[str] = None,
     anchor_fn=flow_matching_loss_conditioned_fixed,
+    cp_mesh=None,
 ) -> Optional[AnchoredEarlyStopper]:
     if not escfg.enabled:
         return None
     return AnchoredEarlyStopper(escfg, scheme, dit_cfg, attn_impl,
-                                anchor_fn=anchor_fn)
+                                anchor_fn=anchor_fn, cp_mesh=cp_mesh)

@@ -160,11 +160,16 @@ def make_train_chunk(
         if val_latents is not None:
             dit_params, adapters = scheme.to_forward(train_params,
                                                      base_params)
+            # the anchor forward rides the same ring as the train steps;
+            # cp_mesh is passed conditionally because the non-longcat
+            # anchor fns (which the CLI never pairs with a context mesh)
+            # do not take the kwarg
             anchor = anchor_fn(
                 dit_params, cfg, cond_stack[0], val_latents,
                 emb_stack[0], mask_stack[0], fixed_noises,
                 fixed_sigmas=anchor_sigmas,
                 adapters=adapters, attn_impl=attn_impl,
+                **({"cp_mesh": cp_mesh} if cp_mesh is not None else {}),
             )
         return train_params, opt_state, losses, anchor
 

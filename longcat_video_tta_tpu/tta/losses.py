@@ -185,7 +185,7 @@ def flow_matching_loss_conditioned(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "fixed_sigmas", "attn_impl")
+    jax.jit, static_argnames=("cfg", "fixed_sigmas", "attn_impl", "cp_mesh")
 )
 def flow_matching_loss_conditioned_fixed(
     dit_params: Dict[str, Any],
@@ -199,9 +199,12 @@ def flow_matching_loss_conditioned_fixed(
     fixed_sigmas: Tuple[float, ...],
     adapters=None,
     attn_impl: Optional[str] = None,
+    cp_mesh=None,
 ) -> jnp.ndarray:
     """Deterministic conditioned anchor loss for the early stopper
-    (reference: common.py:492-559; caller supplies pre-drawn noises)."""
+    (reference: common.py:492-559; caller supplies pre-drawn noises).
+    ``cp_mesh`` shards the anchor forward's self-attention over the mesh
+    context axis, matching the train-step sharding."""
     B = cond_latents.shape[0]
     pt = cfg.patch_size[0]
     t_cond = cond_latents.shape[2]
@@ -228,6 +231,7 @@ def flow_matching_loss_conditioned_fixed(
         pred = dit_forward(
             dit_params, cfg, hidden, timestep, text_emb, text_mask,
             num_cond_latents=t_cond, adapters=adapters, attn_impl=attn_impl,
+            cp_mesh=cp_mesh,
         )
         return acc + jnp.mean((pred[:, :, t_cond:] - (noise - tgt32)) ** 2), None
 

@@ -87,6 +87,12 @@ def test_context_mesh_driver_matches_single_device(tmp_path):
         np.testing.assert_allclose(ra["psnr"], rb["psnr"], rtol=1e-3)
         np.testing.assert_allclose(ra["losses"], rb["losses"],
                                    rtol=1e-3, atol=1e-5)
+        # the ES anchor forward rides the ring too (review r3c #3):
+        # its loss history must match the dense single-device anchor
+        np.testing.assert_allclose(
+            [x[1] for x in ra["early_stopping_info"]["loss_history"]],
+            [x[1] for x in rb["early_stopping_info"]["loss_history"]],
+            rtol=1e-3, atol=1e-5)
     with pytest.raises(SystemExit):  # nhw=2 at width 32: preflight
         _run(tmp_path, "delta_a",
              extra=("--context-mesh", "4",
@@ -120,6 +126,12 @@ def test_context_mesh_rejects_unsupported_combos(tmp_path):
     with pytest.raises(SystemExit):
         _run(tmp_path, "delta_a",
              extra=("--context-mesh", "4", "--video-parallel", "2"))
+    # int8qk rides the chip-local BSA kernel: the preflight must catch
+    # it up front, not after the training budget is spent (review r3c #2)
+    with pytest.raises(SystemExit):
+        _run(tmp_path, "delta_a",
+             extra=("--context-mesh", "4", "--width", "64",
+                    "--quantize-decode", "int8qk"))
 
 
 def test_video_parallel_padded_group_stops_on_es(tmp_path):
@@ -384,3 +396,16 @@ def test_fast_decode_skips_bsa_on_joint_volume_archs():
     run_tta.apply_fast_decode_defaults(a)
     assert a.bsa_keep_ratio == 0.0
     assert a.quantize_decode == "int8" and a.pab_every == 4
+
+
+def test_fast_decode_skips_bsa_under_mesh_flags():
+    """--fast-decode must not inject BSA when --context-mesh or
+    --tensor-mesh is set (the mesh preflight rejects BSA, so the bundle
+    would turn a valid combo into a SystemExit — review r3c #1)."""
+    p = run_tta.build_arg_parser()
+    for mesh_flag in ("--context-mesh", "--tensor-mesh"):
+        a = p.parse_args(["--output-dir", "/tmp/x", "--fast-decode",
+                          "--num-frames", "92", mesh_flag, "2"])
+        run_tta.apply_fast_decode_defaults(a)
+        assert a.bsa_keep_ratio == 0.0, mesh_flag
+        assert a.quantize_decode == "int8" and a.pab_every == 4
