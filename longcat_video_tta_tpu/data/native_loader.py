@@ -55,7 +55,7 @@ def _build_lib() -> Optional[ctypes.CDLL]:
         lib.pf_create.argtypes = [
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_long, ctypes.c_long,
             ctypes.c_long, ctypes.c_long, ctypes.c_long, ctypes.c_int,
-            ctypes.c_long,
+            ctypes.c_long, ctypes.c_double,
         ]
         lib.pf_next.restype = ctypes.c_int
         lib.pf_next.argtypes = [ctypes.c_void_p,
@@ -74,11 +74,18 @@ def _build_lib() -> Optional[ctypes.CDLL]:
 class ClipPrefetcher:
     """Iterate (index, clip[3,T,H,W] float32 in [-1,1]) over clip paths
     (.npy, or mp4/avi when the lib was built against libav), decoded +
-    resized ahead of time by C++ worker threads."""
+    resized ahead of time by C++ worker threads.
+
+    A clip that fails to decode yields ``(index, None)`` and the stream
+    continues — the caller owns per-video failure attribution (the
+    driver's per-video try/except), so one corrupt clip never sinks the
+    rest of the run. ``target_fps`` subsamples with ``start_frame`` in
+    the subsampled timebase (same contract as video_io.decode_frames)."""
 
     def __init__(self, paths: List[str], num_frames: int, start_frame: int,
                  height: int, width: int, workers: int = 3,
-                 queue_cap: int = 4, force_python: bool = False):
+                 queue_cap: int = 4, force_python: bool = False,
+                 target_fps: Optional[float] = None):
         self.paths = list(paths)
         self.num_frames = num_frames
         self.start_frame = start_frame
@@ -86,6 +93,7 @@ class ClipPrefetcher:
         self.width = width
         self.workers = workers
         self.queue_cap = queue_cap
+        self.target_fps = float(target_fps) if target_fps else 0.0
         lib = None if force_python else _build_lib()
         self._native = lib is not None and (
             all(p.endswith(".npy") for p in self.paths)
@@ -103,7 +111,8 @@ class ClipPrefetcher:
             *[p.encode() for p in self.paths])
         handle = lib.pf_create(arr, len(self.paths), self.num_frames,
                                self.start_frame, self.height, self.width,
-                               self.workers, self.queue_cap)
+                               self.workers, self.queue_cap,
+                               self.target_fps)
         try:
             out = np.empty((3, self.num_frames, self.height, self.width),
                            np.float32)
@@ -115,6 +124,9 @@ class ClipPrefetcher:
                     ctypes.byref(idx))
                 if rc == 1:
                     return
+                if rc == -2:  # this clip failed; the stream continues
+                    yield int(idx.value), None
+                    continue
                 if rc != 0:
                     raise RuntimeError(f"native prefetch error rc={rc}")
                 yield int(idx.value), out.copy()
@@ -125,6 +137,12 @@ class ClipPrefetcher:
         from .video_io import load_video_frames
 
         for i, p in enumerate(self.paths):
-            clip = load_video_frames(p, self.num_frames, self.height,
-                                     self.width, self.start_frame)[0]
+            try:
+                clip = load_video_frames(
+                    p, self.num_frames, self.height, self.width,
+                    self.start_frame,
+                    target_fps=self.target_fps or None)[0]
+            except Exception:
+                yield i, None
+                continue
             yield i, clip.astype(np.float32)

@@ -34,8 +34,12 @@ def decode_frames(
 
     ``target_fps`` subsamples by stride ``round(native_fps/target)``
     (the reference baseline loads at 15 fps this way,
-    run_baseline.py:85-118); ``start_frame`` counts native frames,
-    applied before the stride."""
+    run_baseline.py:85-118). The reference subsamples the clip FIRST and
+    indexes everything (anchor, cond window, GT) in the subsampled
+    timebase (run_baseline.py:396-403 ``all[::stride][start:...]``), so
+    ``start_frame`` counts SUBSAMPLED frames when ``target_fps`` is set
+    — native-frame indexing of the start would let a strided cond
+    window overrun the generation anchor (future-frame leakage)."""
     if video_path.endswith(".npy"):
         arr = np.load(video_path)
         if arr.dtype != np.uint8:
@@ -44,7 +48,7 @@ def decode_frames(
         if target_fps:
             native = 24.0  # npy clips carry no fps metadata
             stride = max(1, round(native / target_fps))
-        frames = list(arr[start_frame::stride][:num_frames])
+        frames = list(arr[start_frame * stride::stride][:num_frames])
     else:
         cv2 = _cv2()
         cap = cv2.VideoCapture(video_path)
@@ -52,14 +56,14 @@ def decode_frames(
         if target_fps:
             native = cap.get(cv2.CAP_PROP_FPS) or 30.0
             stride = max(1, round(native / target_fps))
+        skip = start_frame * stride
         frames = []
         decoded = 0
         while True:
             ok, frame = cap.read()
             if not ok:
                 break
-            if decoded < start_frame or \
-                    (decoded - start_frame) % stride != 0:
+            if decoded < skip or (decoded - skip) % stride != 0:
                 decoded += 1
                 continue
             if len(frames) >= num_frames:

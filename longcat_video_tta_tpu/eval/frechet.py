@@ -17,6 +17,7 @@ environments pass local files).
 
 from __future__ import annotations
 
+import os
 from typing import Callable, Dict, Optional
 
 import numpy as np
@@ -146,6 +147,33 @@ class OnlineFrechetAccumulator:
         if self.frame_feature_fn is not None:
             self._gen_f.update(self.frame_feature_fn(generated))
             self._gt_f.update(self.frame_feature_fn(ground_truth))
+
+    def save_state(self, path: str):
+        """Persist the running moments so a resumed run's FVD/FID covers
+        ALL videos, not just the post-resume tail (the per-video JSON
+        checkpoint can't carry the 2048^2 float64 inception moments)."""
+        blobs = {"num_pairs": np.int64(self._num_pairs)}
+        for name, m in (("gen_v", self._gen_v), ("gt_v", self._gt_v),
+                        ("gen_f", self._gen_f), ("gt_f", self._gt_f)):
+            blobs[f"{name}_n"] = np.int64(m.n)
+            blobs[f"{name}_s"] = m.s
+            blobs[f"{name}_ss"] = m.ss
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            np.savez(f, **blobs)
+        os.replace(tmp, path)
+
+    def load_state(self, path: str) -> bool:
+        if not os.path.exists(path):
+            return False
+        with np.load(path) as z:
+            self._num_pairs = int(z["num_pairs"])
+            for name, m in (("gen_v", self._gen_v), ("gt_v", self._gt_v),
+                            ("gen_f", self._gen_f), ("gt_f", self._gt_f)):
+                m.n = int(z[f"{name}_n"])
+                m.s = z[f"{name}_s"]
+                m.ss = z[f"{name}_ss"]
+        return True
 
     def compute(self) -> Dict[str, Optional[float]]:
         out: Dict[str, Optional[float]] = {

@@ -13,9 +13,16 @@
 //
 // C ABI (driven from Python via ctypes — see data/native_loader.py):
 //   pf_create(paths, n, num_frames, start_frame, height, width,
-//             workers, queue_cap) -> handle
+//             workers, queue_cap, target_fps) -> handle
 //   pf_next(handle, out_float32, index_out) -> 0 ok / 1 done / <0 error
+//     (-2 = this clip failed to decode; index_out names it and the
+//      stream continues with the next clip — per-clip fault tolerance)
 //   pf_destroy(handle)
+//
+// target_fps > 0 subsamples by stride round(native_fps / target_fps),
+// with start_frame counted in the SUBSAMPLED timebase (the reference
+// subsamples first, then indexes — run_baseline.py:396-403; matches
+// data/video_io.py::decode_frames).
 
 // mp4/avi decode uses the system libav* (the same libraries the
 // reference's PyAV wraps — common.py:103-155). Compiled in when the
@@ -23,6 +30,7 @@
 // falls back to an npy-only build when libav dev files are absent).
 
 #include <atomic>
+#include <cmath>
 #include <condition_variable>
 #include <cstdint>
 #include <cstring>
@@ -137,12 +145,14 @@ void resize_frame_to(const uint8_t* src, long sh, long sw, float* dst_c0,
 }
 
 #ifdef USE_LIBAV
-// Decode num_frames RGB frames starting at start_frame, scaled to
-// (W, H) with SWS_BILINEAR, normalized to float [-1, 1] planes in
-// dst [3, T, H, W]. Sequential decode from frame 0 with start-skip and
-// pad-last-frame — the reference decode contract (common.py:121-133).
+// Decode num_frames RGB frames starting at start_frame (subsampled
+// timebase when target_fps > 0), scaled to (W, H) with SWS_BILINEAR,
+// normalized to float [-1, 1] planes in dst [3, T, H, W]. Sequential
+// decode from frame 0 with start-skip and pad-last-frame — the
+// reference decode contract (common.py:121-133).
 bool decode_video_libav(const std::string& path, long start_frame,
-                        long num_frames, long H, long W, float* dst) {
+                        long num_frames, long H, long W, double target_fps,
+                        float* dst) {
   AVFormatContext* fmt = nullptr;
   if (avformat_open_input(&fmt, path.c_str(), nullptr, nullptr) < 0)
     return false;
@@ -180,6 +190,15 @@ bool decode_video_libav(const std::string& path, long start_frame,
     if (avcodec_parameters_to_context(dec, fmt->streams[vs]->codecpar) < 0)
       break;
     if (avcodec_open2(dec, codec, nullptr) < 0) break;
+    long stride = 1;
+    if (target_fps > 0) {
+      AVRational fr = av_guess_frame_rate(fmt, fmt->streams[vs], nullptr);
+      double native = fr.den > 0 ? av_q2d(fr) : 30.0;
+      if (native <= 0) native = 30.0;
+      stride = std::lround(native / target_fps);
+      if (stride < 1) stride = 1;
+    }
+    const long skip = start_frame * stride;
     rgb->format = AV_PIX_FMT_RGB24;
     rgb->width = static_cast<int>(W);
     rgb->height = static_cast<int>(H);
@@ -197,7 +216,8 @@ bool decode_video_libav(const std::string& path, long start_frame,
       av_packet_unref(pkt);
       while (written < num_frames &&
              avcodec_receive_frame(dec, frame) == 0) {
-        if (seen++ < start_frame) continue;
+        long pos = seen++;
+        if (pos < skip || (pos - skip) % stride != 0) continue;
         if (!sws) {
           sws = sws_getContext(dec->width, dec->height,
                                static_cast<AVPixelFormat>(frame->format),
@@ -237,6 +257,7 @@ bool decode_video_libav(const std::string& path, long start_frame,
 struct Prefetcher {
   std::vector<std::string> paths;
   long num_frames, start_frame, H, W;
+  double target_fps;
   size_t queue_cap;
 
   std::mutex mu;
@@ -249,9 +270,9 @@ struct Prefetcher {
   std::atomic<bool> stop{false};
 
   Prefetcher(std::vector<std::string> p, long nf, long sf, long h, long w,
-             int n_workers, size_t cap)
+             int n_workers, size_t cap, double fps)
       : paths(std::move(p)), num_frames(nf), start_frame(sf), H(h), W(w),
-        queue_cap(cap) {
+        target_fps(fps), queue_cap(cap) {
     for (int i = 0; i < n_workers; ++i)
       workers.emplace_back([this] { this->work(); });
   }
@@ -273,7 +294,7 @@ struct Prefetcher {
 #ifdef USE_LIBAV
       c.data.resize(static_cast<size_t>(3 * num_frames * H * W));
       c.ok = decode_video_libav(path, start_frame, num_frames, H, W,
-                                c.data.data());
+                                target_fps, c.data.data());
 #endif
       return c;
     }
@@ -282,13 +303,27 @@ struct Prefetcher {
     if (!read_npy_u8(path, raw, shape)) return c;
     long T_src = shape[0], sh = shape[1], sw = shape[2];
     long T = num_frames;
+    long stride = 1;
+    if (target_fps > 0) {
+      // npy clips carry no fps metadata: 24 fps by convention
+      // (matches data/video_io.py::decode_frames)
+      stride = std::lround(24.0 / target_fps);
+      if (stride < 1) stride = 1;
+    }
     c.data.resize(static_cast<size_t>(3 * T * H * W));
     float* base = c.data.data();
     size_t plane = static_cast<size_t>(T * H * W);
     for (long t = 0; t < T; ++t) {
-      // start_frame skip + pad-last-frame (reference decode contract)
-      long src_t = start_frame + t;
-      if (src_t >= T_src) src_t = T_src - 1;
+      // start_frame skip (subsampled timebase) + pad-last-frame
+      // (reference decode contract); pad repeats the last frame ON the
+      // stride grid, matching video_io.py's frames[-1]
+      long src_t = (start_frame + t) * stride;
+      if (src_t >= T_src) {
+        long base_off = start_frame * stride;
+        src_t = base_off < T_src
+                    ? base_off + ((T_src - 1 - base_off) / stride) * stride
+                    : T_src - 1;
+      }
       if (src_t < 0) src_t = 0;
       const uint8_t* frame = raw.data() + src_t * sh * sw * 3;
       size_t off = static_cast<size_t>(t * H * W);
@@ -341,9 +376,11 @@ struct Prefetcher {
     ready.pop_front();
     cv_push.notify_all();
     lk.unlock();
+    // name the clip even on failure so the caller can attribute the
+    // error to ONE video and keep consuming the stream
+    *index_out = c.index;
     if (!c.ok) return -2;
     std::memcpy(out, c.data.data(), c.data.size() * sizeof(float));
-    *index_out = c.index;
     return 0;
   }
 };
@@ -362,13 +399,14 @@ int pf_has_libav() {
 
 void* pf_create(const char** paths, long n_paths, long num_frames,
                 long start_frame, long height, long width, int workers,
-                long queue_cap) {
+                long queue_cap, double target_fps) {
   std::vector<std::string> p;
   p.reserve(static_cast<size_t>(n_paths));
   for (long i = 0; i < n_paths; ++i) p.emplace_back(paths[i]);
   return new Prefetcher(std::move(p), num_frames, start_frame, height,
                         width, workers > 0 ? workers : 2,
-                        queue_cap > 0 ? static_cast<size_t>(queue_cap) : 4);
+                        queue_cap > 0 ? static_cast<size_t>(queue_cap) : 4,
+                        target_fps);
 }
 
 int pf_next(void* handle, float* out, long* index_out) {

@@ -367,6 +367,14 @@ def apply_fast_decode_defaults(args) -> None:
     # enables it where it applies. Under --context-mesh/--tensor-mesh
     # the mesh owns the attention (BSA is chip-local), so the bundle
     # degrades to int8+PAB there.
+    if args.no_kv_cache:
+        # BSA/PAB/int8qk all ride the KV-cache decode path; the bundle
+        # degrades to int8 weights (set above) + segmenting on
+        # --no-kv-cache runs
+        if args.gen_segment_steps <= 0 and n_gen_latents >= 16 \
+                and args.num_inference_steps >= 20:
+            args.gen_segment_steps = 5
+        return
     if (args.bsa_keep_ratio <= 0 and args.preset.startswith("longcat")
             and getattr(args, "context_mesh", 0) <= 1
             and getattr(args, "tensor_mesh", 0) <= 1):
@@ -488,7 +496,11 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
         data_dir = args.data_dir
     videos = load_video_list(data_dir, max_videos=args.max_videos,
                              seed=args.seed)
-    apply_fixed_caption(videos, args.fixed_caption)
+    # guard the DATASET's captions, then apply the intentional override
+    # — guarding after apply_fixed_caption makes every --fixed-caption
+    # run trip the uniqueness checks by construction (the reference
+    # orders it override-first, run_delta_a.py:482-483, but never
+    # combines the two; the guard's purpose is catching bad *data*)
     caption_stats = validate_caption_quality(
         videos, CaptionGuardConfig(
             mode=args.caption_guard_mode,
@@ -497,6 +509,7 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
             max_top1_ratio=args.caption_guard_max_top1_ratio,
             max_generic_top1_ratio=args.caption_guard_max_generic_top1_ratio,
             topk=args.caption_guard_topk))
+    apply_fixed_caption(videos, args.fixed_caption)
 
     # ---- model + method ----------------------------------------------
     bundle = load_bundle(args)
@@ -522,6 +535,41 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
     if bundle.cfg.arch != "longcat" and args.bucket_shapes:
         raise SystemExit("--bucket-shapes is only wired for the LongCat "
                          "backbone")
+
+    # Fail-loud at STARTUP on decode-lever combos generate_vc rejects
+    # (or would silently drop) at generation time — catching them
+    # per-video would first spend the full training budget on every
+    # video and mark the whole run failed (review r3c #5/#4).
+    if not args.skip_generation:
+        if bundle.cfg.arch != "longcat":
+            bad = [name for on, name in (
+                (args.bsa_keep_ratio > 0, "--bsa-keep-ratio"),
+                (args.bucket_gen, "--bucket-gen"),
+                (args.quantize_decode == "int8qk",
+                 "--quantize-decode int8qk"),
+            ) if on]
+            if bad:
+                raise SystemExit(
+                    f"{', '.join(bad)}: not supported on the "
+                    f"{bundle.cfg.arch} decode path (LongCat only — "
+                    "no cond-KV/noise split in the joint-volume "
+                    "sampler)")
+        if args.no_kv_cache:
+            bad = [name for on, name in (
+                (args.pab_every > 0, "--pab-every"),
+                (args.bsa_keep_ratio > 0, "--bsa-keep-ratio"),
+                (args.quantize_decode == "int8qk",
+                 "--quantize-decode int8qk"),
+            ) if on]
+            if bad:
+                raise SystemExit(
+                    f"{', '.join(bad)}: requires the KV-cache decode "
+                    "path (drop --no-kv-cache)")
+    if args.compute_vbench and (args.no_save_videos
+                                or args.skip_generation):
+        raise SystemExit("--compute-vbench scores the saved mp4s; it "
+                         "cannot run with --no-save-videos or "
+                         "--skip-generation")
 
     # ---- model parallelism (--context-mesh N / --tensor-mesh M) --------
     # First-class sequence + tensor parallelism for the product CLI
@@ -656,6 +704,7 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
     fvd = OnlineFrechetAccumulator(video_feature_fn=i3d_fn,
                                    frame_feature_fn=inception_fn,
                                    min_videos=args.min_fvd_videos)
+    fvd_state_path = os.path.join(args.output_dir, "fvd_state.npz")
     lpips_fn = None
     if args.lpips_model_path:
         from ..eval.lpips import load_lpips_params, make_lpips_feature_fn
@@ -668,6 +717,13 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
     ckpt = load_checkpoint(ckpt_path)
     start_idx = ckpt["next_idx"] if ckpt else 0
     results: List[Dict] = ckpt["results"] if ckpt else []
+    if start_idx > 0 and fvd.enabled:
+        if fvd.load_state(fvd_state_path):
+            print(f"[resume] restored online FVD/FID moments "
+                  f"({fvd.compute()['num_videos']} pairs)")
+        else:
+            print("[resume] WARNING: fvd_state.npz missing — online "
+                  "FVD/FID will cover only post-resume videos")
     save_config(os.path.join(args.output_dir, "config.json"), vars(args))
 
     n_ctx_lat = latent_len(frames.tta_context_frames)
@@ -682,6 +738,7 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
         prefetcher = iter(ClipPrefetcher(
             [videos[i]["path"] for i in range(start_idx, len(videos))],
             frames.tta_total_frames, tta_start, frames.height, frames.width,
+            target_fps=args.load_fps,
         ))
 
         def _window_px(i):
@@ -689,7 +746,11 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
             while want not in window_cache:
                 j, clip = next(prefetcher)
                 window_cache[j] = clip
-            return window_cache.pop(want)[None]  # [1, 3, T, H, W]
+            clip = window_cache.pop(want)
+            if clip is None:  # per-clip decode failure: fail THIS video
+                raise ValueError(
+                    f"native prefetch failed to decode {videos[i]['path']}")
+            return clip[None]  # [1, 3, T, H, W]
     else:
         _window_px = None
 
@@ -719,6 +780,12 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
             f"--video-parallel requires a TTA method, not {args.method!r}")
     if args.data_mesh > 1 and vp <= 1:
         raise SystemExit("--data-mesh requires --video-parallel > 1")
+    if args.batch_videos > 1 and augcfg.enabled:
+        # the batch-TTA stack round-robins [query + K neighbors] and
+        # would silently keep only the unaugmented query variant
+        raise SystemExit("--batch-videos does not compose with "
+                         "augmentation (the round-robin stack would "
+                         "drop the augmented variants)")
     if vp > 1 and is_tta:
         for bad, name in ((augcfg.enabled, "augmentation"),
                           (args.batch_videos > 1, "--batch-videos"),
@@ -1174,6 +1241,9 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
                     gen, gt, lpips_feature_fn=lpips_fn))
                 if fvd.enabled:
                     fvd.update(gen, gt)
+                    # persist the moments so a resumed run's FVD/FID
+                    # covers all videos, not just the post-crash tail
+                    fvd.save_state(fvd_state_path)
                 if not args.no_save_videos:
                     to_save = gen
                     if not is_tta:
@@ -1186,9 +1256,6 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
                         to_save,
                         os.path.join(videos_dir, f"{idx:04d}_{vid_id}.mp4"))
 
-            if profiling:
-                jax.profiler.stop_trace()
-                print(f"  profiler trace -> {args.profile_dir}")
             res["train_time"] = train_time
             res["gen_time"] = gen_time
             res["es_check_time"] = es_time
@@ -1201,6 +1268,12 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
             traceback.print_exc()
             res["success"] = False
             res["error"] = f"{type(e).__name__}: {e}"
+        finally:
+            # stop even when the profiled video failed — otherwise the
+            # trace silently runs for the whole remaining fleet
+            if profiling:
+                jax.profiler.stop_trace()
+                print(f"  profiler trace -> {args.profile_dir}")
         results.append(res)
         save_checkpoint(ckpt_path, idx + 1, results)
 
@@ -1237,7 +1310,14 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
     if args.compute_vbench:
         from ..eval.vbench import run_vbench
 
-        summary["online_eval"]["vbench"] = run_vbench(videos_dir)
+        # never lose the run's summary to a scorer failure: write it
+        # first, then amend with the VBench scores
+        save_results(os.path.join(args.output_dir, "summary.json"), summary)
+        try:
+            summary["online_eval"]["vbench"] = run_vbench(videos_dir)
+        except Exception as e:
+            summary["online_eval"]["vbench"] = {
+                "error": f"{type(e).__name__}: {e}"}
     save_results(os.path.join(args.output_dir, "summary.json"), summary)
     print(f"\nDone: {len(ok)}/{len(results)} videos, "
           f"summary at {args.output_dir}/summary.json")

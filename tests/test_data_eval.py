@@ -104,6 +104,37 @@ def test_online_frechet_accumulator_with_stub_features():
     assert out["fvd"] is not None and out["fvd"] >= 0
 
 
+def test_online_frechet_state_roundtrip(tmp_path):
+    """save_state/load_state: a resumed accumulator must produce the
+    SAME FVD as one that saw every pair (review r3c: resume previously
+    restarted the moments, silently scoring only the post-crash tail)."""
+    def feat(frames):
+        return np.full(400, frames.mean()) + np.linspace(0, 1, 400)
+
+    rng = np.random.RandomState(0)
+    pairs = [(rng.rand(5, 8, 8, 3), rng.rand(5, 8, 8, 3))
+             for _ in range(6)]
+    full = OnlineFrechetAccumulator(video_feature_fn=feat, min_videos=2)
+    for a, b in pairs:
+        full.update(a, b)
+
+    p = str(tmp_path / "fvd_state.npz")
+    first = OnlineFrechetAccumulator(video_feature_fn=feat, min_videos=2)
+    for a, b in pairs[:3]:
+        first.update(a, b)
+    first.save_state(p)
+    resumed = OnlineFrechetAccumulator(video_feature_fn=feat, min_videos=2)
+    assert resumed.load_state(p)
+    for a, b in pairs[3:]:
+        resumed.update(a, b)
+    f, r = full.compute(), resumed.compute()
+    assert r["num_videos"] == f["num_videos"] == 6
+    assert r["fvd"] == pytest.approx(f["fvd"], rel=1e-9)
+    # missing file: load returns False, accumulator untouched
+    fresh = OnlineFrechetAccumulator(video_feature_fn=feat)
+    assert not fresh.load_state(str(tmp_path / "nope.npz"))
+
+
 def test_pad_for_i3d():
     assert pad_for_i3d(np.zeros((3, 8, 8, 3))).shape[0] == 9
     assert pad_for_i3d(np.zeros((12, 8, 8, 3))).shape[0] == 12
@@ -186,13 +217,25 @@ def test_decode_frames_fps_subsample(tmp_path):
 
     from longcat_video_tta_tpu.data.video_io import decode_frames
 
-    arr = np.arange(24, dtype=np.uint8)[:, None, None, None] * np.ones(
+    arr = np.arange(48, dtype=np.uint8)[:, None, None, None] * np.ones(
         (1, 4, 4, 3), np.uint8)
     p = str(tmp_path / "clip.npy")
     np.save(p, arr)
-    # 24 fps native -> 12 fps target = stride 2
+    # 24 fps native -> 12 fps target = stride 2. start_frame counts
+    # SUBSAMPLED frames (the reference subsamples first, then indexes —
+    # run_baseline.py:396-403): arr[::2][1:7] = [2, 4, ...]
     out = decode_frames(p, 6, start_frame=1, target_fps=12.0)
-    assert out[:, 0, 0, 0].tolist() == [1, 3, 5, 7, 9, 11]
+    assert out[:, 0, 0, 0].tolist() == [2, 4, 6, 8, 10, 12]
     # no target_fps: consecutive
     out = decode_frames(p, 4, start_frame=2)
     assert out[:, 0, 0, 0].tolist() == [2, 3, 4, 5]
+    # the property the timebase exists for: a cond window ending at the
+    # anchor and GT starting at the anchor never overlap under fps
+    # subsampling (review r3c: native-frame start indexing leaked
+    # future GT frames into conditioning)
+    g, c = 8, 5
+    cond = decode_frames(p, c, start_frame=g - c, target_fps=12.0)
+    gt = decode_frames(p, 4, start_frame=g, target_fps=12.0)
+    assert cond[:, 0, 0, 0].max() < gt[:, 0, 0, 0].min()
+    # contiguity across the anchor: cond's last + stride == gt's first
+    assert cond[-1, 0, 0, 0] + 2 == gt[0, 0, 0, 0]

@@ -93,3 +93,41 @@ def test_native_mp4_decode_matches_python_loader(tmp_path):
     # pad-last-frame beyond EOF
     _, clip2 = next(iter(ClipPrefetcher([path], 16, 2, 32, 48)))
     np.testing.assert_array_equal(clip2[:, 10], clip2[:, 15])
+
+
+def test_prefetch_target_fps_matches_video_io(clips, tmp_path):
+    """target_fps must produce the same frame selection as
+    video_io.load_video_frames (subsampled-timebase start_frame —
+    review r3c: --native-prefetch previously ignored --load-fps)."""
+    from longcat_video_tta_tpu.data.video_io import load_video_frames
+
+    # deterministic ramp clip so frame identity is checkable
+    arr = (np.arange(20, dtype=np.uint8)[:, None, None, None]
+           * np.ones((1, 16, 32, 3), np.uint8))
+    p = str(tmp_path / "ramp.npy")
+    np.save(p, arr)
+    for force_python in (False, True):
+        pf = ClipPrefetcher([p], num_frames=4, start_frame=2, height=16,
+                            width=32, target_fps=12.0,
+                            force_python=force_python)
+        _, clip = next(iter(pf))
+        ref = np.asarray(load_video_frames(p, 4, 16, 32, start_frame=2,
+                                           target_fps=12.0)[0])
+        np.testing.assert_allclose(clip, ref, atol=1e-5,
+                                   err_msg=f"force_python={force_python}")
+
+
+def test_prefetch_per_clip_fault_tolerance(clips, tmp_path):
+    """One corrupt clip yields (idx, None); the stream continues with
+    the remaining clips (review r3c: a broken clip previously killed
+    the generator and failed every subsequent video)."""
+    bad = str(tmp_path / "bad.npy")
+    with open(bad, "wb") as f:
+        f.write(b"not a numpy file at all")
+    paths = [clips[0], bad, clips[1]]
+    for force_python in (False, True):
+        out = list(ClipPrefetcher(paths, 6, 2, 16, 32,
+                                  force_python=force_python))
+        assert [i for i, _ in out] == [0, 1, 2], f"python={force_python}"
+        assert out[0][1] is not None and out[2][1] is not None
+        assert out[1][1] is None, f"python={force_python}"

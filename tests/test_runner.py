@@ -398,6 +398,41 @@ def test_fast_decode_skips_bsa_on_joint_volume_archs():
     assert a.quantize_decode == "int8" and a.pab_every == 4
 
 
+def test_startup_preflights_reject_wasteful_combos(tmp_path):
+    """Lever combos that generate_vc rejects (or silently drops) at
+    decode time must die at STARTUP, before any training compute is
+    spent (review r3c #4/#5/#9/#10)."""
+    cases = [
+        ("--preset", "cogvideox_tiny", "--bsa-keep-ratio", "0.5"),
+        ("--preset", "cogvideox_tiny", "--bucket-gen"),
+        ("--preset", "opensora_v2_tiny", "--quantize-decode", "int8qk"),
+        ("--no-kv-cache", "--pab-every", "4"),
+        ("--no-kv-cache", "--bsa-keep-ratio", "0.5"),
+        ("--no-kv-cache", "--quantize-decode", "int8qk"),
+        ("--compute-vbench", "--no-save-videos"),
+        ("--compute-vbench", "--skip-generation"),
+        ("--batch-videos", "2", "--aug-enabled", "--aug-hflip"),
+    ]
+    for extra in cases:
+        with pytest.raises(SystemExit):
+            _run(tmp_path, "delta_a", extra=extra)
+        # a startup abort must not leave a results checkpoint behind
+        assert not os.path.exists(
+            os.path.join(str(tmp_path / "out_delta_a"), "checkpoint.json")
+        ), extra
+
+
+def test_fast_decode_skips_pab_without_kv_cache():
+    """--fast-decode on a --no-kv-cache run degrades to int8+segmenting
+    instead of injecting the PAB/BSA levers the preflight rejects."""
+    p = run_tta.build_arg_parser()
+    a = p.parse_args(["--output-dir", "/tmp/x", "--fast-decode",
+                      "--num-frames", "92", "--no-kv-cache"])
+    run_tta.apply_fast_decode_defaults(a)
+    assert a.pab_every == 0 and a.bsa_keep_ratio == 0.0
+    assert a.quantize_decode == "int8" and a.gen_segment_steps == 5
+
+
 def test_fast_decode_skips_bsa_under_mesh_flags():
     """--fast-decode must not inject BSA when --context-mesh or
     --tensor-mesh is set (the mesh preflight rejects BSA, so the bundle
