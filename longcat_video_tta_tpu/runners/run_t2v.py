@@ -40,9 +40,15 @@ def main(argv: Optional[List[str]] = None):
     p.add_argument("--pab-every", type=int, default=0,
                    help="Pyramid Attention Broadcast on the t2v denoise "
                         "loop (0 = off; see run_tta --pab-every)")
+    p.add_argument("--compile-cache-dir", default="auto",
+                   help="Persistent XLA compile cache ('off' disables; "
+                        "see run_tta --compile-cache-dir)")
     args = p.parse_args(argv)
 
     from ..config import PABConfig
+    from ..utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache(args.compile_cache_dir)
     from ..data import load_video_list, save_video
     from ..pipeline import generate_t2v
     from .run_tta import load_bundle

@@ -262,6 +262,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "TTA+generation to this directory")
     p.add_argument("--debug-nans", action="store_true",
                    help="Enable jax debug_nans (CI sanitizer analogue)")
+    p.add_argument("--compile-cache-dir", default="auto",
+                   help="Persistent XLA compile cache directory; 'auto' "
+                        "= $LONGCAT_TTA_COMPILE_CACHE or "
+                        "~/.cache/longcat_tta_xla, 'off' disables. "
+                        "Sweep rows with the same geometry then pay "
+                        "the jit set once, not once per row")
     # host IO
     p.add_argument("--load-fps", type=float, default=None,
                    help="Subsample decoded frames to this fps (stride = "
@@ -428,10 +434,15 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
         load_checkpoint, save_checkpoint, save_config, save_results,
     )
 
+    from ..utils.compile_cache import enable_compile_cache
+
     t_start = time.time()
     os.makedirs(args.output_dir, exist_ok=True)
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
+    cache_dir = enable_compile_cache(args.compile_cache_dir)
+    if cache_dir:
+        print(f"[runner] persistent XLA compile cache: {cache_dir}")
 
     # ---- configs -----------------------------------------------------
     frames = resolve_frame_window(FrameConfig(

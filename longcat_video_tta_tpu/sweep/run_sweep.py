@@ -77,6 +77,7 @@ _KEY_TO_FLAG = {
     "bsa_keep_ratio": "--bsa-keep-ratio",
     "quantize_decode": "--quantize-decode",
     "remat_policy": "--remat-policy",
+    "compile_cache_dir": "--compile-cache-dir",
     "loss_fetch_every": "--loss-fetch-every",
     # round-3 levers
     "video_parallel": "--video-parallel",

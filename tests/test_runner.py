@@ -444,3 +444,34 @@ def test_fast_decode_skips_bsa_under_mesh_flags():
         run_tta.apply_fast_decode_defaults(a)
         assert a.bsa_keep_ratio == 0.0, mesh_flag
         assert a.quantize_decode == "int8" and a.pab_every == 4
+
+
+def test_compile_cache_policy(tmp_path, monkeypatch):
+    """--compile-cache-dir resolution: explicit path wins, off/empty
+    disable, 'auto' honors $LONGCAT_TTA_COMPILE_CACHE and never
+    overrides a cache dir an outer harness (conftest) already set."""
+    import jax
+
+    from longcat_video_tta_tpu.utils.compile_cache import (
+        enable_compile_cache, resolve_cache_dir)
+
+    assert resolve_cache_dir(str(tmp_path / "c")) == str(tmp_path / "c")
+    for off in ("off", "none", "", None):
+        assert resolve_cache_dir(off) is None
+    monkeypatch.setenv("LONGCAT_TTA_COMPILE_CACHE", str(tmp_path / "e"))
+    assert resolve_cache_dir("auto") == str(tmp_path / "e")
+    monkeypatch.setenv("LONGCAT_TTA_COMPILE_CACHE", "off")
+    assert resolve_cache_dir("auto") is None
+    monkeypatch.delenv("LONGCAT_TTA_COMPILE_CACHE")
+    assert resolve_cache_dir("auto").endswith("longcat_tta_xla")
+
+    before = jax.config.jax_compilation_cache_dir
+    assert before  # conftest configures the test cache
+    assert enable_compile_cache("auto") is None  # no silent redirect
+    assert jax.config.jax_compilation_cache_dir == before
+    try:
+        p = enable_compile_cache(str(tmp_path / "x"))
+        assert p == str(tmp_path / "x") and os.path.isdir(p)
+        assert jax.config.jax_compilation_cache_dir == p
+    finally:
+        jax.config.update("jax_compilation_cache_dir", before)
