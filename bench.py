@@ -134,6 +134,7 @@ def main():
     except Exception as e:
         print(f"[bench] int8+BSA gen failed: {type(e).__name__}: {e}",
               file=sys.stderr)
+    gen_stack_s = None
     try:
         # + Pyramid Attention Broadcast (arXiv:2408.12588): reuse
         # self-attention outputs on broadcast steps (r3 lever; measured
@@ -145,6 +146,21 @@ def main():
             pab_cfg=PABConfig(every=4, start_frac=0.06, end_frac=0.96))
     except Exception as e:
         print(f"[bench] int8+BSA+PAB gen failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+    try:
+        # + CFG guidance-delta reuse (FasterCache, arXiv:2410.19355):
+        # conditional-branch-only forwards on reuse steps, range aligned
+        # with PAB (r3 lever; measured 93-frame 55.2 -> 48.1 s, latent
+        # corr 0.99983 at the 93-frame geometry)
+        from longcat_video_tta_tpu.config import CFGReuseConfig
+
+        gen_stack_s = _timed_gen(
+            qparams, 13, bsa_cfg=bsa_cfg,
+            pab_cfg=PABConfig(every=4, start_frac=0.06, end_frac=0.96),
+            cfgr_cfg=CFGReuseConfig(every=2, start_frac=0.06,
+                                    end_frac=0.96))
+    except Exception as e:
+        print(f"[bench] full-stack gen failed: {type(e).__name__}: {e}",
               file=sys.stderr)
 
     # ---- north-star metric #2 (BASELINE.md:41-42): fused LoRA-TTA ----
@@ -278,6 +294,12 @@ def main():
                                           if gen_pab_s else None),
             "gen_int8_bsa_pab_speedup": (round(gen_s / gen_pab_s, 3)
                                          if gen_pab_s else None),
+            # + CFG guidance-delta reuse (the full recommended stack,
+            # --fast-decode)
+            "gen_50step_full_stack_s": (round(gen_stack_s, 2)
+                                        if gen_stack_s else None),
+            "gen_full_stack_speedup": (round(gen_s / gen_stack_s, 3)
+                                       if gen_stack_s else None),
             # north-star #2: fused LoRA-TTA step <= 2x base denoise
             # step (BASELINE.md:41-42); denoise step = one CFG step of
             # the 50-step KV-cached continuation at the same geometry
@@ -291,11 +313,11 @@ def main():
             "mfu_advantage_vs_h200": round(mfu_advantage, 2),
             # recorded offline (too slow for the round bench window):
             # scripts/measure_longhorizon.py, 24 gen latents, int8 +
-            # BSA keep 0.15 + PAB every-4 [0.06,0.96) (latent corr
-            # 0.99986 vs dense at this geometry — identical to the
-            # stack without PAB; PAB-only rel err 0.18%), segment 5 —
-            # see ARCHITECTURE.md
-            "gen_93frame_50step_s_recorded": 55.2,
+            # BSA keep 0.15 + PAB every-4 + CFG-reuse every-2 (both
+            # [0.06,0.96), aligned), segment 5 — latent corr 0.99983 /
+            # rel err 1.96% vs dense bf16 AT this geometry; see
+            # ARCHITECTURE.md
+            "gen_93frame_50step_s_recorded": 48.1,
             "baseline": "Delta-A lr5e-3 5 steps: 20.9 s/video on 1xH200 "
                         "13.6B (summary_printout.txt:134); per-param "
                         "normalization factor 1.19/13.6",

@@ -244,6 +244,26 @@ class PABConfig:
 
 
 @dataclass(frozen=True)
+class CFGReuseConfig:
+    """CFG guidance-delta reuse for the decode hot loop (FasterCache,
+    arXiv:2410.19355 — TPU-first lever like PAB/BSA/int8, no reference
+    analogue): the unconditional CFG branch drifts slowly relative to
+    the conditional one, so mid-trajectory steps run ONLY the
+    conditional forward (half the model FLOPs) and reconstruct
+    ``v_uncond = v_cond - delta`` from the guidance delta cached at the
+    last fully-computed step. ``every=2`` computes both branches on
+    every 2nd step inside [start_frac, end_frac); early and late steps
+    (where guidance shapes the trajectory most) always compute both.
+    Composes with PAB (the reuse step's conditional half still
+    refreshes its slice of the attention cache) and with BSA/int8/
+    bucketing/segmenting."""
+
+    every: int = 2
+    start_frac: float = 0.1
+    end_frac: float = 0.9
+
+
+@dataclass(frozen=True)
 class VAEConfig:
     """Causal WAN-style 3D VAE (reference: AutoencoderKLWan usage,
     common.py:158-221; 4x temporal / 8x spatial factors, z_dim-channel

@@ -432,7 +432,8 @@ def _blk_adapter_slice(scan_slice, lora_scale):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "num_cond_latents", "attn_impl", "cp_mesh"),
+    static_argnames=("cfg", "num_cond_latents", "attn_impl", "cp_mesh",
+                     "cache_cond_half"),
 )
 def dit_forward(
     params: Dict[str, Any],
@@ -449,12 +450,21 @@ def dit_forward(
     num_valid_latents: Optional[jnp.ndarray] = None,
     pab_reuse: Optional[jnp.ndarray] = None,
     pab_cache=None,
+    cache_cond_half: bool = False,
 ) -> jnp.ndarray:
     """Full forward: returns predicted velocity [B, C_out, T, H, W] in fp32.
 
     ``pab_reuse``/``pab_cache``: Pyramid Attention Broadcast (see
     dit_forward_with_cache) for the dense path (t2v sampling); when
     ``pab_cache`` is given the return becomes (out, new_cache).
+
+    ``cache_cond_half``: the CFG-reuse (FasterCache) conditional-only
+    forward — ``pab_cache`` carries the full CFG batch (2B) while the
+    inputs carry B; each block slices the second (conditional) half of
+    its cache row in-scan. Slicing per block keeps the overhead at one
+    block-sized scratch buffer instead of materializing a half-batch
+    copy of the whole [depth, 2B, ...] cache (which OOMed a v5e by
+    ~0.1 GB at the 93-frame geometry).
 
     ``num_cond_latents`` counts conditioning latent frames; their tokens
     get the prefix-attention treatment (see ops/attention.py) matching the
@@ -481,10 +491,13 @@ def dit_forward(
 
     scan_xs, lora_scale = _split_adapters(adapters)
 
+    nb = latents.shape[0]
     if pab_cache is not None:
         def body(carry, inp):
             bp, ad, cache_blk = inp
             blk_ad = _blk_adapter_slice(ad, lora_scale)
+            if cache_cond_half:
+                cache_blk = cache_blk[cache_blk.shape[0] - nb:]
             out, _, attn_out = _block(
                 bp, blk_ad, carry, t_emb, y, rope_cos, rope_sin, cfg,
                 num_cond_tokens, attn_impl, cp_mesh=cp_mesh,
@@ -581,7 +594,7 @@ def dit_precompute_cond_cache(
 
 @functools.partial(
     jax.jit, static_argnames=("cfg", "num_cond_latents", "attn_impl", "bsa_cfg",
-                              "cp_mesh")
+                              "cp_mesh", "cache_cond_half")
 )
 def dit_forward_with_cache(
     params: Dict[str, Any],
@@ -600,6 +613,7 @@ def dit_forward_with_cache(
     num_valid_latents: Optional[jnp.ndarray] = None,
     pab_reuse: Optional[jnp.ndarray] = None,
     pab_cache=None,
+    cache_cond_half: bool = False,
 ) -> jnp.ndarray:
     """Decode-phase forward: noise tokens only, self-attention against
     [cached cond K/V ++ fresh noise K/V]. Returns velocity for the noise
@@ -624,7 +638,13 @@ def dit_forward_with_cache(
     [cache ++ fresh] sequence is split contiguously over the context
     axis, so the combined bound stays a global prefix); their outputs
     are garbage the sampler discards. The cond cache is always fully
-    valid."""
+    valid.
+
+    ``cache_cond_half``: CFG-reuse conditional-only forward —
+    ``kv_cache`` and ``pab_cache`` carry the full CFG batch (2B) while
+    the inputs carry B; each block slices the second (conditional)
+    half of its cache rows in-scan (block-sized scratch instead of a
+    materialized half-batch cache copy; see dit_forward)."""
     x, t_emb, y, (nt, nh, nw) = _embed_inputs(
         params, cfg, noise_latents, timesteps, text_emb, text_mask, adapters
     )
@@ -641,15 +661,21 @@ def dit_forward_with_cache(
 
     scan_xs, lora_scale = _split_adapters(adapters)
 
+    nb = noise_latents.shape[0]
+
+    def _half(t):
+        return jax.tree.map(lambda a: a[a.shape[0] - nb:], t) \
+            if cache_cond_half else t
+
     if pab_cache is not None:
         def body(carry, inp):
             bp, ad, kv, cache_blk = inp
             blk_ad = _blk_adapter_slice(ad, lora_scale)
             out, _, attn_out = _block(
                 bp, blk_ad, carry, t_emb, y, rope_cos, rope_sin, cfg,
-                0, attn_impl, kv_cache=kv, cp_mesh=cp_mesh,
+                0, attn_impl, kv_cache=_half(kv), cp_mesh=cp_mesh,
                 bsa_cfg=bsa_cfg, kv_valid=kv_valid,
-                pab_reuse=pab_reuse, pab_cache=cache_blk,
+                pab_reuse=pab_reuse, pab_cache=_half(cache_blk),
             )
             return out, attn_out
 
@@ -661,8 +687,8 @@ def dit_forward_with_cache(
             blk_ad = _blk_adapter_slice(ad, lora_scale)
             out, _, _ = _block(
                 bp, blk_ad, carry, t_emb, y, rope_cos, rope_sin, cfg,
-                0, attn_impl, kv_cache=kv, cp_mesh=cp_mesh, bsa_cfg=bsa_cfg,
-                kv_valid=kv_valid,
+                0, attn_impl, kv_cache=_half(kv), cp_mesh=cp_mesh,
+                bsa_cfg=bsa_cfg, kv_valid=kv_valid,
             )
             return out, None
 

@@ -264,6 +264,7 @@ def generate_vc(
     bucket_gen: bool = False,
     gen_segment_steps: int = 0,
     pab_cfg=None,
+    cfgr_cfg=None,
 ) -> np.ndarray:
     """Video continuation. Returns generated frames [N, H, W, 3] in [0, 1]
     (N = num_frames rounded to 4k+1), matching the contract of
@@ -308,7 +309,7 @@ def generate_vc(
         # padding changes the conditioning channel layout. Segmented
         # dispatch (gen_segment_steps) IS supported on all three archs.
         for flag, name in ((bsa_cfg, "bsa_cfg"), (bucket_gen, "bucket_gen"),
-                           (cp_mesh, "cp_mesh")):
+                           (cp_mesh, "cp_mesh"), (cfgr_cfg, "cfgr_cfg")):
             if flag:
                 raise NotImplementedError(
                     f"{name} is not supported on the {cfg.arch} decode "
@@ -439,6 +440,7 @@ def generate_vc(
         bsa_cfg=bsa_cfg,
         num_valid_gen_latents=num_valid,
         pab_cfg=pab_cfg,
+        cfgr_cfg=cfgr_cfg,
     )
     if gen_segment_steps > 0:
         # bounded per-dispatch execution time (long-horizon decode on
@@ -488,10 +490,12 @@ def generate_t2v(
     attn_impl: Optional[str] = None,
     cp_mesh=None,
     pab_cfg=None,
+    cfgr_cfg=None,
 ) -> np.ndarray:
     """Text-to-video (reference: run_longcat_t2v.py pipe.generate_t2v).
     Returns [N, H, W, 3] in [0, 1]. ``pab_cfg``: Pyramid Attention
-    Broadcast on the dense t2v denoise loop."""
+    Broadcast on the dense t2v denoise loop; ``cfgr_cfg``: CFG
+    guidance-delta reuse (config.CFGReuseConfig)."""
     cfg = bundle.cfg
     nf = round_frames_4k1(num_frames)
     n_lat = latent_len(nf, cfg.vae.temporal_factor)
@@ -512,6 +516,7 @@ def generate_t2v(
         attn_impl=attn_impl,
         cp_mesh=cp_mesh,
         pab_cfg=pab_cfg,
+        cfgr_cfg=cfgr_cfg,
     )
     pixels = bundle.decode_latents(latents)
     return np.asarray(pixels[0].transpose(1, 2, 3, 0)[:nf])

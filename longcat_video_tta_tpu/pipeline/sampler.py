@@ -35,13 +35,16 @@ def _cfg_batch(x, neg_first=False):
 @functools.partial(
     jax.jit,
     static_argnames=("dit_cfg", "sched_cfg", "n_cond", "use_kv_cache",
-                     "attn_impl", "cp_mesh", "bsa_cfg", "pab_cfg"),
-    donate_argnums=(3, 12),  # x and the PAB cache (4.9 GB at 93-frame)
+                     "attn_impl", "cp_mesh", "bsa_cfg", "pab_cfg",
+                     "cfgr_cfg"),
+    # donate x, the PAB cache (4.9 GB at 93-frame), the CFG delta
+    donate_argnums=(3, 12, 14),
 )
 def _denoise_scan(dit_params, dit_cfg, sched_cfg, x, sig_pairs, emb2,
                   mask2, g, cond2, kv_cache, adapters, nv, pab_state=None,
-                  pab_reuse_flags=None, *, n_cond, use_kv_cache, attn_impl,
-                  cp_mesh, bsa_cfg, pab_cfg=None):
+                  pab_reuse_flags=None, cfg_delta=None,
+                  cfg_reuse_flags=None, *, n_cond, use_kv_cache, attn_impl,
+                  cp_mesh, bsa_cfg, pab_cfg=None, cfgr_cfg=None):
     """The CFG euler denoise loop over ``sig_pairs`` (one lax.scan, x
     donated). Shared by the one-dispatch ``sample_latents`` and the
     segmented driver (``segment_steps``) — segmenting bounds single
@@ -51,9 +54,21 @@ def _denoise_scan(dit_params, dit_cfg, sched_cfg, x, sig_pairs, emb2,
     ``pab_cfg`` (PABConfig, static) enables Pyramid Attention Broadcast
     on the KV-cache path: ``pab_reuse_flags`` [n_steps] bool marks the
     steps that reuse the carried per-block attention cache
-    (``pab_state``) instead of recomputing self-attention; returns
-    (x, pab_state) so segmented dispatch carries the cache across
-    segments."""
+    (``pab_state``) instead of recomputing self-attention.
+
+    ``cfgr_cfg`` (CFGReuseConfig, static) enables guidance-delta reuse
+    (FasterCache, arXiv:2410.19355): ``cfg_reuse_flags`` [n_steps] bool
+    marks the steps that run ONLY the conditional branch (batch B
+    instead of 2B — half the model FLOPs) and reconstruct
+    ``v_uncond = v_cond - cfg_delta`` from the delta carried from the
+    last fully-computed step. Under PAB, the reuse step's conditional
+    forward still refreshes the conditional slice of the attention
+    cache; the unconditional slice goes one step staler (documented
+    approximation-on-approximation, validated by the fidelity
+    measurements in ARCHITECTURE.md).
+
+    Returns ``(x, pab_state, cfg_delta)`` so segmented dispatch carries
+    both caches across segments."""
     B = x.shape[0]
     nt_total = n_cond + x.shape[2]
     if pab_cfg is not None and n_cond > 0 and not use_kv_cache:
@@ -61,33 +76,51 @@ def _denoise_scan(dit_params, dit_cfg, sched_cfg, x, sig_pairs, emb2,
             "PAB is implemented for the KV-cache continuation path and "
             "t2v; drop pab_cfg for no-cache continuation sampling")
 
-    def forward(x, t_val, pab_reuse=None, pab_state=None):
-        x2 = jnp.concatenate([x, x], axis=0)
+    # cond-half text views for the CFG-reuse branch (CFG layout:
+    # [uncond; cond] along batch — see sample_latents). The big
+    # caches (cond KV, PAB) are NOT pre-sliced: the conditional-only
+    # forward slices them per block in-scan (cache_cond_half), which
+    # costs one block-sized scratch instead of a materialized
+    # half-batch cache copy (the copies OOMed a v5e at 93-frame).
+    emb_c, mask_c = emb2[B:], mask2[B:]
+    cond_c = None if cond2 is None else cond2[B:]
+
+    def forward(x, t_val, pab_reuse=None, pab_state=None, cond_only=False):
+        """One model forward. ``cond_only=False``: the CFG pair as one
+        2B batch. ``cond_only=True``: conditional branch only (batch B,
+        cond-half text slices; caches sliced in-scan)."""
+        nb = B if cond_only else 2 * B
+        xb = x if cond_only else jnp.concatenate([x, x], axis=0)
+        emb = emb_c if cond_only else emb2
+        msk = mask_c if cond_only else mask2
         if n_cond == 0:
             out = dit_forward(
-                dit_params, dit_cfg, x2.astype(jnp.float32),
-                jnp.full((2 * B,), t_val), emb2, mask2,
+                dit_params, dit_cfg, xb.astype(jnp.float32),
+                jnp.full((nb,), t_val), emb, msk,
                 num_cond_latents=0, adapters=adapters, attn_impl=attn_impl,
                 cp_mesh=cp_mesh, num_valid_latents=nv,
                 pab_reuse=pab_reuse, pab_cache=pab_state,
+                cache_cond_half=cond_only,
             )
             return out if pab_state is not None else (out, None)
         elif use_kv_cache:
             out = dit_forward_with_cache(
-                dit_params, dit_cfg, x2.astype(jnp.float32),
-                jnp.full((2 * B,), t_val), emb2, mask2, kv_cache,
+                dit_params, dit_cfg, xb.astype(jnp.float32),
+                jnp.full((nb,), t_val), emb, msk, kv_cache,
                 num_cond_latents=n_cond, adapters=adapters,
                 attn_impl=attn_impl, cp_mesh=cp_mesh, bsa_cfg=bsa_cfg,
                 num_valid_latents=nv,
                 pab_reuse=pab_reuse, pab_cache=pab_state,
+                cache_cond_half=cond_only,
             )
             return out if pab_state is not None else (out, None)
         else:
-            full2 = jnp.concatenate([cond2, x2], axis=2)
-            tsteps = jnp.zeros((2 * B, nt_total)).at[:, n_cond:].set(t_val)
+            cnd = cond_c if cond_only else cond2
+            full = jnp.concatenate([cnd, xb], axis=2)
+            tsteps = jnp.zeros((nb, nt_total)).at[:, n_cond:].set(t_val)
             v_all = dit_forward(
-                dit_params, dit_cfg, full2.astype(jnp.float32), tsteps,
-                emb2, mask2, num_cond_latents=n_cond, adapters=adapters,
+                dit_params, dit_cfg, full.astype(jnp.float32), tsteps,
+                emb, msk, num_cond_latents=n_cond, adapters=adapters,
                 attn_impl=attn_impl, cp_mesh=cp_mesh,
                 num_valid_latents=(None if nv is None
                                    else jnp.int32(n_cond) + nv),
@@ -99,27 +132,39 @@ def _denoise_scan(dit_params, dit_cfg, sched_cfg, x, sig_pairs, emb2,
         v = v_u + g * (v_c - v_u)
         return sched.euler_step(x, v, sigma, sigma_next)
 
-    if pab_cfg is None:
-        def step(x, sig_pair):
-            sigma, sigma_next = sig_pair
-            t_val = sched.sigma_to_timestep(sigma, sched_cfg)
-            v2, _ = forward(x, t_val)
-            return euler(x, v2, sigma, sigma_next), None
-
-        x, _ = jax.lax.scan(step, x, sig_pairs)
-        return x
-
-    def step_pab(carry, inp):
-        x, cache = carry
-        sig_pair, reuse = inp
+    def step(carry, inp):
+        x, pcache, cdelta = carry
+        sig_pair, p_reuse, c_reuse = inp
         sigma, sigma_next = sig_pair
         t_val = sched.sigma_to_timestep(sigma, sched_cfg)
-        v2, cache = forward(x, t_val, pab_reuse=reuse, pab_state=cache)
-        return (euler(x, v2, sigma, sigma_next), cache), None
+        if cfgr_cfg is None:
+            v2, pcache = forward(x, t_val, pab_reuse=p_reuse,
+                                 pab_state=pcache)
+        else:
+            def _full(ops):
+                x, pcache, _cd = ops
+                v2, pc = forward(x, t_val, pab_reuse=p_reuse,
+                                 pab_state=pcache)
+                return v2, pc, v2[B:] - v2[:B]
 
-    (x, pab_state), _ = jax.lax.scan(
-        step_pab, (x, pab_state), (sig_pairs, pab_reuse_flags))
-    return x, pab_state
+            def _reuse(ops):
+                x, pcache, cd = ops
+                v_c, pc_half = forward(x, t_val, pab_reuse=p_reuse,
+                                       pab_state=pcache, cond_only=True)
+                v2 = jnp.concatenate([v_c - cd.astype(v_c.dtype), v_c],
+                                     axis=0)
+                pc = (pcache if pcache is None
+                      else pcache.at[:, B:].set(pc_half))
+                return v2, pc, cd
+
+            v2, pcache, cdelta = jax.lax.cond(
+                c_reuse, _reuse, _full, (x, pcache, cdelta))
+        return (euler(x, v2, sigma, sigma_next), pcache, cdelta), None
+
+    (x, pab_state, cfg_delta), _ = jax.lax.scan(
+        step, (x, pab_state, cfg_delta),
+        (sig_pairs, pab_reuse_flags, cfg_reuse_flags))
+    return x, pab_state, cfg_delta
 
 
 
@@ -139,12 +184,20 @@ def _pab_reuse_flags(num_steps: int, pab_cfg) -> jnp.ndarray:
             flags[i] = True
     return jnp.asarray(flags)
 
+
+def _cfg_reuse_flags(num_steps: int, cfgr_cfg) -> jnp.ndarray:
+    """[num_steps] bool: True = reuse the guidance delta at that step
+    (conditional-branch-only forward). Same schedule shape as PAB;
+    step 0 never reuses (the delta starts at zeros)."""
+    flags = _pab_reuse_flags(num_steps, cfgr_cfg)
+    return flags.at[0].set(False) if num_steps > 0 else flags
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "dit_cfg", "sched_cfg", "num_gen_latents", "num_steps",
         "use_kv_cache", "attn_impl", "lat_h", "lat_w", "cp_mesh",
-        "bsa_cfg", "pab_cfg",
+        "bsa_cfg", "pab_cfg", "cfgr_cfg",
     ),
 )
 def sample_latents(
@@ -170,6 +223,7 @@ def sample_latents(
     bsa_cfg=None,
     num_valid_gen_latents: Optional[jnp.ndarray] = None,
     pab_cfg=None,
+    cfgr_cfg=None,
 ) -> jnp.ndarray:
     """Returns denoised latents for the generated region
     [B, C, num_gen_latents, lat_h, lat_w] (normalized latent space).
@@ -212,15 +266,22 @@ def sample_latents(
     if pab_cfg is not None:
         pab_state = pab_init_cache(dit_cfg, 2 * B, Lg, lat_h, lat_w)
         pab_flags = _pab_reuse_flags(num_steps, pab_cfg)
-    out = _denoise_scan(
+    cfg_delta = cfg_flags = None
+    if cfgr_cfg is not None:
+        cfg_delta = jnp.zeros((B, dit_cfg.out_channels, Lg, lat_h, lat_w),
+                              jnp.float32)
+        cfg_flags = _cfg_reuse_flags(num_steps, cfgr_cfg)
+    out, _, _ = _denoise_scan(
         dit_params, dit_cfg, sched_cfg, x, sig_pairs, emb2, mask2, g,
         cond2 if (n_cond > 0 and not use_kv_cache) else None,
         kv_cache if (n_cond > 0 and use_kv_cache) else None,
         adapters, num_valid_gen_latents, pab_state, pab_flags,
+        cfg_delta, cfg_flags,
         n_cond=n_cond, use_kv_cache=use_kv_cache, attn_impl=attn_impl,
         cp_mesh=cp_mesh, bsa_cfg=bsa_cfg, pab_cfg=pab_cfg,
+        cfgr_cfg=cfgr_cfg,
     )
-    return out[0] if pab_cfg is not None else out
+    return out
 
 
 def sample_latents_segmented(
@@ -229,6 +290,7 @@ def sample_latents_segmented(
     num_gen_latents, num_steps, lat_h, lat_w, segment_steps,
     cond_latents=None, adapters=None, use_kv_cache=True, attn_impl=None,
     cp_mesh=None, bsa_cfg=None, num_valid_gen_latents=None, pab_cfg=None,
+    cfgr_cfg=None,
 ):
     """``sample_latents`` split into ceil(num_steps/segment_steps)
     device dispatches with the denoised carry fetched between segments.
@@ -267,22 +329,27 @@ def sample_latents_segmented(
         pab_state = pab_init_cache(dit_cfg, 2 * B, num_gen_latents,
                                    lat_h, lat_w)
         pab_flags = _pab_reuse_flags(num_steps, pab_cfg)  # GLOBAL steps
+    cfg_delta = cfg_flags = None
+    if cfgr_cfg is not None:
+        cfg_delta = jnp.zeros(
+            (B, dit_cfg.out_channels, num_gen_latents, lat_h, lat_w),
+            jnp.float32)
+        cfg_flags = _cfg_reuse_flags(num_steps, cfgr_cfg)  # GLOBAL steps
     seg = max(1, int(segment_steps))
     for s in range(0, num_steps, seg):
-        out = _denoise_scan(
+        x, pab_state, cfg_delta = _denoise_scan(
             dit_params, dit_cfg, sched_cfg, x, sig_pairs[s:s + seg],
             emb2, mask2, g,
             cond2 if (n_cond > 0 and not use_kv_cache) else None,
             kv_cache if (n_cond > 0 and use_kv_cache) else None,
             adapters, num_valid_gen_latents, pab_state,
             None if pab_flags is None else pab_flags[s:s + seg],
+            cfg_delta,
+            None if cfg_flags is None else cfg_flags[s:s + seg],
             n_cond=n_cond, use_kv_cache=use_kv_cache, attn_impl=attn_impl,
             cp_mesh=cp_mesh, bsa_cfg=bsa_cfg, pab_cfg=pab_cfg,
+            cfgr_cfg=cfgr_cfg,
         )
-        if pab_cfg is not None:
-            x, pab_state = out
-        else:
-            x = out
         jax.block_until_ready(x)  # bound the in-flight execution
     return x
 

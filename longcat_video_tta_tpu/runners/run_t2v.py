@@ -40,12 +40,15 @@ def main(argv: Optional[List[str]] = None):
     p.add_argument("--pab-every", type=int, default=0,
                    help="Pyramid Attention Broadcast on the t2v denoise "
                         "loop (0 = off; see run_tta --pab-every)")
+    p.add_argument("--cfg-reuse-every", type=int, default=0,
+                   help="CFG guidance-delta reuse on the t2v denoise "
+                        "loop (0 = off; see run_tta --cfg-reuse-every)")
     p.add_argument("--compile-cache-dir", default="auto",
                    help="Persistent XLA compile cache ('off' disables; "
                         "see run_tta --compile-cache-dir)")
     args = p.parse_args(argv)
 
-    from ..config import PABConfig
+    from ..config import CFGReuseConfig, PABConfig
     from ..utils.compile_cache import enable_compile_cache
 
     enable_compile_cache(args.compile_cache_dir)
@@ -75,6 +78,8 @@ def main(argv: Optional[List[str]] = None):
             negative_prompt=args.negative_prompt, attn_impl=args.attn_impl,
             pab_cfg=(None if args.pab_every <= 0 else
                      PABConfig(every=args.pab_every)),
+            cfgr_cfg=(None if args.cfg_reuse_every <= 0 else
+                      CFGReuseConfig(every=args.cfg_reuse_every)),
         )
         path = save_video(frames,
                           os.path.join(args.output_dir, f"t2v_{i:03d}.mp4"))

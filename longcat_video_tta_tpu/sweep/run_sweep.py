@@ -78,6 +78,9 @@ _KEY_TO_FLAG = {
     "quantize_decode": "--quantize-decode",
     "remat_policy": "--remat-policy",
     "compile_cache_dir": "--compile-cache-dir",
+    "cfg_reuse_every": "--cfg-reuse-every",
+    "cfg_reuse_start_frac": "--cfg-reuse-start-frac",
+    "cfg_reuse_end_frac": "--cfg-reuse-end-frac",
     "loss_fetch_every": "--loss-fetch-every",
     # round-3 levers
     "video_parallel": "--video-parallel",

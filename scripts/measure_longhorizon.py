@@ -41,13 +41,19 @@ def main():
                          "(0 = off)")
     ap.add_argument("--pab-start", type=float, default=0.1)
     ap.add_argument("--pab-end", type=float, default=0.9)
+    ap.add_argument("--cfg-reuse-every", type=int, default=0,
+                    help="CFG guidance-delta reuse (FasterCache): run "
+                         "only the conditional branch on reuse steps "
+                         "(0 = off)")
+    ap.add_argument("--cfg-reuse-start", type=float, default=0.1)
+    ap.add_argument("--cfg-reuse-end", type=float, default=0.9)
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
 
     from longcat_video_tta_tpu.config import (
-        BSAConfig, PABConfig, longcat_bench,
+        BSAConfig, CFGReuseConfig, PABConfig, longcat_bench,
     )
     from longcat_video_tta_tpu.models import dit as M
     from longcat_video_tta_tpu.ops.quant import quantize_dit_blocks_int8
@@ -74,6 +80,9 @@ def main():
     pab = (None if args.pab_every <= 0 else PABConfig(
         every=args.pab_every, start_frac=args.pab_start,
         end_frac=args.pab_end))
+    cfgr = (None if args.cfg_reuse_every <= 0 else CFGReuseConfig(
+        every=args.cfg_reuse_every, start_frac=args.cfg_reuse_start,
+        end_frac=args.cfg_reuse_end))
 
     if args.mode == "corr":
         # fidelity vs dense bf16. NOTE: run at the geometry you intend
@@ -97,11 +106,12 @@ def main():
         fast = np.asarray(sampler(
             qparams, dcfg, cfg.scheduler, jax.random.PRNGKey(7), text,
             mask, jnp.zeros_like(text), mask, 4.0, bsa_cfg=bsa,
-            pab_cfg=pab, **kw), np.float32)
+            pab_cfg=pab, cfgr_cfg=cfgr, **kw), np.float32)
         corr = float(np.corrcoef(ref.ravel(), fast.ravel())[0, 1])
         rel = float(np.linalg.norm(fast - ref) / np.linalg.norm(ref))
         print(json.dumps({"mode": "corr", "keep": args.keep,
                           "pab_every": args.pab_every,
+                          "cfg_reuse_every": args.cfg_reuse_every,
                           "int8": not args.no_int8, "steps": args.steps,
                           "gen_latents": args.gen_latents,
                           "segment": args.segment,
@@ -118,7 +128,7 @@ def main():
     kw = dict(num_gen_latents=args.gen_latents, num_steps=args.steps,
               lat_h=lat_h, lat_w=lat_w,
               segment_steps=args.segment, cond_latents=cond,
-              use_kv_cache=True, bsa_cfg=bsa, pab_cfg=pab)
+              use_kv_cache=True, bsa_cfg=bsa, pab_cfg=pab, cfgr_cfg=cfgr)
     t0 = time.perf_counter()
     out = sample_latents_segmented(
         qparams, dcfg, cfg.scheduler, jax.random.PRNGKey(5), text, mask,
@@ -135,6 +145,7 @@ def main():
     print(json.dumps({
         "mode": "wall", "keep": args.keep, "int8": not args.no_int8,
         "int8qk": args.int8qk, "pab_every": args.pab_every,
+        "cfg_reuse_every": args.cfg_reuse_every,
         "gen_latents": args.gen_latents, "frames": frames,
         "steps": args.steps, "segment": args.segment,
         "first_incl_compile_s": round(warm_incl_compile, 1),

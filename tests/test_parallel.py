@@ -507,3 +507,52 @@ def test_bucketed_cached_decode_under_cp(inputs):
     np.testing.assert_allclose(np.asarray(out[:, :, :3]),
                                np.asarray(ref[:, :, :3]),
                                atol=2e-4, rtol=1e-3)
+
+
+def test_sample_latents_cfg_reuse_under_context_parallel(inputs):
+    """CFG guidance-delta reuse (config.CFGReuseConfig) composes with
+    ring-CP: the conditional-only forward runs the same ring shard_map
+    at batch B with the cond KV cache sliced per block in-scan
+    (models/dit.py cache_cond_half). every=1 under the ring == ring
+    without reuse (exactness); every=2 under the ring == every=2
+    unsharded (mesh-invariant approximation); segmented dispatch
+    carries the delta across segments under the mesh."""
+    from longcat_video_tta_tpu.config import CFGReuseConfig, longcat_tiny
+    from longcat_video_tta_tpu.pipeline import sample_latents
+    from longcat_video_tta_tpu.pipeline.sampler import (
+        sample_latents_segmented,
+    )
+
+    params, latents, text, mask = inputs
+    cfg = longcat_tiny()
+    mesh = build_mesh(MeshConfig(data=1, context=4, tensor=1))
+    cond = latents[:1, :, :2]
+    emb, msk = text[:1], mask[:1]
+    common = dict(num_gen_latents=2, num_steps=4, lat_h=8, lat_w=16,
+                  cond_latents=cond, attn_impl="xla", use_kv_cache=True)
+
+    def run(cp_mesh=None, cfgr_cfg=None, segment_steps=0):
+        fn = sample_latents
+        kw = dict(common)
+        if segment_steps:
+            fn = sample_latents_segmented
+            kw["segment_steps"] = segment_steps
+        args = (params, CFG, cfg.scheduler, jax.random.PRNGKey(0),
+                emb, msk, emb, msk, 4.0)
+        if cp_mesh is not None:
+            with cp_mesh:
+                return np.asarray(fn(*args, cp_mesh=cp_mesh,
+                                     cfgr_cfg=cfgr_cfg, **kw))
+        return np.asarray(fn(*args, cfgr_cfg=cfgr_cfg, **kw))
+
+    cp_ref = run(cp_mesh=mesh)
+    r1_cp = run(cp_mesh=mesh, cfgr_cfg=CFGReuseConfig(every=1))
+    np.testing.assert_allclose(r1_cp, cp_ref, atol=1e-5, rtol=1e-5)
+
+    r2_cfg = CFGReuseConfig(every=2, start_frac=0.25, end_frac=1.0)
+    r2 = run(cfgr_cfg=r2_cfg)
+    r2_cp = run(cp_mesh=mesh, cfgr_cfg=r2_cfg)
+    np.testing.assert_allclose(r2_cp, r2, atol=2e-4, rtol=1e-3)
+
+    seg = run(cp_mesh=mesh, cfgr_cfg=r2_cfg, segment_steps=2)
+    np.testing.assert_allclose(seg, r2_cp, atol=1e-5, rtol=1e-5)

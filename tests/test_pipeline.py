@@ -296,3 +296,176 @@ def test_pab_composes_with_bucket_and_bsa(bundle):
                                         end_frac=1.0))
     assert out.shape == (5, 16, 32, 3)
     assert np.isfinite(out).all()
+
+
+# ---------------------------------------------------------------------------
+# CFG guidance-delta reuse (config.CFGReuseConfig; FasterCache,
+# arXiv:2410.19355)
+# ---------------------------------------------------------------------------
+
+
+def _cfgr_run(bundle, cond, emb, mask, nemb, nmask, g=4.0, **kw):
+    common = dict(num_gen_latents=2, num_steps=6, lat_h=2, lat_w=4,
+                  cond_latents=cond, use_kv_cache=True)
+    common.update(kw)
+    return np.asarray(sample_latents(
+        bundle.dit_params, CFG.dit, CFG.scheduler, jax.random.PRNGKey(0),
+        emb, mask, nemb, nmask, g, **common))
+
+
+def test_cfg_reuse_every1_exact_every2_faithful_segment_carry(bundle):
+    """every=1 never reuses, so the CFG-reuse code path must reproduce
+    the plain sampler exactly; every=2 approximates (finite, correlated
+    at tiny scale); segmented dispatch must carry the guidance delta
+    across segments and bit-match the one-dispatch result."""
+    from longcat_video_tta_tpu.config import CFGReuseConfig
+    from longcat_video_tta_tpu.pipeline.sampler import (
+        sample_latents_segmented,
+    )
+
+    cond = bundle.encode_video(
+        jax.random.uniform(jax.random.PRNGKey(3), (1, 3, 5, 16, 32),
+                           minval=-1.0, maxval=1.0))
+    emb, mask = bundle.encode_prompt("hello")
+    nemb, nmask = bundle.encode_prompt("")
+
+    base = _cfgr_run(bundle, cond, emb, mask, nemb, nmask)
+    r1 = _cfgr_run(bundle, cond, emb, mask, nemb, nmask,
+                   cfgr_cfg=CFGReuseConfig(every=1))
+    np.testing.assert_allclose(r1, base, atol=1e-5, rtol=1e-5)
+
+    cfgr2 = CFGReuseConfig(every=2, start_frac=0.2, end_frac=1.0)
+    r2 = _cfgr_run(bundle, cond, emb, mask, nemb, nmask, cfgr_cfg=cfgr2)
+    assert np.isfinite(r2).all()
+    assert not np.allclose(r2, base)  # approximation engaged
+    c = np.corrcoef(r2.ravel(), base.ravel())[0, 1]
+    assert c > 0.8, c
+
+    seg = np.asarray(sample_latents_segmented(
+        bundle.dit_params, CFG.dit, CFG.scheduler, jax.random.PRNGKey(0),
+        emb, mask, nemb, nmask, 4.0, segment_steps=2,
+        num_gen_latents=2, num_steps=6, lat_h=2, lat_w=4,
+        cond_latents=cond, use_kv_cache=True, cfgr_cfg=cfgr2))
+    np.testing.assert_allclose(seg, r2, atol=1e-5, rtol=1e-5)
+
+
+def test_cfg_reuse_guidance1_is_exact(bundle):
+    """At guidance_scale=1 the euler update consumes only v_cond, so
+    CFG-reuse must be EXACT at any schedule — this isolates the
+    conditional-half plumbing (text/KV-cache slices, batch-B forward)
+    from the delta approximation."""
+    from longcat_video_tta_tpu.config import CFGReuseConfig
+
+    cond = bundle.encode_video(
+        jax.random.uniform(jax.random.PRNGKey(5), (1, 3, 5, 16, 32),
+                           minval=-1.0, maxval=1.0))
+    emb, mask = bundle.encode_prompt("hello")
+    nemb, nmask = bundle.encode_prompt("")
+    base = _cfgr_run(bundle, cond, emb, mask, nemb, nmask, g=1.0)
+    r = _cfgr_run(bundle, cond, emb, mask, nemb, nmask, g=1.0,
+                  cfgr_cfg=CFGReuseConfig(every=3, start_frac=0.0,
+                                          end_frac=1.0))
+    np.testing.assert_allclose(r, base, atol=1e-5, rtol=1e-5)
+
+
+def test_cfg_reuse_matches_hand_rolled_reference(bundle):
+    """The scan implementation must match a step-by-step python loop of
+    the FasterCache recipe: full steps compute both CFG branches and
+    refresh delta = v_c - v_u; reuse steps compute only the conditional
+    branch and reconstruct v_u = v_c - delta."""
+    from longcat_video_tta_tpu.config import CFGReuseConfig
+    from longcat_video_tta_tpu.models import scheduler as sched
+    from longcat_video_tta_tpu.models.dit import (
+        dit_forward_with_cache, dit_precompute_cond_cache,
+    )
+    from longcat_video_tta_tpu.pipeline.sampler import _cfg_reuse_flags
+
+    cond = bundle.encode_video(
+        jax.random.uniform(jax.random.PRNGKey(7), (1, 3, 5, 16, 32),
+                           minval=-1.0, maxval=1.0))
+    emb, mask = bundle.encode_prompt("hello")
+    nemb, nmask = bundle.encode_prompt("")
+    num_steps, g = 6, 4.0
+    cfgr = CFGReuseConfig(every=2, start_frac=0.2, end_frac=1.0)
+    n_cond = cond.shape[2]
+
+    out = _cfgr_run(bundle, cond, emb, mask, nemb, nmask, g=g,
+                    cfgr_cfg=cfgr)
+
+    flags = np.asarray(_cfg_reuse_flags(num_steps, cfgr))
+    assert flags.any() and not flags.all() and not flags[0]
+    sigmas = sched.build_sigmas(num_steps, CFG.scheduler)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, CFG.dit.in_channels,
+                                                  2, 2, 4), jnp.float32)
+    x = x * sigmas[0]
+    emb2 = jnp.concatenate([nemb, emb], axis=0)
+    mask2 = jnp.concatenate([nmask, mask], axis=0)
+    cond2 = jnp.concatenate([cond, cond], axis=0)
+    kv = dit_precompute_cond_cache(bundle.dit_params, CFG.dit, cond2,
+                                   emb2, mask2)
+    kv_c = jax.tree.map(lambda a: a[:, 1:], kv)
+    delta = jnp.zeros_like(x)
+    for i in range(num_steps):
+        t_val = sched.sigma_to_timestep(sigmas[i], CFG.scheduler)
+        if flags[i]:
+            v_c = dit_forward_with_cache(
+                bundle.dit_params, CFG.dit, x.astype(jnp.float32),
+                jnp.full((1,), t_val), emb2[1:], mask2[1:], kv_c,
+                num_cond_latents=n_cond)
+            v_u = v_c - delta
+        else:
+            v2 = dit_forward_with_cache(
+                bundle.dit_params, CFG.dit,
+                jnp.concatenate([x, x]).astype(jnp.float32),
+                jnp.full((2,), t_val), emb2, mask2, kv,
+                num_cond_latents=n_cond)
+            v_u, v_c = v2[:1], v2[1:]
+            delta = v_c - v_u
+        v = v_u + g * (v_c - v_u)
+        x = sched.euler_step(x, v, sigmas[i], sigmas[i + 1])
+    np.testing.assert_allclose(np.asarray(x), out, atol=1e-4, rtol=1e-4)
+
+
+def test_cfg_reuse_composes_with_pab_and_paths(bundle):
+    """CFG-reuse x PAB: both at every=1 stay exact; both engaged stay
+    finite. Also covers the t2v (n_cond=0) and no-KV-cache paths, and
+    the generate_vc wiring incl. the mmdit/cogvideox fail-loud."""
+    from longcat_video_tta_tpu.config import CFGReuseConfig, PABConfig
+
+    cond = bundle.encode_video(
+        jax.random.uniform(jax.random.PRNGKey(9), (1, 3, 5, 16, 32),
+                           minval=-1.0, maxval=1.0))
+    emb, mask = bundle.encode_prompt("hello")
+    nemb, nmask = bundle.encode_prompt("")
+
+    base = _cfgr_run(bundle, cond, emb, mask, nemb, nmask)
+    both1 = _cfgr_run(bundle, cond, emb, mask, nemb, nmask,
+                      cfgr_cfg=CFGReuseConfig(every=1),
+                      pab_cfg=PABConfig(every=1))
+    np.testing.assert_allclose(both1, base, atol=1e-5, rtol=1e-5)
+    both2 = _cfgr_run(
+        bundle, cond, emb, mask, nemb, nmask,
+        cfgr_cfg=CFGReuseConfig(every=2, start_frac=0.2, end_frac=1.0),
+        pab_cfg=PABConfig(every=2, start_frac=0.2, end_frac=0.9))
+    assert np.isfinite(both2).all()
+
+    # no-KV-cache continuation path
+    nc = _cfgr_run(bundle, cond, emb, mask, nemb, nmask,
+                   use_kv_cache=False,
+                   cfgr_cfg=CFGReuseConfig(every=2, start_frac=0.2,
+                                           end_frac=1.0))
+    assert np.isfinite(nc).all()
+
+    # t2v (n_cond=0) through the product wrapper
+    t2v = generate_t2v(bundle, "a cat", num_frames=5, height=16, width=32,
+                       num_inference_steps=4, seed=0,
+                       cfgr_cfg=CFGReuseConfig(every=2, start_frac=0.25,
+                                               end_frac=1.0))
+    assert t2v.shape == (5, 16, 32, 3) and np.isfinite(t2v).all()
+
+    cond_px = jax.random.uniform(jax.random.PRNGKey(4), (1, 3, 5, 16, 32),
+                                 minval=-1.0, maxval=1.0)
+    out = generate_vc(bundle, cond_px, "a dog", num_frames=5,
+                      num_inference_steps=4, seed=0,
+                      cfgr_cfg=CFGReuseConfig(every=2))
+    assert out.shape == (5, 16, 32, 3)
