@@ -148,7 +148,8 @@ def _ln_zero(npz, temb, hidden, enc, cdtype):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "attn_impl"))
+@functools.partial(jax.jit, static_argnames=("cfg", "attn_impl",
+                                              "cache_cond_half"))
 def cogvideox_forward(
     params: Dict[str, Any],
     cfg: CogVideoXConfig,
@@ -160,8 +161,15 @@ def cogvideox_forward(
     attn_impl: Optional[str] = None,
     pab_reuse: Optional[jnp.ndarray] = None,
     pab_cache=None,
+    cache_cond_half: bool = False,
 ) -> jnp.ndarray:
     """-> prediction [B, out_channels, T, H_lat, W_lat] fp32.
+
+    ``cache_cond_half``: CFG-reuse conditional-only forward —
+    ``pab_cache`` carries the full CFG batch (2B) while the inputs
+    carry B; each block slices the second (conditional) half of its
+    cache row in-scan (block-sized scratch, no materialized half-batch
+    cache copy; see models/dit.py).
 
     ``pab_reuse``/``pab_cache``: Pyramid Attention Broadcast
     (arXiv:2408.2588-style, see models/dit.py) — ``pab_cache`` holds
@@ -276,9 +284,12 @@ def cogvideox_forward(
         vid = vid + g * h[:, L:]
         return (vid, txt), o
 
+    nb = latents.shape[0]
     if pab_cache is not None:
         def body(carry, xs):
             bp, lora, cache_blk = xs
+            if cache_cond_half:
+                cache_blk = cache_blk[cache_blk.shape[0] - nb:]
             carry, o = block(carry, bp, lora, cache_blk)
             return carry, o
 

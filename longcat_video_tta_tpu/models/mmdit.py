@@ -291,7 +291,8 @@ def _single_block(bp, lora, lscale, x, vec, cos, sin, cfg: MMDiTConfig,
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "attn_impl"))
+@functools.partial(jax.jit, static_argnames=("cfg", "attn_impl",
+                                              "cache_cond_first"))
 def mmdit_forward(
     params: Dict[str, Any],
     cfg: MMDiTConfig,
@@ -305,8 +306,16 @@ def mmdit_forward(
     attn_impl: Optional[str] = None,
     pab_reuse: Optional[jnp.ndarray] = None,
     pab_cache=None,
+    cache_cond_first: bool = False,
 ) -> jnp.ndarray:
     """Velocity prediction [B, C, T, H_lat, W_lat] in fp32.
+
+    ``cache_cond_first``: CFG-reuse conditional-only forward — the
+    triple-CFG batch layout here is [cond, uncond, uncond2], so
+    ``pab_cache`` carries 3B rows while the inputs carry B; each block
+    slices the FIRST third of its cache row in-scan (block-sized
+    scratch, no materialized third-batch cache copy; see
+    models/dit.py cache_cond_half).
 
     ``pab_reuse``/``pab_cache``: Pyramid Attention Broadcast (see
     models/dit.py): ``pab_cache`` = (dbl, sgl) per-block joint-attention
@@ -356,20 +365,24 @@ def mmdit_forward(
     lora_s = adapters.get("lora_single") or {}
     if pab_cache is not None:
         dbl_cache, sgl_cache = pab_cache
+        nb = latents.shape[0]
+
+        def _first(cb):
+            return cb[:nb] if cache_cond_first else cb
 
         def dbl_body(carry, xs):
             bp, lora, cb = xs
             img, txt_h = carry
             img, txt_h, o = _double_block(
                 bp, lora, lscale, img, txt_h, vec, cos, sin, cfg,
-                attn_impl, pab_reuse=pab_reuse, pab_cache=cb)
+                attn_impl, pab_reuse=pab_reuse, pab_cache=_first(cb))
             return (img, txt_h), o
 
         def sgl_body(carry, xs):
             bp, lora, cb = xs
             out, o = _single_block(bp, lora, lscale, carry, vec, cos, sin,
                                    cfg, attn_impl, pab_reuse=pab_reuse,
-                                   pab_cache=cb)
+                                   pab_cache=_first(cb))
             return out, o
 
         dbl_body_fn = remat_wrap(dbl_body, cfg.remat, cfg.remat_policy)

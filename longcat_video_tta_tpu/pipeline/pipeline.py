@@ -309,7 +309,7 @@ def generate_vc(
         # padding changes the conditioning channel layout. Segmented
         # dispatch (gen_segment_steps) IS supported on all three archs.
         for flag, name in ((bsa_cfg, "bsa_cfg"), (bucket_gen, "bucket_gen"),
-                           (cp_mesh, "cp_mesh"), (cfgr_cfg, "cfgr_cfg")):
+                           (cp_mesh, "cp_mesh")):
             if flag:
                 raise NotImplementedError(
                     f"{name} is not supported on the {cfg.arch} decode "
@@ -364,6 +364,7 @@ def generate_vc(
             guidance=float(guidance_scale),
             attn_impl=attn_impl,
             pab_cfg=pab_cfg,
+            cfgr_cfg=cfgr_cfg,
         )
         if gen_segment_steps > 0:
             full = sample_latents_cogvideox_segmented(
@@ -401,6 +402,7 @@ def generate_vc(
             guidance=float(guidance_scale),
             attn_impl=attn_impl,
             pab_cfg=pab_cfg,
+            cfgr_cfg=cfgr_cfg,
         )
         if gen_segment_steps > 0:
             full = sample_latents_mmdit_segmented(

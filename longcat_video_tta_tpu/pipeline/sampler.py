@@ -377,7 +377,7 @@ def flux_time_shift(ts: jnp.ndarray, image_seq_len: int) -> jnp.ndarray:
     jax.jit,
     static_argnames=("cfg", "num_gen_latents", "num_steps", "lat_h", "lat_w",
                      "guidance", "guidance_img", "shift", "attn_impl",
-                     "pab_cfg"),
+                     "pab_cfg", "cfgr_cfg"),
 )
 def sample_latents_mmdit(
     params: Dict[str, Any],
@@ -397,6 +397,7 @@ def sample_latents_mmdit(
     shift: bool = True,
     attn_impl: Optional[str] = None,
     pab_cfg=None,
+    cfgr_cfg=None,
 ) -> jnp.ndarray:
     """Open-Sora v2 v2v/i2v denoise loop as one ``lax.scan``
     (reference: run_full_tta_opensora.py:149-260): triple-batch CFG
@@ -408,24 +409,33 @@ def sample_latents_mmdit(
         cfg, rng, txt3, num_gen_latents, num_steps, lat_h, lat_w,
         cond_latents, shift)
     g_vec = jnp.full((txt3.shape[0],), guidance, jnp.float32)
+    cache, pab_flags = _mmdit_pab_init(
+        cfg, txt3, num_gen_latents, num_steps, lat_h, lat_w,
+        cond_latents, pab_cfg)
+    deltas = cfg_flags = None
+    if cfgr_cfg is not None:
+        deltas = (jnp.zeros_like(x), jnp.zeros_like(x))
+        cfg_flags = _cfg_reuse_flags(num_steps, cfgr_cfg)
+    step = _mmdit_denoise_step(params, cfg, txt3, y_vec3, cond3, g_vec,
+                               guidance, guidance_img, adapters,
+                               attn_impl, pab=pab_cfg is not None,
+                               cfgr=cfgr_cfg is not None)
+    (x, _, _), _ = jax.lax.scan(step, (x, cache, deltas),
+                                (t_pairs, pab_flags, cfg_flags))
+    return x
+
+
+def _mmdit_pab_init(cfg, txt3, num_gen_latents, num_steps, lat_h, lat_w,
+                    cond_latents, pab_cfg):
     if pab_cfg is None:
-        step = _mmdit_denoise_step(params, cfg, txt3, y_vec3, cond3,
-                                   g_vec, guidance, guidance_img,
-                                   adapters, attn_impl)
-        x, _ = jax.lax.scan(step, x, t_pairs)
-        return x
+        return None, None
     from ..models.mmdit import pab_init_cache_mmdit
 
     t_cond = 0 if cond_latents is None else cond_latents.shape[2]
     cache = pab_init_cache_mmdit(cfg, txt3.shape[0],
                                  t_cond + num_gen_latents, lat_h, lat_w,
                                  txt3.shape[1])
-    flags = _pab_reuse_flags(num_steps, pab_cfg)
-    step = _mmdit_denoise_step(params, cfg, txt3, y_vec3, cond3, g_vec,
-                               guidance, guidance_img, adapters,
-                               attn_impl, pab=True)
-    (x, cache), _ = jax.lax.scan(step, (x, cache), (t_pairs, flags))
-    return x
+    return cache, _pab_reuse_flags(num_steps, pab_cfg)
 
 
 def _mmdit_setup(cfg, rng, txt3, num_gen_latents, num_steps, lat_h, lat_w,
@@ -455,10 +465,20 @@ def _mmdit_setup(cfg, rng, txt3, num_gen_latents, num_steps, lat_h, lat_w,
 
 
 def _mmdit_denoise_step(params, cfg, txt3, y_vec3, cond3, g_vec, guidance,
-                        guidance_img, adapters, attn_impl, pab=False):
+                        guidance_img, adapters, attn_impl, pab=False,
+                        cfgr=False):
     """Shared denoise-step body for the one-dispatch and segmented
-    MMDiT samplers (identical math by construction). ``pab=True`` makes
-    the carry (x, attn_caches) and the xs (t_pair, reuse_flag)."""
+    MMDiT samplers (identical math by construction), over a unified
+    carry ``(x, attn_caches, deltas)`` and xs
+    ``(t_pair, pab_flag, cfg_flag)`` (unused slots None).
+
+    ``cfgr``: CFG guidance-delta reuse for the triple-CFG batch
+    [cond, uncond, uncond2] (FasterCache, arXiv:2410.19355): reuse
+    steps run only the conditional third (batch B, ONE-THIRD the model
+    FLOPs; PAB caches' first third sliced per block in-scan via
+    mmdit_forward cache_cond_first) and reconstruct
+    ``u = c - d1`` and ``u2 = u - d2`` from the two deltas cached at
+    the last full step."""
     B = txt3.shape[0] // 3
 
     from ..models.mmdit import mmdit_forward
@@ -469,95 +489,107 @@ def _mmdit_denoise_step(params, cfg, txt3, y_vec3, cond3, g_vec, guidance,
                     + guidance * (c_pred - u_pred))
         return x + (t_prev - t_curr) * combined
 
-    def step(x, t_pair):
-        t_curr, t_prev = t_pair[0], t_pair[1]
-        x3 = jnp.concatenate([x, x, x], axis=0)
-        pred = mmdit_forward(
-            params, cfg, x3, jnp.broadcast_to(t_curr, (3 * B,)), txt3,
-            y_vec3, cond=cond3, guidance=g_vec, adapters=adapters,
-            attn_impl=attn_impl,
+    def forward(x, t_curr, p_reuse, cache, cond_only=False):
+        nb = B if cond_only else 3 * B
+        xb = x if cond_only else jnp.concatenate([x, x, x], axis=0)
+        out = mmdit_forward(
+            params, cfg, xb, jnp.broadcast_to(t_curr, (nb,)),
+            txt3[:B] if cond_only else txt3,
+            y_vec3[:B] if cond_only else y_vec3,
+            cond=(None if cond3 is None else
+                  (cond3[:B] if cond_only else cond3)),
+            guidance=g_vec[:B] if cond_only else g_vec,
+            adapters=adapters, attn_impl=attn_impl,
+            pab_reuse=p_reuse, pab_cache=cache,
+            cache_cond_first=cond_only,
         )
-        return combine(x, pred, t_curr, t_prev), None
+        return out if cache is not None else (out, None)
 
-    def step_pab(carry, inp):
-        x, cache = carry
-        t_pair, reuse = inp
+    def step(carry, inp):
+        x, cache, deltas = carry
+        t_pair, p_reuse, c_reuse = inp
         t_curr, t_prev = t_pair[0], t_pair[1]
-        x3 = jnp.concatenate([x, x, x], axis=0)
-        pred, cache = mmdit_forward(
-            params, cfg, x3, jnp.broadcast_to(t_curr, (3 * B,)), txt3,
-            y_vec3, cond=cond3, guidance=g_vec, adapters=adapters,
-            attn_impl=attn_impl, pab_reuse=reuse, pab_cache=cache,
-        )
-        return (combine(x, pred, t_curr, t_prev), cache), None
+        if not cfgr:
+            pred, cache = forward(x, t_curr, p_reuse, cache)
+        else:
+            def _full(ops):
+                x, cache, _d = ops
+                pred, c = forward(x, t_curr, p_reuse, cache)
+                cp, up, u2p = pred[:B], pred[B:2 * B], pred[2 * B:]
+                return pred, c, (cp - up, up - u2p)
 
-    return step_pab if pab else step
+            def _reuse(ops):
+                x, cache, (d1, d2) = ops
+                cp, c_first = forward(x, t_curr, p_reuse, cache,
+                                      cond_only=True)
+                up = cp - d1.astype(cp.dtype)
+                u2p = up - d2.astype(cp.dtype)
+                pred = jnp.concatenate([cp, up, u2p], axis=0)
+                if cache is not None:
+                    # write the refreshed conditional third back into
+                    # each cache (double, single)
+                    cache = jax.tree.map(
+                        lambda full, half: full.at[:, :B].set(half),
+                        cache, c_first)
+                return pred, cache, (d1, d2)
+
+            pred, cache, deltas = jax.lax.cond(
+                c_reuse, _reuse, _full, (x, cache, deltas))
+        return (combine(x, pred, t_curr, t_prev), cache, deltas), None
+
+    return step
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "guidance", "guidance_img", "attn_impl"),
-)
-def _mmdit_scan_segment(params, cfg, x, t_pairs_seg, txt3, y_vec3, cond3,
-                        adapters, guidance, guidance_img, attn_impl):
+    static_argnames=("cfg", "guidance", "guidance_img", "attn_impl",
+                     "pab", "cfgr"),
+    donate_argnums=(2,))
+def _mmdit_scan_segment(params, cfg, carry, xs, txt3, y_vec3, cond3,
+                        adapters, guidance, guidance_img, attn_impl, *,
+                        pab=False, cfgr=False):
     g_vec = jnp.full((txt3.shape[0],), guidance, jnp.float32)
     step = _mmdit_denoise_step(params, cfg, txt3, y_vec3, cond3, g_vec,
-                               guidance, guidance_img, adapters, attn_impl)
-    x, _ = jax.lax.scan(step, x, t_pairs_seg)
-    return x
+                               guidance, guidance_img, adapters, attn_impl,
+                               pab=pab, cfgr=cfgr)
+    carry, _ = jax.lax.scan(step, carry, xs)
+    return carry
 
 
 def sample_latents_mmdit_segmented(
     params, cfg, rng, txt3, y_vec3, *, num_gen_latents, num_steps,
     lat_h, lat_w, segment_steps, cond_latents=None, adapters=None,
     guidance: float = 7.5, guidance_img: float = 3.0, shift: bool = True,
-    attn_impl=None, pab_cfg=None,
+    attn_impl=None, pab_cfg=None, cfgr_cfg=None,
 ):
     """``sample_latents_mmdit`` split into bounded device dispatches
     (the long-execution-fault workaround, same as
     sample_latents_segmented). Numerically identical: same noise draw,
     same per-step math via the shared setup + step body. ``pab_cfg``
-    carries the attention caches across segments with global flags."""
+    carries the attention caches across segments with global flags;
+    ``cfgr_cfg`` carries the two guidance deltas the same way."""
     x, cond3, t_pairs = _mmdit_setup(
         cfg, rng, txt3, num_gen_latents, num_steps, lat_h, lat_w,
         cond_latents, shift)
-    cache = flags = None
-    if pab_cfg is not None:
-        from ..models.mmdit import pab_init_cache_mmdit
-
-        t_cond = 0 if cond_latents is None else cond_latents.shape[2]
-        cache = pab_init_cache_mmdit(
-            cfg, txt3.shape[0], t_cond + num_gen_latents, lat_h, lat_w,
-            txt3.shape[1])
-        flags = _pab_reuse_flags(num_steps, pab_cfg)
+    cache, pab_flags = _mmdit_pab_init(
+        cfg, txt3, num_gen_latents, num_steps, lat_h, lat_w,
+        cond_latents, pab_cfg)
+    deltas = cfg_flags = None
+    if cfgr_cfg is not None:
+        deltas = (jnp.zeros_like(x), jnp.zeros_like(x))
+        cfg_flags = _cfg_reuse_flags(num_steps, cfgr_cfg)
+    carry = (x, cache, deltas)
     seg = max(1, int(segment_steps))
     for s in range(0, num_steps, seg):
-        if pab_cfg is not None:
-            x, cache = _mmdit_scan_segment_pab(
-                params, cfg, x, cache,
-                (t_pairs[s:s + seg], flags[s:s + seg]), txt3, y_vec3,
-                cond3, adapters, guidance, guidance_img, attn_impl)
-        else:
-            x = _mmdit_scan_segment(
-                params, cfg, x, t_pairs[s:s + seg], txt3, y_vec3, cond3,
-                adapters, guidance, guidance_img, attn_impl)
-        x.block_until_ready()
-    return x
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("cfg", "guidance", "guidance_img", "attn_impl"),
-    donate_argnums=(3,))
-def _mmdit_scan_segment_pab(params, cfg, x, cache, xs, txt3, y_vec3,
-                            cond3, adapters, guidance, guidance_img,
-                            attn_impl):
-    g_vec = jnp.full((txt3.shape[0],), guidance, jnp.float32)
-    step = _mmdit_denoise_step(params, cfg, txt3, y_vec3, cond3, g_vec,
-                               guidance, guidance_img, adapters,
-                               attn_impl, pab=True)
-    (x, cache), _ = jax.lax.scan(step, (x, cache), xs)
-    return x, cache
+        xs = (t_pairs[s:s + seg],
+              None if pab_flags is None else pab_flags[s:s + seg],
+              None if cfg_flags is None else cfg_flags[s:s + seg])
+        carry = _mmdit_scan_segment(
+            params, cfg, carry, xs, txt3, y_vec3, cond3, adapters,
+            guidance, guidance_img, attn_impl, pab=pab_cfg is not None,
+            cfgr=cfgr_cfg is not None)
+        carry[0].block_until_ready()
+    return carry[0]
 
 
 # ---------------------------------------------------------------------------
@@ -584,7 +616,8 @@ def cogvideox_alphas_cumprod(num_train_timesteps: int = 1000,
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "num_gen_latents", "num_steps", "lat_h",
-                     "lat_w", "guidance", "attn_impl", "pab_cfg"),
+                     "lat_w", "guidance", "attn_impl", "pab_cfg",
+                     "cfgr_cfg"),
 )
 def sample_latents_cogvideox(
     params: Dict[str, Any],
@@ -601,6 +634,7 @@ def sample_latents_cogvideox(
     guidance: float = 6.0,
     attn_impl: Optional[str] = None,
     pab_cfg=None,
+    cfgr_cfg=None,
 ) -> jnp.ndarray:
     """CogVideoX-I2V DDIM (eta=0) v-prediction loop as one ``lax.scan``
     (the diffusers CogVideoXImageToVideoPipeline denoise semantics used
@@ -609,27 +643,39 @@ def sample_latents_cogvideox(
     [B, C, T_cond + num_gen, H, W].
 
     ``pab_cfg``: Pyramid Attention Broadcast over the joint-attention
-    outputs (models/cogvideox.py pab_* plumbing)."""
+    outputs (models/cogvideox.py pab_* plumbing). ``cfgr_cfg``: CFG
+    guidance-delta reuse (config.CFGReuseConfig; conditional-only
+    forwards on reuse steps)."""
     x, img_lat2, xs = _cogvideox_setup(
         cfg, rng, text_emb2, num_gen_latents, num_steps, lat_h, lat_w,
         cond_latents)
+    cache, pab_flags = _cogvideox_pab_init(
+        cfg, text_emb2, num_gen_latents, num_steps, lat_h, lat_w,
+        cond_latents, pab_cfg)
+    delta = cfg_flags = None
+    if cfgr_cfg is not None:
+        delta = jnp.zeros_like(x)
+        cfg_flags = _cfg_reuse_flags(num_steps, cfgr_cfg)
     step = _cogvideox_denoise_step(params, cfg, text_emb2, img_lat2,
-                                   guidance, adapters, attn_impl)
+                                   guidance, adapters, attn_impl,
+                                   pab=pab_cfg is not None,
+                                   cfgr=cfgr_cfg is not None)
+    (x, _, _), _ = jax.lax.scan(step, (x, cache, delta),
+                                (*xs, pab_flags, cfg_flags))
+    return x
+
+
+def _cogvideox_pab_init(cfg, text_emb2, num_gen_latents, num_steps,
+                        lat_h, lat_w, cond_latents, pab_cfg):
     if pab_cfg is None:
-        x, _ = jax.lax.scan(step, x, xs)
-        return x
+        return None, None
     from ..models.cogvideox import pab_init_cache_cogvideox
 
     t_cond = 0 if cond_latents is None else cond_latents.shape[2]
     cache = pab_init_cache_cogvideox(
         cfg, text_emb2.shape[0], t_cond + num_gen_latents, lat_h, lat_w,
         text_emb2.shape[1])
-    flags = _pab_reuse_flags(num_steps, pab_cfg)
-    step_pab = _cogvideox_denoise_step(params, cfg, text_emb2, img_lat2,
-                                       guidance, adapters, attn_impl,
-                                       pab=True)
-    (x, cache), _ = jax.lax.scan(step_pab, (x, cache), (*xs, flags))
-    return x
+    return cache, _pab_reuse_flags(num_steps, pab_cfg)
 
 
 def _cogvideox_setup(cfg, rng, text_emb2, num_gen_latents, num_steps,
@@ -659,10 +705,17 @@ def _cogvideox_setup(cfg, rng, text_emb2, num_gen_latents, num_steps,
 
 
 def _cogvideox_denoise_step(params, cfg, text_emb2, img_lat2, guidance,
-                            adapters, attn_impl, pab=False):
+                            adapters, attn_impl, pab=False, cfgr=False):
     """Shared DDIM v-pred step body for the one-dispatch and segmented
-    CogVideoX samplers. ``pab=True`` makes the carry (x, attn_cache)
-    and the xs (t, a_t, a_prev, reuse_flag)."""
+    CogVideoX samplers, over a unified carry ``(x, attn_cache, delta)``
+    (``attn_cache``/``delta`` are None when PAB / CFG-reuse is off) and
+    xs ``(t, a_t, a_prev, pab_flag, cfg_flag)`` (flags None when off).
+
+    ``cfgr``: CFG guidance-delta reuse (FasterCache, arXiv:2410.19355,
+    same recipe as the LongCat ``_denoise_scan``): reuse steps run only
+    the conditional branch (batch B; the PAB cache's conditional half
+    sliced per block in-scan via cache_cond_half) and reconstruct
+    ``v_uncond = v_cond - delta``."""
     B = text_emb2.shape[0] // 2
 
     from ..models.cogvideox import cogvideox_forward
@@ -673,87 +726,94 @@ def _cogvideox_denoise_step(params, cfg, text_emb2, img_lat2, guidance,
         eps = sq_1a * x + sq_a * v
         return jnp.sqrt(a_prev) * x0 + jnp.sqrt(1.0 - a_prev) * eps
 
-    def step(x, inp):
-        t, a_t, a_prev = inp
-        x2 = jnp.concatenate([x, x], axis=0)
-        pred = cogvideox_forward(
-            params, cfg, x2, jnp.broadcast_to(t, (2 * B,)).astype(
-                jnp.float32), text_emb2,
-            image_latents=img_lat2, adapters=adapters, attn_impl=attn_impl,
+    def forward(x, t, p_reuse, cache, cond_only=False):
+        nb = B if cond_only else 2 * B
+        xb = x if cond_only else jnp.concatenate([x, x], axis=0)
+        out = cogvideox_forward(
+            params, cfg, xb, jnp.broadcast_to(t, (nb,)).astype(
+                jnp.float32),
+            text_emb2[B:] if cond_only else text_emb2,
+            image_latents=(None if img_lat2 is None else
+                           (img_lat2[B:] if cond_only else img_lat2)),
+            adapters=adapters, attn_impl=attn_impl,
+            pab_reuse=p_reuse, pab_cache=cache,
+            cache_cond_half=cond_only,
         )
-        uncond, cond = pred[:B], pred[B:]
-        v = uncond + guidance * (cond - uncond)
-        return ddim(x, v, a_t, a_prev), None
+        return out if cache is not None else (out, None)
 
-    def step_pab(carry, inp):
-        x, cache = carry
-        t, a_t, a_prev, reuse = inp
-        x2 = jnp.concatenate([x, x], axis=0)
-        pred, cache = cogvideox_forward(
-            params, cfg, x2, jnp.broadcast_to(t, (2 * B,)).astype(
-                jnp.float32), text_emb2,
-            image_latents=img_lat2, adapters=adapters, attn_impl=attn_impl,
-            pab_reuse=reuse, pab_cache=cache,
-        )
-        uncond, cond = pred[:B], pred[B:]
-        v = uncond + guidance * (cond - uncond)
-        return (ddim(x, v, a_t, a_prev), cache), None
+    def step(carry, inp):
+        x, cache, delta = carry
+        t, a_t, a_prev, p_reuse, c_reuse = inp
+        if not cfgr:
+            pred, cache = forward(x, t, p_reuse, cache)
+            uncond, cond = pred[:B], pred[B:]
+        else:
+            def _full(ops):
+                x, cache, _d = ops
+                pred, c = forward(x, t, p_reuse, cache)
+                return pred, c, pred[B:] - pred[:B]
 
-    return step_pab if pab else step
+            def _reuse(ops):
+                x, cache, d = ops
+                cond, c_half = forward(x, t, p_reuse, cache,
+                                       cond_only=True)
+                pred = jnp.concatenate(
+                    [cond - d.astype(cond.dtype), cond], axis=0)
+                c = cache if cache is None else cache.at[:, B:].set(c_half)
+                return pred, c, d
+
+            pred, cache, delta = jax.lax.cond(
+                c_reuse, _reuse, _full, (x, cache, delta))
+            uncond, cond = pred[:B], pred[B:]
+        v = uncond + guidance * (cond - uncond)
+        return (ddim(x, v, a_t, a_prev), cache, delta), None
+
+    return step
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("cfg", "guidance", "attn_impl"))
-def _cogvideox_scan_segment(params, cfg, x, xs, text_emb2, img_lat2,
-                            adapters, guidance, attn_impl):
+                   static_argnames=("cfg", "guidance", "attn_impl",
+                                    "pab", "cfgr"),
+                   donate_argnums=(3,))
+def _cogvideox_scan_segment(params, cfg, carry, xs, text_emb2, img_lat2,
+                            adapters, guidance, attn_impl, *, pab=False,
+                            cfgr=False):
     step = _cogvideox_denoise_step(params, cfg, text_emb2, img_lat2,
-                                   guidance, adapters, attn_impl)
-    x, _ = jax.lax.scan(step, x, xs)
-    return x
+                                   guidance, adapters, attn_impl,
+                                   pab=pab, cfgr=cfgr)
+    carry, _ = jax.lax.scan(step, carry, xs)
+    return carry
 
 
 def sample_latents_cogvideox_segmented(
     params, cfg, rng, text_emb2, *, num_gen_latents, num_steps, lat_h,
     lat_w, segment_steps, cond_latents=None, adapters=None,
-    guidance: float = 6.0, attn_impl=None, pab_cfg=None,
+    guidance: float = 6.0, attn_impl=None, pab_cfg=None, cfgr_cfg=None,
 ):
     """``sample_latents_cogvideox`` split into bounded device dispatches
     (long-execution-fault workaround); numerically identical by
     construction (same shared setup + step body). ``pab_cfg`` carries
-    the attention cache across segments with global step flags."""
+    the attention cache across segments with global step flags;
+    ``cfgr_cfg`` carries the guidance delta the same way."""
     x, img_lat2, (step_idx, ab_t, ab_prev) = _cogvideox_setup(
         cfg, rng, text_emb2, num_gen_latents, num_steps, lat_h, lat_w,
         cond_latents)
-    cache = flags = None
-    if pab_cfg is not None:
-        from ..models.cogvideox import pab_init_cache_cogvideox
-
-        t_cond = 0 if cond_latents is None else cond_latents.shape[2]
-        cache = pab_init_cache_cogvideox(
-            cfg, text_emb2.shape[0], t_cond + num_gen_latents, lat_h,
-            lat_w, text_emb2.shape[1])
-        flags = _pab_reuse_flags(num_steps, pab_cfg)
+    cache, pab_flags = _cogvideox_pab_init(
+        cfg, text_emb2, num_gen_latents, num_steps, lat_h, lat_w,
+        cond_latents, pab_cfg)
+    delta = cfg_flags = None
+    if cfgr_cfg is not None:
+        delta = jnp.zeros_like(x)
+        cfg_flags = _cfg_reuse_flags(num_steps, cfgr_cfg)
+    carry = (x, cache, delta)
     seg = max(1, int(segment_steps))
     for s in range(0, num_steps, seg):
-        xs = (step_idx[s:s + seg], ab_t[s:s + seg], ab_prev[s:s + seg])
-        if pab_cfg is not None:
-            x, cache = _cogvideox_scan_segment_pab(
-                params, cfg, x, cache, (*xs, flags[s:s + seg]),
-                text_emb2, img_lat2, adapters, guidance, attn_impl)
-        else:
-            x = _cogvideox_scan_segment(
-                params, cfg, x, xs,
-                text_emb2, img_lat2, adapters, guidance, attn_impl)
-        x.block_until_ready()
-    return x
-
-
-@functools.partial(jax.jit,
-                   static_argnames=("cfg", "guidance", "attn_impl"),
-                   donate_argnums=(3,))
-def _cogvideox_scan_segment_pab(params, cfg, x, cache, xs, text_emb2,
-                                img_lat2, adapters, guidance, attn_impl):
-    step = _cogvideox_denoise_step(params, cfg, text_emb2, img_lat2,
-                                   guidance, adapters, attn_impl, pab=True)
-    (x, cache), _ = jax.lax.scan(step, (x, cache), xs)
-    return x, cache
+        xs = (step_idx[s:s + seg], ab_t[s:s + seg], ab_prev[s:s + seg],
+              None if pab_flags is None else pab_flags[s:s + seg],
+              None if cfg_flags is None else cfg_flags[s:s + seg])
+        carry = _cogvideox_scan_segment(
+            params, cfg, carry, xs, text_emb2, img_lat2, adapters,
+            guidance, attn_impl, pab=pab_cfg is not None,
+            cfgr=cfgr_cfg is not None)
+        carry[0].block_until_ready()
+    return carry[0]

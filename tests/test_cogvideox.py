@@ -285,3 +285,40 @@ def test_pab_every1_exact_and_segment_carry():
         params, CFG, jax.random.PRNGKey(4), txt, segment_steps=2,
         pab_cfg=cfg2, **kw))
     np.testing.assert_allclose(seg, pab2, rtol=1e-5, atol=1e-6)
+
+
+def test_cfg_reuse_every1_exact_pab_compose_segment_carry():
+    """CFG guidance-delta reuse on the CogVideoX sampler: every=1 must
+    reproduce the plain sampler exactly (the unified-carry refactor is
+    a no-op there); every=2 approximates (finite, not equal); composes
+    with PAB; segmented dispatch carries the delta."""
+    from longcat_video_tta_tpu.config import CFGReuseConfig, PABConfig
+    from longcat_video_tta_tpu.pipeline.sampler import (
+        sample_latents_cogvideox,
+        sample_latents_cogvideox_segmented,
+    )
+
+    params = init_cogvideox(jax.random.PRNGKey(0), CFG, zero_init=False)
+    txt = jax.random.normal(jax.random.PRNGKey(2), (2, 6, 16))
+    cond = jax.random.normal(jax.random.PRNGKey(3), (1, 4, 1, 8, 12))
+    kw = dict(num_gen_latents=2, num_steps=6, lat_h=8, lat_w=12,
+              cond_latents=cond)
+    base = np.asarray(sample_latents_cogvideox(
+        params, CFG, jax.random.PRNGKey(4), txt, **kw))
+    r1 = np.asarray(sample_latents_cogvideox(
+        params, CFG, jax.random.PRNGKey(4), txt,
+        cfgr_cfg=CFGReuseConfig(every=1), **kw))
+    np.testing.assert_allclose(r1, base, rtol=1e-5, atol=1e-6)
+    cfg2 = CFGReuseConfig(every=2, start_frac=0.2, end_frac=1.0)
+    r2 = np.asarray(sample_latents_cogvideox(
+        params, CFG, jax.random.PRNGKey(4), txt, cfgr_cfg=cfg2, **kw))
+    assert np.isfinite(r2).all() and not np.allclose(r2, base)
+    seg = np.asarray(sample_latents_cogvideox_segmented(
+        params, CFG, jax.random.PRNGKey(4), txt, segment_steps=2,
+        cfgr_cfg=cfg2, **kw))
+    np.testing.assert_allclose(seg, r2, rtol=1e-5, atol=1e-6)
+    # x PAB: both engaged stays finite; the cond cache third refreshes
+    both = np.asarray(sample_latents_cogvideox(
+        params, CFG, jax.random.PRNGKey(4), txt, cfgr_cfg=cfg2,
+        pab_cfg=PABConfig(every=2, start_frac=0.2, end_frac=0.9), **kw))
+    assert np.isfinite(both).all()

@@ -330,3 +330,41 @@ def test_pab_every1_exact_and_segment_carry(setup):
         params, CFG, jax.random.PRNGKey(4), txt3, yv3, segment_steps=2,
         pab_cfg=cfg2, **kw))
     np.testing.assert_allclose(seg, pab2, rtol=1e-5, atol=1e-6)
+
+
+def test_cfg_reuse_every1_exact_pab_compose_segment_carry(setup):
+    """CFG guidance-delta reuse on the MMDiT triple-CFG sampler
+    ([cond, uncond, uncond2] -> reuse steps run the conditional third
+    and reconstruct the other two from the cached deltas): every=1
+    exact, every=2 finite approximation, segmented carries the deltas,
+    composes with PAB (cond-first cache slice)."""
+    from longcat_video_tta_tpu.config import CFGReuseConfig, PABConfig
+    from longcat_video_tta_tpu.pipeline.sampler import (
+        sample_latents_mmdit,
+        sample_latents_mmdit_segmented,
+    )
+
+    params, lat, txt, yv = setup
+    txt3 = jnp.concatenate([txt, txt, txt], axis=0)
+    yv3 = jnp.concatenate([yv, yv, yv], axis=0)
+    kw = dict(num_gen_latents=2, num_steps=6, lat_h=8, lat_w=12,
+              cond_latents=lat[:, :, :1])
+    base = np.asarray(sample_latents_mmdit(
+        params, CFG, jax.random.PRNGKey(4), txt3, yv3, **kw))
+    r1 = np.asarray(sample_latents_mmdit(
+        params, CFG, jax.random.PRNGKey(4), txt3, yv3,
+        cfgr_cfg=CFGReuseConfig(every=1), **kw))
+    np.testing.assert_allclose(r1, base, rtol=1e-5, atol=1e-6)
+    cfg2 = CFGReuseConfig(every=2, start_frac=0.2, end_frac=1.0)
+    r2 = np.asarray(sample_latents_mmdit(
+        params, CFG, jax.random.PRNGKey(4), txt3, yv3, cfgr_cfg=cfg2,
+        **kw))
+    assert np.isfinite(r2).all() and not np.allclose(r2, base)
+    seg = np.asarray(sample_latents_mmdit_segmented(
+        params, CFG, jax.random.PRNGKey(4), txt3, yv3, segment_steps=2,
+        cfgr_cfg=cfg2, **kw))
+    np.testing.assert_allclose(seg, r2, rtol=1e-5, atol=1e-6)
+    both = np.asarray(sample_latents_mmdit(
+        params, CFG, jax.random.PRNGKey(4), txt3, yv3, cfgr_cfg=cfg2,
+        pab_cfg=PABConfig(every=2, start_frac=0.2, end_frac=0.9), **kw))
+    assert np.isfinite(both).all()

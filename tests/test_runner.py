@@ -406,7 +406,6 @@ def test_startup_preflights_reject_wasteful_combos(tmp_path):
         ("--preset", "cogvideox_tiny", "--bsa-keep-ratio", "0.5"),
         ("--preset", "cogvideox_tiny", "--bucket-gen"),
         ("--preset", "opensora_v2_tiny", "--quantize-decode", "int8qk"),
-        ("--preset", "cogvideox_tiny", "--cfg-reuse-every", "2"),
         ("--no-kv-cache", "--pab-every", "4"),
         ("--no-kv-cache", "--bsa-keep-ratio", "0.5"),
         ("--no-kv-cache", "--quantize-decode", "int8qk"),
