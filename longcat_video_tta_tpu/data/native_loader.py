@@ -13,6 +13,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import sys
 from typing import Iterator, List, Optional, Tuple
 
 import numpy as np
@@ -143,6 +144,14 @@ class ClipPrefetcher:
                     self.start_frame,
                     target_fps=self.target_fps or None)[0]
             except Exception:
+                # keep the root cause in the logs: the caller only sees
+                # (i, None), and a systemic error (missing cv2, bad
+                # args) must not masquerade as per-clip corruption
+                import traceback
+
+                print(f"[prefetch] decode failed for {p}:",
+                      file=sys.stderr)
+                traceback.print_exc()
                 yield i, None
                 continue
             yield i, clip.astype(np.float32)

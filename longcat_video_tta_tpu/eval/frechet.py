@@ -148,11 +148,19 @@ class OnlineFrechetAccumulator:
             self._gen_f.update(self.frame_feature_fn(generated))
             self._gt_f.update(self.frame_feature_fn(ground_truth))
 
-    def save_state(self, path: str):
+    def save_state(self, path: str, next_idx: int = 0):
         """Persist the running moments so a resumed run's FVD/FID covers
         ALL videos, not just the post-resume tail (the per-video JSON
-        checkpoint can't carry the 2048^2 float64 inception moments)."""
-        blobs = {"num_pairs": np.int64(self._num_pairs)}
+        checkpoint can't carry the 2048^2 float64 inception moments).
+
+        ``next_idx``: the driver's checkpoint cursor AT SAVE TIME.
+        Written after checkpoint.json so a crash between the two writes
+        leaves this file one video BEHIND the checkpoint — the resumed
+        run detects the gap from the stored cursor and reports how many
+        pairs the restored moments miss, instead of ever double-counting
+        a re-run video."""
+        blobs = {"num_pairs": np.int64(self._num_pairs),
+                 "next_idx": np.int64(next_idx)}
         for name, m in (("gen_v", self._gen_v), ("gt_v", self._gt_v),
                         ("gen_f", self._gen_f), ("gt_f", self._gt_f)):
             blobs[f"{name}_n"] = np.int64(m.n)
@@ -163,17 +171,20 @@ class OnlineFrechetAccumulator:
             np.savez(f, **blobs)
         os.replace(tmp, path)
 
-    def load_state(self, path: str) -> bool:
+    def load_state(self, path: str) -> Optional[int]:
+        """Restore the moments; returns the saved ``next_idx`` cursor
+        (None when the file is absent)."""
         if not os.path.exists(path):
-            return False
+            return None
         with np.load(path) as z:
             self._num_pairs = int(z["num_pairs"])
+            cursor = int(z["next_idx"]) if "next_idx" in z else 0
             for name, m in (("gen_v", self._gen_v), ("gt_v", self._gt_v),
                             ("gen_f", self._gen_f), ("gt_f", self._gt_f)):
                 m.n = int(z[f"{name}_n"])
                 m.s = z[f"{name}_s"]
                 m.ss = z[f"{name}_ss"]
-        return True
+        return cursor
 
     def compute(self) -> Dict[str, Optional[float]]:
         out: Dict[str, Optional[float]] = {

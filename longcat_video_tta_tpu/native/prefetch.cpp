@@ -195,7 +195,11 @@ bool decode_video_libav(const std::string& path, long start_frame,
       AVRational fr = av_guess_frame_rate(fmt, fmt->streams[vs], nullptr);
       double native = fr.den > 0 ? av_q2d(fr) : 30.0;
       if (native <= 0) native = 30.0;
-      stride = std::lround(native / target_fps);
+      // half-to-even like Python's round() (video_io.py) — lround's
+      // half-away-from-zero would pick a different stride at exact
+      // .5 ratios (e.g. 30 fps -> 12 fps), putting the native-loaded
+      // TTA window in a different timebase than cond/GT
+      stride = static_cast<long>(std::nearbyint(native / target_fps));
       if (stride < 1) stride = 1;
     }
     const long skip = start_frame * stride;
@@ -306,9 +310,17 @@ struct Prefetcher {
     long stride = 1;
     if (target_fps > 0) {
       // npy clips carry no fps metadata: 24 fps by convention
-      // (matches data/video_io.py::decode_frames)
-      stride = std::lround(24.0 / target_fps);
+      // (matches data/video_io.py::decode_frames); half-to-even like
+      // Python's round()
+      stride = static_cast<long>(std::nearbyint(24.0 / target_fps));
       if (stride < 1) stride = 1;
+    }
+    if (start_frame * stride >= T_src) {
+      // the subsampled window starts past EOF: the Python loader
+      // raises ('No frames decoded') and the clip fails with
+      // attribution — silently padding a frozen last-frame clip here
+      // would train/evaluate on garbage instead
+      return c;
     }
     c.data.resize(static_cast<size_t>(3 * T * H * W));
     float* base = c.data.data();
@@ -319,10 +331,9 @@ struct Prefetcher {
       // stride grid, matching video_io.py's frames[-1]
       long src_t = (start_frame + t) * stride;
       if (src_t >= T_src) {
+        // pad repeats the last frame ON the stride grid (frames[-1])
         long base_off = start_frame * stride;
-        src_t = base_off < T_src
-                    ? base_off + ((T_src - 1 - base_off) / stride) * stride
-                    : T_src - 1;
+        src_t = base_off + ((T_src - 1 - base_off) / stride) * stride;
       }
       if (src_t < 0) src_t = 0;
       const uint8_t* frame = raw.data() + src_t * sh * sw * 3;

@@ -774,7 +774,7 @@ def _cogvideox_denoise_step(params, cfg, text_emb2, img_lat2, guidance,
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "guidance", "attn_impl",
                                     "pab", "cfgr"),
-                   donate_argnums=(3,))
+                   donate_argnums=(2,))  # carry (x, attn cache, delta)
 def _cogvideox_scan_segment(params, cfg, carry, xs, text_emb2, img_lat2,
                             adapters, guidance, attn_impl, *, pab=False,
                             cfgr=False):

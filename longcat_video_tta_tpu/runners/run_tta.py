@@ -759,12 +759,18 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
     start_idx = ckpt["next_idx"] if ckpt else 0
     results: List[Dict] = ckpt["results"] if ckpt else []
     if start_idx > 0 and fvd.enabled:
-        if fvd.load_state(fvd_state_path):
-            print(f"[resume] restored online FVD/FID moments "
-                  f"({fvd.compute()['num_videos']} pairs)")
-        else:
+        cursor = fvd.load_state(fvd_state_path)
+        if cursor is None:
             print("[resume] WARNING: fvd_state.npz missing — online "
                   "FVD/FID will cover only post-resume videos")
+        elif cursor < start_idx:
+            print(f"[resume] restored FVD/FID moments through video "
+                  f"{cursor} — {start_idx - cursor} completed video(s) "
+                  "are missing from the streaming stats (state saves "
+                  "are amortized; never double-counted)")
+        else:
+            print(f"[resume] restored online FVD/FID moments "
+                  f"({fvd.compute()['num_videos']} pairs)")
     save_config(os.path.join(args.output_dir, "config.json"), vars(args))
 
     n_ctx_lat = latent_len(frames.tta_context_frames)
@@ -1287,9 +1293,6 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
                     gen, gt, lpips_feature_fn=lpips_fn))
                 if fvd.enabled:
                     fvd.update(gen, gt)
-                    # persist the moments so a resumed run's FVD/FID
-                    # covers all videos, not just the post-crash tail
-                    fvd.save_state(fvd_state_path)
                 if not args.no_save_videos:
                     to_save = gen
                     if not is_tta:
@@ -1322,6 +1325,17 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
                 print(f"  profiler trace -> {args.profile_dir}")
         results.append(res)
         save_checkpoint(ckpt_path, idx + 1, results)
+        if fvd.enabled:
+            # persist the moments AFTER the checkpoint: a crash between
+            # the two writes leaves the state one video behind the
+            # checkpoint — the resume path detects and reports the gap
+            # instead of double-counting the re-run video. With frame
+            # features (inception FID) the state is ~67 MB of float64
+            # moments, so amortize the write; the final save at loop
+            # end always lands.
+            every = 5 if inception_fn is not None else 1
+            if (idx + 1) % every == 0 or idx + 1 == len(videos):
+                fvd.save_state(fvd_state_path, next_idx=idx + 1)
 
     # ---- summary -------------------------------------------------------
     ok = [r for r in results if r.get("success") and "psnr" in r]

@@ -122,17 +122,17 @@ def test_online_frechet_state_roundtrip(tmp_path):
     first = OnlineFrechetAccumulator(video_feature_fn=feat, min_videos=2)
     for a, b in pairs[:3]:
         first.update(a, b)
-    first.save_state(p)
+    first.save_state(p, next_idx=3)
     resumed = OnlineFrechetAccumulator(video_feature_fn=feat, min_videos=2)
-    assert resumed.load_state(p)
+    assert resumed.load_state(p) == 3  # the saved checkpoint cursor
     for a, b in pairs[3:]:
         resumed.update(a, b)
     f, r = full.compute(), resumed.compute()
     assert r["num_videos"] == f["num_videos"] == 6
     assert r["fvd"] == pytest.approx(f["fvd"], rel=1e-9)
-    # missing file: load returns False, accumulator untouched
+    # missing file: load returns None, accumulator untouched
     fresh = OnlineFrechetAccumulator(video_feature_fn=feat)
-    assert not fresh.load_state(str(tmp_path / "nope.npz"))
+    assert fresh.load_state(str(tmp_path / "nope.npz")) is None
 
 
 def test_pad_for_i3d():

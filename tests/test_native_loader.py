@@ -131,3 +131,39 @@ def test_prefetch_per_clip_fault_tolerance(clips, tmp_path):
         assert [i for i, _ in out] == [0, 1, 2], f"python={force_python}"
         assert out[0][1] is not None and out[2][1] is not None
         assert out[1][1] is None, f"python={force_python}"
+
+
+def test_prefetch_stride_rounding_matches_python_at_half(clips, tmp_path):
+    """At exact .5 native/target ratios the C++ loader must pick the
+    same stride as Python's round() (half-to-even): 24 fps -> 9.6 fps
+    is ratio 2.5 -> stride 2, where lround would have said 3 (review:
+    a mismatched stride puts the native-loaded TTA window in a
+    different timebase than cond/GT)."""
+    from longcat_video_tta_tpu.data.video_io import load_video_frames
+
+    arr = (np.arange(20, dtype=np.uint8)[:, None, None, None]
+           * np.ones((1, 16, 32, 3), np.uint8))
+    p = str(tmp_path / "ramp.npy")
+    np.save(p, arr)
+    ref = np.asarray(load_video_frames(p, 4, 16, 32, start_frame=1,
+                                       target_fps=9.6)[0])
+    for force_python in (False, True):
+        _, clip = next(iter(ClipPrefetcher(
+            [p], num_frames=4, start_frame=1, height=16, width=32,
+            target_fps=9.6, force_python=force_python)))
+        np.testing.assert_allclose(clip, ref, atol=1e-5,
+                                   err_msg=f"python={force_python}")
+
+
+def test_prefetch_start_beyond_eof_fails_like_python(clips, tmp_path):
+    """A subsampled window starting past EOF must FAIL the clip in both
+    loaders (review: the npy native path previously padded a frozen
+    last-frame clip and trained on garbage)."""
+    arr = np.zeros((6, 16, 32, 3), np.uint8)
+    p = str(tmp_path / "short.npy")
+    np.save(p, arr)
+    for force_python in (False, True):
+        out = list(ClipPrefetcher([p], num_frames=4, start_frame=5,
+                                  height=16, width=32, target_fps=12.0,
+                                  force_python=force_python))
+        assert out[0][1] is None, f"python={force_python}"
