@@ -97,6 +97,34 @@ def _mask_tile(q_off, k_off, bq: int, bk: int, ncond: int, kvlen: int,
     return allowed
 
 
+def _tile_fully_masked(q_off, k_off, bq: int, bk: int, ncond: int,
+                       kvlen: int, sk_pad: int, q_glob=0, k_glob=0,
+                       kv_dyn=None):
+    """Traced scalar bool: True when the [bq, bk] tile is ENTIRELY
+    disallowed under _mask_tile's rules, so the kernel can skip its
+    dots outright (exact: a fully-masked tile contributes p=0 to the
+    online softmax and zeros to every backward accumulator). At the
+    canonical train window (cond 2/3 of rows, noise 1/3 of keys) the
+    cond-query x noise-key region is ~22% of the matrix. Returns None
+    when statically never skippable (e.g. the decode path, which
+    passes ncond=0)."""
+    terms = []
+    if ncond > 0:
+        # tile rows all conditioning AND tile keys all noise
+        terms.append(((q_glob + q_off + bq) <= ncond)
+                     & ((k_glob + k_off) >= ncond))
+    if kvlen < sk_pad:
+        terms.append(k_off >= kvlen)  # tile keys all in the pad tail
+    if kv_dyn is not None:
+        terms.append((k_glob + k_off) >= kv_dyn)
+    if not terms:
+        return None
+    skip = terms[0]
+    for t in terms[1:]:
+        skip = skip | t
+    return skip
+
+
 # ---------------------------------------------------------------------------
 # Forward
 # ---------------------------------------------------------------------------
@@ -116,36 +144,50 @@ def _fwd_kernel(offs_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0]  # [bq, D]
-    k = k_ref[0]  # [bk, D]
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-    ) * scale  # [bq, bk]
+    kv_dyn = offs_ref[0, 2] if dyn_kvlen else None
+    skip = _tile_fully_masked(qi * bq, ki * bk, bq, bk, ncond, kvlen,
+                              sk_pad, q_glob=offs_ref[0, 0],
+                              k_glob=offs_ref[0, 1], kv_dyn=kv_dyn)
 
-    allowed = _mask_tile(qi * bq, ki * bk, bq, bk, ncond, kvlen, sk_pad,
-                         q_glob=offs_ref[0, 0], k_glob=offs_ref[0, 1],
-                         kv_dyn=offs_ref[0, 2] if dyn_kvlen else None)
-    if allowed is not None:
-        s = jnp.where(allowed, s, NEG_INF)
+    def _tile_body():
+        q = q_ref[0]  # [bq, D]
+        k = k_ref[0]  # [bk, D]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # [bq, bk]
 
-    m_prev = m_scr[:, :1]  # [bq, 1]
-    l_prev = l_scr[:, :1]
-    m_cur = jnp.max(s, axis=-1, keepdims=True)
-    m_new = jnp.maximum(m_prev, m_cur)
-    p = jnp.exp(s - m_new)
-    if allowed is not None:
-        p = jnp.where(allowed, p, 0.0)
-    alpha = jnp.exp(m_prev - m_new)  # [bq, 1]
-    l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+        allowed = _mask_tile(qi * bq, ki * bk, bq, bk, ncond, kvlen,
+                             sk_pad, q_glob=offs_ref[0, 0],
+                             k_glob=offs_ref[0, 1], kv_dyn=kv_dyn)
+        if allowed is not None:
+            s = jnp.where(allowed, s, NEG_INF)
 
-    acc = acc_scr[...]
-    acc = acc * alpha + jax.lax.dot_general(
-        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    acc_scr[...] = acc
-    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
-    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+        m_prev = m_scr[:, :1]  # [bq, 1]
+        l_prev = l_scr[:, :1]
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)
+        if allowed is not None:
+            p = jnp.where(allowed, p, 0.0)
+        alpha = jnp.exp(m_prev - m_new)  # [bq, 1]
+        l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+
+        acc = acc_scr[...]
+        acc = acc * alpha + jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_scr[...] = acc
+        m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+        l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    if skip is None:
+        _tile_body()
+    else:
+        # a fully-masked tile is an exact no-op for the online softmax
+        # (p = 0, m/l/acc unchanged) — skip both dots entirely
+        pl.when(jnp.logical_not(skip))(_tile_body)
 
     @pl.when(ki == nk - 1)
     def _finalize():
@@ -229,38 +271,52 @@ def _bwd_dkv_kernel(offs_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dk_scr[:] = jnp.zeros_like(dk_scr)
         dv_scr[:] = jnp.zeros_like(dv_scr)
 
-    q = q_ref[0]        # [bq, D]
-    k = k_ref[0]        # [bk, D]
-    v = v_ref[0]
-    do = do_ref[0]      # [bq, D]
-    lse = lse_ref[0].reshape(-1, 1)    # row -> column relayout
-    delta = delta_ref[0].reshape(-1, 1)
+    kv_dyn = offs_ref[0, 2] if dyn_kvlen else None
+    skip = _tile_fully_masked(qi * bq, ki * bk, bq, bk, ncond, kvlen,
+                              sk_pad, q_glob=offs_ref[0, 0],
+                              k_glob=offs_ref[0, 1], kv_dyn=kv_dyn)
 
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-    ) * scale
-    allowed = _mask_tile(qi * bq, ki * bk, bq, bk, ncond, kvlen, sk_pad,
-                         q_glob=offs_ref[0, 0], k_glob=offs_ref[0, 1],
-                         kv_dyn=offs_ref[0, 2] if dyn_kvlen else None)
-    p = jnp.exp(s - lse)
-    if allowed is not None:
-        p = jnp.where(allowed, p, 0.0)
+    def _tile_body():
+        q = q_ref[0]        # [bq, D]
+        k = k_ref[0]        # [bk, D]
+        v = v_ref[0]
+        do = do_ref[0]      # [bq, D]
+        lse = lse_ref[0].reshape(-1, 1)    # row -> column relayout
+        delta = delta_ref[0].reshape(-1, 1)
 
-    # dv += P^T dO
-    dv_scr[...] += jax.lax.dot_general(
-        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    # dP = dO V^T ; dS = P * (dP - delta)
-    dp = jax.lax.dot_general(
-        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-    )
-    ds = p * (dp - delta)
-    # dk += dS^T q * scale
-    dk_scr[...] += jax.lax.dot_general(
-        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * scale
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        allowed = _mask_tile(qi * bq, ki * bk, bq, bk, ncond, kvlen,
+                             sk_pad, q_glob=offs_ref[0, 0],
+                             k_glob=offs_ref[0, 1], kv_dyn=kv_dyn)
+        p = jnp.exp(s - lse)
+        if allowed is not None:
+            p = jnp.where(allowed, p, 0.0)
+
+        # dv += P^T dO
+        dv_scr[...] += jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # dP = dO V^T ; dS = P * (dP - delta)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta)
+        # dk += dS^T q * scale
+        dk_scr[...] += jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+
+    if skip is None:
+        _tile_body()
+    else:
+        # fully-masked tile: p = 0 and ds = 0, so dk/dv gain nothing
+        pl.when(jnp.logical_not(skip))(_tile_body)
 
     @pl.when(qi == nq - 1)
     def _finalize():
@@ -280,31 +336,45 @@ def _bwd_dq_kernel(offs_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     def _init():
         dq_scr[:] = jnp.zeros_like(dq_scr)
 
-    q = q_ref[0]
-    k = k_ref[0]
-    v = v_ref[0]
-    do = do_ref[0]
-    lse = lse_ref[0].reshape(-1, 1)
-    delta = delta_ref[0].reshape(-1, 1)
+    kv_dyn = offs_ref[0, 2] if dyn_kvlen else None
+    skip = _tile_fully_masked(qi * bq, ki * bk, bq, bk, ncond, kvlen,
+                              sk_pad, q_glob=offs_ref[0, 0],
+                              k_glob=offs_ref[0, 1], kv_dyn=kv_dyn)
 
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-    ) * scale
-    allowed = _mask_tile(qi * bq, ki * bk, bq, bk, ncond, kvlen, sk_pad,
-                         q_glob=offs_ref[0, 0], k_glob=offs_ref[0, 1],
-                         kv_dyn=offs_ref[0, 2] if dyn_kvlen else None)
-    p = jnp.exp(s - lse)
-    if allowed is not None:
-        p = jnp.where(allowed, p, 0.0)
+    def _tile_body():
+        q = q_ref[0]
+        k = k_ref[0]
+        v = v_ref[0]
+        do = do_ref[0]
+        lse = lse_ref[0].reshape(-1, 1)
+        delta = delta_ref[0].reshape(-1, 1)
 
-    dp = jax.lax.dot_general(
-        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-    )
-    ds = p * (dp - delta)
-    dq_scr[...] += jax.lax.dot_general(
-        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * scale
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        allowed = _mask_tile(qi * bq, ki * bk, bq, bk, ncond, kvlen,
+                             sk_pad, q_glob=offs_ref[0, 0],
+                             k_glob=offs_ref[0, 1], kv_dyn=kv_dyn)
+        p = jnp.exp(s - lse)
+        if allowed is not None:
+            p = jnp.where(allowed, p, 0.0)
+
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta)
+        dq_scr[...] += jax.lax.dot_general(
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+
+    if skip is None:
+        _tile_body()
+    else:
+        # fully-masked tile: ds = 0, so dq gains nothing
+        pl.when(jnp.logical_not(skip))(_tile_body)
 
     @pl.when(ki == nk - 1)
     def _finalize():

@@ -27,11 +27,6 @@ from ..models.dit import (
 )
 
 
-def _cfg_batch(x, neg_first=False):
-    """Stack [uncond; cond] along batch."""
-    return jnp.concatenate([x, x], axis=0)
-
-
 @functools.partial(
     jax.jit,
     static_argnames=("dit_cfg", "sched_cfg", "n_cond", "use_kv_cache",
