@@ -178,7 +178,9 @@ class OnlineFrechetAccumulator:
             return None
         with np.load(path) as z:
             self._num_pairs = int(z["num_pairs"])
-            cursor = int(z["next_idx"]) if "next_idx" in z else 0
+            # legacy states (pre-cursor format) saved per video BEFORE
+            # the checkpoint: coverage unknown, signalled as -1
+            cursor = int(z["next_idx"]) if "next_idx" in z else -1
             for name, m in (("gen_v", self._gen_v), ("gt_v", self._gt_v),
                             ("gen_f", self._gen_f), ("gt_f", self._gt_f)):
                 m.n = int(z[f"{name}_n"])

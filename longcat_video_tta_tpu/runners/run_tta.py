@@ -763,6 +763,12 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
         if cursor is None:
             print("[resume] WARNING: fvd_state.npz missing — online "
                   "FVD/FID will cover only post-resume videos")
+        elif cursor == -1:
+            print(f"[resume] restored legacy FVD/FID moments "
+                  f"({fvd.compute()['num_videos']} pairs; pre-cursor "
+                  "format — if the previous run crashed between its "
+                  "FVD save and its checkpoint, the first re-run video "
+                  "may be double-counted)")
         elif cursor < start_idx:
             print(f"[resume] restored FVD/FID moments through video "
                   f"{cursor} — {start_idx - cursor} completed video(s) "
@@ -1335,7 +1341,11 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
             # end always lands.
             every = 5 if inception_fn is not None else 1
             if (idx + 1) % every == 0 or idx + 1 == len(videos):
-                fvd.save_state(fvd_state_path, next_idx=idx + 1)
+                try:
+                    fvd.save_state(fvd_state_path, next_idx=idx + 1)
+                except OSError as e:  # a full disk must not kill the
+                    print(f"  WARNING: fvd_state save failed: {e}")
+                    # fleet; the resume path reports the coverage gap
 
     # ---- summary -------------------------------------------------------
     ok = [r for r in results if r.get("success") and "psnr" in r]

@@ -99,12 +99,18 @@ def main():
         results[spec] = row
         print(json.dumps({spec: row}), flush=True)
 
-    best = min((r["fwd+bwd"]["ms"], t) for t, r in results.items()
-               if "ms" in r.get("fwd+bwd", {}))
-    print(json.dumps({"geometry": f"B{B} Sq{Sq} Sk{Sk} H{H} D{D} "
-                                  f"ncond{args.ncond}",
-                      "best_fwd_bwd": best[1], "ms": best[0]}))
+    ok = [(r["fwd+bwd"]["ms"], t) for t, r in results.items()
+          if "ms" in r.get("fwd+bwd", {})]
+    summary = {"geometry": f"B{B} Sq{Sq} Sk{Sk} H{H} D{D} "
+                           f"ncond{args.ncond}"}
+    if ok:
+        best = min(ok)
+        summary.update(best_fwd_bwd=best[1], ms=best[0])
+    else:
+        summary["error"] = "every tile config failed (see rows above)"
+    print(json.dumps(summary))
+    return 1 if not ok else 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

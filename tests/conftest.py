@@ -40,6 +40,8 @@ _QUICK_TESTS = {
     "test_parallel.py::test_mesh_axes",
     "test_parallel.py::test_sharded_forward_matches_single_device",
     "test_pipeline.py::test_generate_vc_shape",
+    "test_pipeline.py::test_cfg_reuse_guidance1_is_exact",
+    "test_runner.py::test_compile_cache_policy",
     "test_prep_diag.py::test_check_status",
     "test_quant.py::test_int8_linear_close_to_dense",
     "test_runner.py::test_delta_a_end_to_end",
