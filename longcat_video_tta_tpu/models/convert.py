@@ -160,12 +160,44 @@ def _stack(sd, fmt: str, depth: int, transpose: bool = False):
     return jnp.asarray(np.stack(mats))
 
 
-def convert_torch_dit_state(sd: Dict[str, Any], cfg) -> Dict[str, Any]:
+def convert_torch_dit_state(sd: Dict[str, Any], cfg,
+                            rope_interleaved: bool = False) -> Dict[str, Any]:
     """Map a LongCat-style torch DiT state_dict (keys per SURVEY.md §2.8:
     x_embedder.proj, t_embedder, y_embedder, blocks.{i}.attn.qkv/proj/
     q_norm/k_norm, cross_attn.q_linear/kv_linear/proj/q_norm/k_norm,
     ffn.w1/w2/w3, pre_crs_attn_norm, adaLN_modulation, final_layer) into
-    our stacked tree. torch Linear weights are [out, in] -> transposed.
+    our stacked tree. torch Linear weights are [out, in] -> transposed;
+    a Conv3d ``x_embedder.proj`` ([D, C, pt, ph, pw]) is flattened to the
+    patchify feature order (pt, ph, pw, C — models/dit.py::patchify).
+
+    Numerically validated end-to-end against an independent torch
+    implementation of the documented conventions in
+    tests/test_oracle_dit.py (forward equality at fp32).
+
+    CHOICE markers — conventions the reference's visible usage
+    (run_delta_a.py:134-217, run_norm_tune_tta.py:74-98,
+    run_lora_tta.py:142-168) cannot pin, fixed here to the dominant
+    public convention and pinned by the torch oracle test:
+
+    - RoPE: factored 3D (t,h,w) rotary with HALF-SPLIT channel rotation,
+      per-axis dims head_dim·(1/4, 3/8, 3/8), theta 10000. If the real
+      checkpoint uses interleaved-pair rotation (complex-mul style),
+      pass ``rope_interleaved=True``: the q/k rows of every fused qkv
+      (and the q/k RMSNorm scales) are permuted per head so our
+      half-split forward equals the interleaved forward exactly
+      (see _rope_perm; same mechanism as the MMDiT/CogVideoX
+      converters).
+    - adaLN chunk order: (shift, scale, gate)×(msa, mlp), final layer
+      (shift, scale) — the Meta-DiT order.
+    - t_embedder: standard DiT sinusoid, cat([cos, sin]) over
+      freq_dim/2 frequencies exp(-ln(1e4)·i/half), MLP in fp32
+      (run_delta_a.py:161-165 pins only the fp32 part).
+    - y_embedder: Linear-GELU(tanh)-Linear.
+    - LayerNorm/RMSNorm eps: 1e-6 (torch nn.LayerNorm default is 1e-5;
+      video DiTs overwhelmingly use 1e-6).
+    - modulate: x·(1+scale)+shift; cross-attn residual is ungated with
+      an affine pre-norm (pre_crs_attn_norm carrying weight+bias is
+      visible in run_norm_tune_tta.py:79-84).
 
     Raises KeyError with the missing name when the layout differs; the
     mapping is exercised by tests/test_convert.py on a synthetic
@@ -179,8 +211,41 @@ def convert_torch_dit_state(sd: Dict[str, Any], cfg) -> Dict[str, Any]:
     def v(name):
         return jnp.asarray(np.asarray(sd[name]))
 
+    xw = np.asarray(sd["x_embedder.proj.weight"])
+    if xw.ndim == 5:  # Conv3d [D, C, pt, ph, pw] -> [(pt ph pw C), D]
+        xk = jnp.asarray(
+            xw.transpose(2, 3, 4, 1, 0).reshape(-1, xw.shape[0]))
+    else:
+        xk = jnp.asarray(xw.T)
+
+    nH, dh = cfg.num_heads, cfg.head_dim
+
+    def qkv_maybe_perm(w):
+        """Optionally permute fused-qkv q/k rows for the RoPE convention
+        (w: torch [3D, D])."""
+        if not rope_interleaved:
+            return w
+        return _permute_qkv_rows(w, nH, dh)
+
+    def stack_qkv(fmt, transpose=True):
+        mats = []
+        for i in range(L):
+            w = np.asarray(sd[fmt.format(i)])
+            w = qkv_maybe_perm(w if w.ndim == 2 else w[:, None])
+            if w.shape[-1] == 1:
+                w = w[:, 0]
+            mats.append(w.T if (transpose and w.ndim == 2) else w)
+        return jnp.asarray(np.stack(mats))
+
+    def stack_qknorm(fmt):
+        if not rope_interleaved:
+            return _stack(sd, fmt, L)
+        perm = _rope_perm(dh)
+        return jnp.asarray(np.stack(
+            [np.asarray(sd[fmt.format(i)])[perm] for i in range(L)]))
+
     params = {
-        "x_embed": {"kernel": t("x_embedder.proj.weight"),
+        "x_embed": {"kernel": xk,
                     "bias": v("x_embedder.proj.bias")},
         "t_embed": {
             "w1": jnp.asarray(np.asarray(sd["t_embedder.mlp.0.weight"]).T,
@@ -206,17 +271,17 @@ def convert_torch_dit_state(sd: Dict[str, Any], cfg) -> Dict[str, Any]:
             },
             "attn": {
                 "qkv": {
-                    "kernel": _stack(sd, "blocks.{}.attn.qkv.weight", L,
-                                     transpose=True),
-                    "bias": _stack(sd, "blocks.{}.attn.qkv.bias", L),
+                    "kernel": stack_qkv("blocks.{}.attn.qkv.weight"),
+                    "bias": stack_qkv("blocks.{}.attn.qkv.bias",
+                                      transpose=False),
                 },
                 "proj": {
                     "kernel": _stack(sd, "blocks.{}.attn.proj.weight", L,
                                      transpose=True),
                     "bias": _stack(sd, "blocks.{}.attn.proj.bias", L),
                 },
-                "q_norm": _stack(sd, "blocks.{}.attn.q_norm.weight", L),
-                "k_norm": _stack(sd, "blocks.{}.attn.k_norm.weight", L),
+                "q_norm": stack_qknorm("blocks.{}.attn.q_norm.weight"),
+                "k_norm": stack_qknorm("blocks.{}.attn.k_norm.weight"),
             },
             "cross_attn": {
                 "q": {
