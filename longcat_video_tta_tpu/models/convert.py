@@ -405,12 +405,12 @@ def _c2d_as_3d(sd, name):
 
 
 def _vnorm(sd, name):
-    """Upstream channelwise norm gamma (any trailing singleton dims) ->
-    our {weight, bias}; bias zeros when the upstream norm has none."""
+    """Upstream channelwise RMS_norm gamma (any trailing singleton dims)
+    -> our {weight, bias}; bias zeros when the upstream norm has none
+    (the Wan VAE instantiates every norm bias-free)."""
     g = np.asarray(sd[name + ".gamma"], np.float32).reshape(-1)
-    b = sd.get(name + ".bias")
-    b = (np.asarray(b, np.float32).reshape(-1) if b is not None
-         else np.zeros_like(g))
+    b = (np.asarray(sd[name + ".bias"], np.float32).reshape(-1)
+         if name + ".bias" in sd else np.zeros_like(g))
     return {"weight": jnp.asarray(g), "bias": jnp.asarray(b)}
 
 
@@ -447,53 +447,40 @@ def _vattn(sd, prefix):
     }
 
 
-def _embed_t11_into_t33(p):
-    """Embed a (kt,1,1) temporal conv kernel into our (kt,3,3) slot: the
-    upstream kernel goes in the center spatial tap, zeros elsewhere —
-    mathematically identical under SAME spatial padding."""
-    k = np.asarray(p["kernel"])
-    kt, kh, kw, cin, cout = k.shape
-    if (kh, kw) == (3, 3):
-        return p
-    out = np.zeros((kt, 3, 3, cin, cout), k.dtype)
-    out[:, 1, 1] = k[:, 0, 0]
-    return {"kernel": jnp.asarray(out), "bias": p["bias"]}
-
-
-def _first_tap(p, out_slice=None):
-    """Derive our frame-1 stride-1 conv from the upstream temporal conv's
-    last (current-frame) tap: with zero causal history, frame 1 only ever
-    sees itself through that tap."""
-    k = np.asarray(p["kernel"])  # [kt, kh, kw, Cin, Cout]
-    tap = k[-1:, k.shape[1] // 2:k.shape[1] // 2 + 1,
-            k.shape[2] // 2:k.shape[2] // 2 + 1]
-    b = np.asarray(p["bias"])
-    if out_slice is not None:
-        tap, b = tap[..., out_slice], b[out_slice]
-    return {"kernel": jnp.asarray(tap), "bias": jnp.asarray(b)}
-
-
 def convert_torch_vae_state(sd: Dict[str, Any], cfg) -> Dict[str, Any]:
-    """Map a WAN-style torch VAE state_dict into our tree.
+    """Map a Wan2.1-style torch VAE state_dict into our tree.
 
-    Upstream layout (Wan2.1 ``AutoencoderKLWan`` naming, which LongCat
-    vendors — reference usage common.py:158-221): flat
-    ``encoder.downsamples.{k}`` / ``decoder.upsamples.{k}`` ModuleLists
-    interleaving ResidualBlocks and Resamples per scale,
-    ``{encoder,decoder}.middle.{0,1,2}`` (res/attn/res),
-    ``head.{0,2}`` (norm/conv), ``conv1`` in/out convs.
+    Upstream layout (Wan2.1 ``wan/modules/vae.py`` naming, which LongCat
+    vendors as ``AutoencoderKLWan`` — reference usage common.py:158-221):
+    flat ``encoder.downsamples.{k}`` / ``decoder.upsamples.{k}``
+    ModuleLists interleaving ResidualBlocks and Resamples per scale
+    (decoder Resample spatial convs HALVE channels),
+    ``{encoder,decoder}.middle.{0,1,2}`` (res/attn/res), ``head.{0,2}``
+    (norm/conv), ``{encoder,decoder}.conv1`` in convs, and the
+    model-level ``conv1``/``conv2`` quant/post-quant 1x1x1 convs.
 
     Structural reconciliations (documented, exact):
     - fused ``to_qkv`` 1x1 convs split into q/k/v matrices;
-    - (kt,1,1) temporal-resample kernels embedded into our (kt,3,3)
-      center tap (identical math under SAME padding);
-    - our frame-1 stride-1 convs derived from the upstream temporal
-      conv's current-frame tap (zero causal history);
-    - norm gamma -> weight, zero bias when upstream has none.
+    - RMS_norm gamma -> weight, zero bias when upstream has none;
+    - temporal Resample convs map 1:1 (our forward implements the
+      upstream feat-cache chunk semantics monolithically — identity
+      first-frame paths carry no weights).
+
+    Our forward is numerically validated against an independent torch
+    implementation of Wan2.1 in tests/test_oracle_vae.py (encode AND
+    decode equality on random weights at fp32).
+
+    CHOICE marker: original Wan naming is assumed; a
+    diffusers-converted checkpoint (``AutoencoderKLWan`` with renamed
+    modules) must be key-remapped first — the converter refuses any
+    unconsumed key rather than silently partial-loading.
 
     Raises KeyError naming the missing tensor when the layout differs.
     Exercised on a synthetic state_dict in tests/test_convert.py.
     """
+    from .vae import decoder_channel_plan
+
+    sd = _TrackedStateDict(sd)
     dims = [cfg.base_dim * m for m in cfg.dim_mults]
     n_scales = len(dims)
     nrb = cfg.num_res_blocks
@@ -514,9 +501,7 @@ def convert_torch_vae_state(sd: Dict[str, Any], cfg) -> Dict[str, Any]:
         if i < n_scales - 1:
             sp["sdown"] = _c2d_as_3d(sd, f"encoder.downsamples.{k}.resample.1")
             if cfg.temporal_downsample[i]:
-                tconv = _c3d(sd, f"encoder.downsamples.{k}.time_conv")
-                sp["tdown"] = {"first": _first_tap(tconv),
-                               "rest": _embed_t11_into_t33(tconv)}
+                sp["tdown"] = _c3d(sd, f"encoder.downsamples.{k}.time_conv")
             k += 1
         enc_scales.append(sp)
 
@@ -530,14 +515,13 @@ def convert_torch_vae_state(sd: Dict[str, Any], cfg) -> Dict[str, Any]:
         },
         "norm_out": _vnorm(sd, "encoder.head.0"),
         "conv_out": _c3d(sd, "encoder.head.2"),
+        "quant": _c3d(sd, "conv1"),
     }
 
-    # ---- decoder (scales iterate deepest -> shallowest) ----
+    # ---- decoder (Wan channel plan: resample convs halve channels) ----
     dec_scales = []
     k = 0
-    for idx, i in enumerate(range(n_scales - 1, -1, -1)):
-        cin = dims[i]
-        cout = dims[i - 1] if i > 0 else dims[0]
+    for cin, cout, has_rs, has_t in decoder_channel_plan(cfg):
         res = []
         for j in range(nrb + 1):
             c_in_j = cin if j == 0 else cout
@@ -545,19 +529,15 @@ def convert_torch_vae_state(sd: Dict[str, Any], cfg) -> Dict[str, Any]:
                              has_shortcut=(c_in_j != cout)))
             k += 1
         sp = {"res": res}
-        if i > 0:
+        if has_rs:
+            if has_t:
+                sp["tup"] = _c3d(sd, f"decoder.upsamples.{k}.time_conv")
             sp["sup"] = _c2d_as_3d(sd, f"decoder.upsamples.{k}.resample.1")
-            if cfg.temporal_downsample[i - 1]:
-                tconv = _c3d(sd, f"decoder.upsamples.{k}.time_conv")
-                c = tconv["bias"].shape[0] // 2
-                sp["tup"] = {
-                    "first": _first_tap(tconv, out_slice=slice(0, c)),
-                    "rest": tconv,  # (3,1,1) C->2C, matches our slot
-                }
             k += 1
         dec_scales.append(sp)
 
     dec = {
+        "post_quant": _c3d(sd, "conv2"),
         "conv_in": _c3d(sd, "decoder.conv1"),
         "mid": {
             "res1": _vres(sd, "decoder.middle.0", has_shortcut=False),
@@ -568,6 +548,7 @@ def convert_torch_vae_state(sd: Dict[str, Any], cfg) -> Dict[str, Any]:
         "norm_out": _vnorm(sd, "decoder.head.0"),
         "conv_out": _c3d(sd, "decoder.head.2"),
     }
+    sd.assert_fully_consumed("AutoencoderKLWan")
     return {"enc": enc, "dec": dec}
 
 

@@ -6,15 +6,21 @@ per-channel ``latents_mean``/``latents_std`` normalization, causal
 temporal convolutions (first frame encodes independently, so
 ``T_lat = 1 + (T-1)/4`` — common.py:1488-1490).
 
+The forward math mirrors the public Wan2.1 VAE exactly (channelwise
+RMS norms, causal (k_t-1) left-pad temporal convs, Resample blocks whose
+decoder spatial convs halve channels, identity first-frame paths in the
+temporal resamples, model-level quant/post-quant 1x1x1 convs) so that
+``convert_torch_vae_state`` produces weight-level parity — validated
+against an independent torch implementation in tests/test_oracle_vae.py.
+
 TPU design notes:
 - NDHWC layout end-to-end (channels-last feeds XLA conv kernels and the
   MXU without relayouts); the public API keeps the reference's NCTHW.
-- Causal time padding: every temporal conv pads (k_t - 1) on the left
-  only, so frame t never sees frames > t. The first pixel frame is
-  carried through a parallel stride-1 path (frame-1 "image latent"), and
-  temporal downsampling halves only frames 2..T — giving the 1+(T-1)/4
-  mapping without dynamic shapes.
-- GroupNorm + SiLU resnet blocks, spatial self-attention mid-block.
+- 3D convs decompose into k_t batched 2D convs (_conv3d_via_2d) — the
+  XLA:TPU 3D conv emitter is compile-pathological.
+- Monolithic whole-clip forwards by default; bit-exact streaming
+  encode/decode with explicit per-conv temporal caches for long clips
+  (the upstream feat_cache protocol, re-derived as carried input tails).
 """
 
 from __future__ import annotations
@@ -89,19 +95,17 @@ def causal_conv3d(p, x, stride: Tuple[int, int, int] = (1, 1, 1)):
     return y + p["bias"].astype(y.dtype)
 
 
-def group_norm(p, x, num_groups: int = 32, eps: float = 1e-6):
-    """GroupNorm with per-frame statistics (no reduction over T), so the
-    encoder/decoder stay temporally causal."""
-    B, T, H, W, C = x.shape
-    g = min(num_groups, C)
-    while C % g:
-        g -= 1
-    xf = x.astype(jnp.float32).reshape(B, T, H, W, g, C // g)
-    mean = jnp.mean(xf, axis=(2, 3, 5), keepdims=True)
-    var = jnp.var(xf, axis=(2, 3, 5), keepdims=True)
-    xf = (xf - mean) * jax.lax.rsqrt(var + eps)
-    xf = xf.reshape(B, T, H, W, C)
-    return (xf * p["weight"] + p["bias"]).astype(x.dtype)
+def wan_rms_norm(p, x, eps: float = 1e-12):
+    """Wan2.1 ``RMS_norm``: channelwise L2 normalization per (t, h, w)
+    position, scaled by sqrt(C), with a learned per-channel gamma
+    (upstream: ``F.normalize(x, dim=C) * dim**0.5 * gamma + bias``;
+    the VAE instantiates it bias-free, the converter zero-fills).
+    The eps matches torch F.normalize (``max(norm, 1e-12)``)."""
+    xf = x.astype(jnp.float32)
+    n = jnp.sqrt(jnp.sum(xf * xf, axis=-1, keepdims=True))
+    xf = xf / jnp.maximum(n, eps) * (x.shape[-1] ** 0.5)
+    xf = xf * p["weight"] + p["bias"]
+    return xf.astype(x.dtype)
 
 
 def _conv_init(key, kt, kh, kw, cin, cout, dtype):
@@ -134,8 +138,8 @@ def _init_resblock(key, cin, cout, dtype):
 
 
 def _resblock(p, x):
-    h = causal_conv3d(p["conv1"], jax.nn.silu(group_norm(p["norm1"], x)))
-    h = causal_conv3d(p["conv2"], jax.nn.silu(group_norm(p["norm2"], h)))
+    h = causal_conv3d(p["conv1"], jax.nn.silu(wan_rms_norm(p["norm1"], x)))
+    h = causal_conv3d(p["conv2"], jax.nn.silu(wan_rms_norm(p["norm2"], h)))
     if "shortcut" in p:
         x = causal_conv3d(p["shortcut"], x)
     return x + h
@@ -152,7 +156,7 @@ def _init_attn(key, c, dtype):
 def _spatial_attn(p, x):
     """Per-frame spatial self-attention (mid-block)."""
     B, T, H, W, C = x.shape
-    h = group_norm(p["norm"], x).reshape(B * T, H * W, C)
+    h = wan_rms_norm(p["norm"], x).reshape(B * T, H * W, C)
     q = h @ p["q"]["kernel"].astype(h.dtype) + p["q"]["bias"].astype(h.dtype)
     k = h @ p["k"]["kernel"].astype(h.dtype) + p["k"]["bias"].astype(h.dtype)
     v = h @ p["v"]["kernel"].astype(h.dtype) + p["v"]["bias"].astype(h.dtype)
@@ -165,33 +169,45 @@ def _spatial_attn(p, x):
 
 
 # ---------------------------------------------------------------------------
-# Temporal split helpers (first frame is its own causal chunk)
+# Temporal resample (Wan2.1 Resample time_conv semantics)
 # ---------------------------------------------------------------------------
+#
+# Upstream processes clips through per-conv feature caches in chunks of
+# [1, 4, 4, ...] pixel frames (wan/modules/vae.py encode/decode). The
+# monolithic equivalents below were derived window-by-window from that
+# cache protocol (see tests/torch_oracles.py::WanVAEOracle for the
+# derivation, validated numerically in tests/test_oracle_vae.py):
+#
+# - downsample3d: the first frame is cached untouched (identity); the
+#   k=(3,1,1) stride-(2,1,1) UNPADDED time_conv then runs over the full
+#   sequence — windows (f1,f2,f3), (f3,f4,f5), ...  T -> 1 + (T-1)/2.
+# - upsample3d: the first frame is marked 'Rep' and passes through
+#   identically; the k=(3,1,1) C->2C time_conv runs causally (zero
+#   history — f1 is never used as history) over frames 2..T, each
+#   output splitting into two interleaved frames.  1+n -> 1+2n.
 
 
 def _temporal_downsample(p, x):
-    """Stride-(2,1,1) causal conv on frames 2..T; frame 1 passes through a
-    1x1 conv. Keeps T -> 1 + (T-1)/2."""
-    first = causal_conv3d(p["first"], x[:, :1])
-    rest = x[:, 1:]
-    if rest.shape[1] == 0:
-        return first
+    """Wan downsample3d: concat([x[:1], conv_nopad_stride2(x)])."""
+    kt, kh, kw = p["kernel"].shape[:3]
+    spad = (((kh - 1) // 2, kh // 2), ((kw - 1) // 2, kw // 2))
+    if x.shape[1] < kt:
+        return x[:, :1]
     y = _conv3d_via_2d(
-        rest, p["rest"]["kernel"].astype(x.dtype),
-        tpad=(1, 0), tstride=2, spad=((1, 1), (1, 1)), sstride=(1, 1),
-    ) + p["rest"]["bias"].astype(x.dtype)
-    return jnp.concatenate([first, y], axis=1)
+        x, p["kernel"].astype(x.dtype),
+        tpad=(0, 0), tstride=2, spad=spad, sstride=(1, 1),
+    ) + p["bias"].astype(x.dtype)
+    return jnp.concatenate([x[:, :1], y], axis=1)
 
 
 def _temporal_upsample(p, x):
-    """Inverse of _temporal_downsample: frame 1 kept, frames 2..T_lat each
-    expand to 2 frames. 1 + n -> 1 + 2n."""
-    first = causal_conv3d(p["first"], x[:, :1])
+    """Wan upsample3d: concat([x[:1], interleave2(causal_conv(x[1:]))])."""
+    first = x[:, :1]
     rest = x[:, 1:]
     if rest.shape[1] == 0:
         return first
     B, T, H, W, C = rest.shape
-    y = causal_conv3d(p["rest"], rest)  # [B, T, H, W, 2C]
+    y = causal_conv3d(p, rest)  # [B, T, H, W, 2C], zero causal history
     y = y.reshape(B, T, H, W, 2, y.shape[-1] // 2)
     y = y.transpose(0, 1, 4, 2, 3, 5).reshape(B, 2 * T, H, W, y.shape[-1])
     return jnp.concatenate([first, y], axis=1)
@@ -216,6 +232,25 @@ def _spatial_upsample(p, x):
 # ---------------------------------------------------------------------------
 
 
+def decoder_channel_plan(cfg: VAEConfig):
+    """Wan2.1 decoder channel plan: dims_dec = [dims[-1]] + dims[::-1];
+    every Resample's spatial conv HALVES channels, so each scale after
+    the first starts at half the previous scale's output width. Returns
+    [(cin, cout, has_resample, has_temporal)] per decoder scale, and the
+    matching temporal-upsample flags (= temporal_downsample reversed)."""
+    dims = [cfg.base_dim * m for m in cfg.dim_mults]
+    dims_dec = [dims[-1]] + dims[::-1]
+    ups = tuple(cfg.temporal_downsample)[::-1]
+    n = len(dims)
+    plan = []
+    for idx in range(n):
+        cin = dims_dec[idx] if idx == 0 else dims_dec[idx] // 2
+        cout = dims_dec[idx + 1]
+        has_rs = idx < n - 1
+        plan.append((cin, cout, has_rs, has_rs and ups[idx]))
+    return plan
+
+
 def init_vae(rng: jax.Array, cfg: VAEConfig) -> Dict[str, Any]:
     dtype = resolve_dtype(cfg.param_dtype)
     dims = [cfg.base_dim * m for m in cfg.dim_mults]
@@ -231,26 +266,22 @@ def init_vae(rng: jax.Array, cfg: VAEConfig) -> Dict[str, Any]:
         if i < len(dims) - 1:
             p["sdown"] = _conv_init(next(keys), 1, 3, 3, cout, cout, dtype)
             if cfg.temporal_downsample[i]:
-                p["tdown"] = {
-                    "first": _conv_init(next(keys), 1, 1, 1, cout, cout, dtype),
-                    "rest": _conv_init(next(keys), 3, 3, 3, cout, cout, dtype),
-                }
+                p["tdown"] = _conv_init(next(keys), 3, 1, 1, cout, cout,
+                                        dtype)
         return p
 
-    def dec_scale(i):
-        cin = dims[i]
-        cout = dims[i - 1] if i > 0 else dims[0]
+    def dec_scale(cin, cout, has_rs, has_t):
         p = {"res": [
             _init_resblock(next(keys), cin if j == 0 else cout, cout, dtype)
             for j in range(cfg.num_res_blocks + 1)
         ]}
-        if i > 0:
-            p["sup"] = _conv_init(next(keys), 1, 3, 3, cout, cout, dtype)
-            if cfg.temporal_downsample[i - 1]:
-                p["tup"] = {
-                    "first": _conv_init(next(keys), 1, 1, 1, cout, cout, dtype),
-                    "rest": _conv_init(next(keys), 3, 1, 1, cout, 2 * cout, dtype),
-                }
+        if has_rs:
+            if has_t:
+                p["tup"] = _conv_init(next(keys), 3, 1, 1, cout, 2 * cout,
+                                      dtype)
+            # Wan Resample spatial conv halves channels (Conv2d(d, d//2))
+            p["sup"] = _conv_init(next(keys), 1, 3, 3, cout, cout // 2,
+                                  dtype)
         return p
 
     mid_c = dims[-1]
@@ -265,15 +296,21 @@ def init_vae(rng: jax.Array, cfg: VAEConfig) -> Dict[str, Any]:
             },
             "norm_out": _norm_init(mid_c, dtype),
             "conv_out": _conv_init(next(keys), 3, 3, 3, mid_c, 2 * cfg.z_dim, dtype),
+            # model-level quant conv (upstream `conv1`, 1x1x1 on moments)
+            "quant": _conv_init(next(keys), 1, 1, 1, 2 * cfg.z_dim,
+                                2 * cfg.z_dim, dtype),
         },
         "dec": {
+            # model-level post-quant conv (upstream `conv2`)
+            "post_quant": _conv_init(next(keys), 1, 1, 1, cfg.z_dim,
+                                     cfg.z_dim, dtype),
             "conv_in": _conv_init(next(keys), 3, 3, 3, cfg.z_dim, mid_c, dtype),
             "mid": {
                 "res1": _init_resblock(next(keys), mid_c, mid_c, dtype),
                 "attn": _init_attn(next(keys), mid_c, dtype),
                 "res2": _init_resblock(next(keys), mid_c, mid_c, dtype),
             },
-            "scales": [dec_scale(i) for i in range(len(dims) - 1, -1, -1)],
+            "scales": [dec_scale(*sc) for sc in decoder_channel_plan(cfg)],
             "norm_out": _norm_init(dims[0], dtype),
             "conv_out": _conv_init(next(keys), 3, 3, 3, dims[0], 3, dtype),
         },
@@ -306,7 +343,8 @@ def vae_encode_moments(params, cfg: VAEConfig, video: jnp.ndarray):
     x = _resblock(e["mid"]["res1"], x)
     x = _spatial_attn(e["mid"]["attn"], x)
     x = _resblock(e["mid"]["res2"], x)
-    x = causal_conv3d(e["conv_out"], jax.nn.silu(group_norm(e["norm_out"], x)))
+    x = causal_conv3d(e["conv_out"], jax.nn.silu(wan_rms_norm(e["norm_out"], x)))
+    x = causal_conv3d(e["quant"], x)  # upstream model-level `conv1`
     x = x.transpose(0, 4, 1, 2, 3)  # NCTHW
     mean, logvar = jnp.split(x, 2, axis=1)
     return mean.astype(jnp.float32), logvar.astype(jnp.float32)
@@ -334,20 +372,22 @@ def _vae_decode_core(params, cfg: VAEConfig, z: jnp.ndarray):
     cdtype = resolve_dtype(cfg.compute_dtype)
     x = z.transpose(0, 2, 3, 4, 1).astype(cdtype)  # NDHWC
     d = params["dec"]
+    x = causal_conv3d(d["post_quant"], x)  # upstream model-level `conv2`
     x = causal_conv3d(d["conv_in"], x)
     x = _resblock(d["mid"]["res1"], x)
     x = _spatial_attn(d["mid"]["attn"], x)
     x = _resblock(d["mid"]["res2"], x)
-    n_scales = len(cfg.dim_mults)
-    for idx, i in enumerate(range(n_scales - 1, -1, -1)):
-        sp = d["scales"][idx]
+    for sp, (_, _, has_rs, has_t) in zip(params["dec"]["scales"],
+                                         decoder_channel_plan(cfg)):
         for rp in sp["res"]:
             x = _resblock(rp, x)
-        if i > 0:
-            x = _spatial_upsample(sp["sup"], x)
-            if cfg.temporal_downsample[i - 1]:
+        if has_rs:
+            # Wan Resample order: temporal first, then spatial (which
+            # halves channels)
+            if has_t:
                 x = _temporal_upsample(sp["tup"], x)
-    x = causal_conv3d(d["conv_out"], jax.nn.silu(group_norm(d["norm_out"], x)))
+            x = _spatial_upsample(sp["sup"], x)
+    x = causal_conv3d(d["conv_out"], jax.nn.silu(wan_rms_norm(d["norm_out"], x)))
     return x.transpose(0, 4, 1, 2, 3).astype(jnp.float32)  # [B,3,T,H,W]
 
 
@@ -466,8 +506,8 @@ class _CacheIO:
 
 
 def _resblock_cached(p, x, cio: "_CacheIO"):
-    h = cio.conv(p["conv1"], jax.nn.silu(group_norm(p["norm1"], x)))
-    h = cio.conv(p["conv2"], jax.nn.silu(group_norm(p["norm2"], h)))
+    h = cio.conv(p["conv1"], jax.nn.silu(wan_rms_norm(p["norm1"], x)))
+    h = cio.conv(p["conv2"], jax.nn.silu(wan_rms_norm(p["norm2"], h)))
     if "shortcut" in p:
         x = causal_conv3d(p["shortcut"], x)  # 1x1x1, stateless
     return x + h
@@ -475,12 +515,12 @@ def _resblock_cached(p, x, cio: "_CacheIO"):
 
 def _temporal_upsample_cached(p, x, cio: "_CacheIO", first: bool):
     """Streaming form of _temporal_upsample. The first latent frame (only
-    present in the first chunk) takes the stride-1 "first" path and never
-    feeds the rest-conv — so the rest-conv cache starts at zeros, exactly
-    matching the monolithic zero left-pad."""
+    present in the first chunk) passes through identically ('Rep') and
+    never feeds the time-conv — its cache starts at zeros, exactly
+    matching the monolithic zero left-pad over frames 2..T."""
     cache = cio.pull()
     if first:
-        head = causal_conv3d(p["first"], x[:, :1])
+        head = x[:, :1]
         rest = x[:, 1:]
     else:
         head = None
@@ -492,11 +532,11 @@ def _temporal_upsample_cached(p, x, cio: "_CacheIO", first: bool):
         return head
     ext = jnp.concatenate([cache.astype(x.dtype), rest], axis=1)
     cio.push(ext[:, -2:])
-    kh, kw = p["rest"]["kernel"].shape[1:3]
+    kh, kw = p["kernel"].shape[1:3]
     spad = (((kh - 1) // 2, kh // 2), ((kw - 1) // 2, kw // 2))
-    y = _conv3d_via_2d(ext, p["rest"]["kernel"].astype(x.dtype), tpad=(0, 0),
+    y = _conv3d_via_2d(ext, p["kernel"].astype(x.dtype), tpad=(0, 0),
                        tstride=1, spad=spad, sstride=(1, 1))
-    y = y + p["rest"]["bias"].astype(x.dtype)
+    y = y + p["bias"].astype(x.dtype)
     B, T, H, W, C2 = y.shape
     y = y.reshape(B, T, H, W, 2, C2 // 2)
     y = y.transpose(0, 1, 4, 2, 3, 5).reshape(B, 2 * T, H, W, C2 // 2)
@@ -514,20 +554,20 @@ def _vae_decode_chunk(params, cfg: VAEConfig, z: jnp.ndarray, caches,
     x = z.transpose(0, 2, 3, 4, 1).astype(cdtype)
     d = params["dec"]
     cio = _CacheIO(caches)
+    x = causal_conv3d(d["post_quant"], x)  # 1x1x1, stateless
     x = cio.conv(d["conv_in"], x)
     x = _resblock_cached(d["mid"]["res1"], x, cio)
     x = _spatial_attn(d["mid"]["attn"], x)
     x = _resblock_cached(d["mid"]["res2"], x, cio)
-    n_scales = len(cfg.dim_mults)
-    for idx, i in enumerate(range(n_scales - 1, -1, -1)):
-        sp = d["scales"][idx]
+    for sp, (_, _, has_rs, has_t) in zip(d["scales"],
+                                         decoder_channel_plan(cfg)):
         for rp in sp["res"]:
             x = _resblock_cached(rp, x, cio)
-        if i > 0:
-            x = _spatial_upsample(sp["sup"], x)  # (1,3,3), stateless
-            if cfg.temporal_downsample[i - 1]:
+        if has_rs:
+            if has_t:
                 x = _temporal_upsample_cached(sp["tup"], x, cio, first)
-    x = cio.conv(d["conv_out"], jax.nn.silu(group_norm(d["norm_out"], x)))
+            x = _spatial_upsample(sp["sup"], x)  # (1,3,3), stateless
+    x = cio.conv(d["conv_out"], jax.nn.silu(wan_rms_norm(d["norm_out"], x)))
     return x.transpose(0, 4, 1, 2, 3).astype(jnp.float32), tuple(cio.out)
 
 
@@ -556,34 +596,25 @@ def vae_decode_streamed(params, cfg: VAEConfig, latents: jnp.ndarray,
 
 
 def _temporal_downsample_cached(p, x, cio: "_CacheIO", first: bool):
-    """Streaming form of _temporal_downsample (stride-2 kt-3 rest conv;
-    carry = kt - stride = 1 input frame). The first pixel frame (chunk 0
-    only) takes the stride-1 path and never feeds the rest conv; the
-    initial carry is one zero frame, matching the monolithic (1, 0)
-    left-pad."""
+    """Streaming form of _temporal_downsample (stride-2 k=3 UNPADDED
+    conv whose first window starts at frame 1; carry = kt - stride = 1
+    input frame). The first frame (chunk 0 only) passes through
+    identically AND seeds the carry — it IS the first window's first
+    tap, matching the monolithic no-pad conv over the full sequence."""
     cache = cio.pull()
     if first:
-        head = causal_conv3d(p["first"], x[:, :1])
-        rest = x[:, 1:]
-    else:
-        head = None
-        rest = x
-    if cache is None:
-        cache = jnp.zeros((x.shape[0], 1) + rest.shape[2:], x.dtype)
-    if rest.shape[1] == 0:
-        cio.push(cache)
-        return head
-    ext = jnp.concatenate([cache.astype(x.dtype), rest], axis=1)
+        # chunk 0 is exactly one frame: identity output, frame cached
+        cio.push(x[:, :1])
+        return x[:, :1]
+    ext = jnp.concatenate([cache.astype(x.dtype), x], axis=1)
     n_out = (ext.shape[1] - 3) // 2 + 1
+    assert n_out >= 1, "streaming chunk too small for the stride-2 window"
     cio.push(ext[:, 2 * n_out:])
-    kh, kw = p["rest"]["kernel"].shape[1:3]
+    kh, kw = p["kernel"].shape[1:3]
     spad = (((kh - 1) // 2, kh // 2), ((kw - 1) // 2, kw // 2))
-    y = _conv3d_via_2d(ext, p["rest"]["kernel"].astype(x.dtype),
+    y = _conv3d_via_2d(ext, p["kernel"].astype(x.dtype),
                        tpad=(0, 0), tstride=2, spad=spad, sstride=(1, 1))
-    y = y + p["rest"]["bias"].astype(x.dtype)
-    if head is not None:
-        y = jnp.concatenate([head, y], axis=1)
-    return y
+    return y + p["bias"].astype(x.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "first"))
@@ -608,7 +639,8 @@ def _vae_encode_chunk(params, cfg: VAEConfig, video: jnp.ndarray, caches,
     x = _resblock_cached(e["mid"]["res1"], x, cio)
     x = _spatial_attn(e["mid"]["attn"], x)
     x = _resblock_cached(e["mid"]["res2"], x, cio)
-    x = cio.conv(e["conv_out"], jax.nn.silu(group_norm(e["norm_out"], x)))
+    x = cio.conv(e["conv_out"], jax.nn.silu(wan_rms_norm(e["norm_out"], x)))
+    x = causal_conv3d(e["quant"], x)  # 1x1x1, stateless
     x = x.transpose(0, 4, 1, 2, 3)
     mean, logvar = jnp.split(x, 2, axis=1)
     return (mean.astype(jnp.float32), logvar.astype(jnp.float32)), \

@@ -92,6 +92,8 @@ def make_vae_sd(cfg, seed=0):
         conv2(prefix + ".to_qkv", c, 3 * c, 1, 1)
         conv2(prefix + ".proj", c, c, 1, 1)
 
+    from longcat_video_tta_tpu.models.vae import decoder_channel_plan
+
     dims = [cfg.base_dim * m for m in cfg.dim_mults]
     n = len(dims)
 
@@ -114,21 +116,22 @@ def make_vae_sd(cfg, seed=0):
     res("encoder.middle.2", dims[-1], dims[-1])
     norm("encoder.head.0", dims[-1])
     conv3("encoder.head.2", dims[-1], 2 * cfg.z_dim, 3, 3, 3)
+    conv3("conv1", 2 * cfg.z_dim, 2 * cfg.z_dim, 1, 1, 1)  # quant
 
+    conv3("conv2", cfg.z_dim, cfg.z_dim, 1, 1, 1)  # post-quant
     conv3("decoder.conv1", cfg.z_dim, dims[-1], 3, 3, 3)
     res("decoder.middle.0", dims[-1], dims[-1])
     attn("decoder.middle.1", dims[-1])
     res("decoder.middle.2", dims[-1], dims[-1])
     k = 0
-    for i in range(n - 1, -1, -1):
-        cin = dims[i]
-        cout = dims[i - 1] if i > 0 else dims[0]
+    for cin, cout, has_rs, has_t in decoder_channel_plan(cfg):
         for j in range(cfg.num_res_blocks + 1):
             res(f"decoder.upsamples.{k}", cin if j == 0 else cout, cout)
             k += 1
-        if i > 0:
-            conv2(f"decoder.upsamples.{k}.resample.1", cout, cout)
-            if cfg.temporal_downsample[i - 1]:
+        if has_rs:
+            # Wan decoder Resample: spatial conv halves channels
+            conv2(f"decoder.upsamples.{k}.resample.1", cout, cout // 2)
+            if has_t:
                 conv3(f"decoder.upsamples.{k}.time_conv", cout, 2 * cout,
                       3, 1, 1)
             k += 1

@@ -44,7 +44,7 @@ def test_vae_encode_golden():
     vid = jax.random.uniform(jax.random.PRNGKey(4), (1, 3, 5, 16, 32),
                              minval=-1.0, maxval=1.0)
     z = V.vae_encode(vp, CFG.vae, vid)
-    assert float(z.sum()) == pytest.approx(13.94911003112793, abs=1e-2)
+    assert float(z.sum()) == pytest.approx(9.42812156677246, abs=1e-2)
 
 
 def test_umt5_golden():

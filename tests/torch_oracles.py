@@ -310,3 +310,314 @@ class LongCatDiTOracle(nn.Module):
 
         x = self.final_layer(x, t, (nt, nh, nw))
         return self.unpatchify(x, nt, nh, nw).float()
+
+
+# ---------------------------------------------------------------------------
+# Wan2.1 causal video VAE
+# ---------------------------------------------------------------------------
+#
+# Independent torch implementation of the public Wan2.1 VAE architecture
+# (the model LongCat vendors as ``AutoencoderKLWan``; reference usage
+# common.py:158-221), INCLUDING the per-conv feat-cache chunked
+# encode/decode protocol ([1, 4, 4, ...] pixel-frame chunks on encode,
+# one latent frame per chunk on decode). That cache protocol IS the
+# ground-truth temporal semantics that models/vae.py re-derives as
+# monolithic whole-clip convolutions; tests/test_oracle_vae.py asserts
+# the two agree numerically through convert_torch_vae_state.
+
+WAN_CACHE_T = 2
+
+
+class WanCausalConv3d(nn.Conv3d):
+    """Conv3d whose temporal padding is causal — doubled left-only zero
+    pad — and may be partially pre-filled by a carried input tail."""
+
+    def __init__(self, cin, cout, kernel, stride=1, padding=0):
+        super().__init__(cin, cout, kernel, stride=stride, padding=0)
+        if isinstance(padding, int):
+            padding = (padding, padding, padding)
+        self._pads = padding
+
+    def forward(self, x, cache=None):
+        pt, ph, pw = self._pads
+        left = 2 * pt
+        if cache is not None:
+            x = torch.cat([cache.to(x.dtype), x], dim=2)
+            left -= cache.shape[2]
+        x = F.pad(x, (pw, pw, ph, ph, max(left, 0), 0))
+        return super().forward(x)
+
+
+class WanRMSNorm(nn.Module):
+    """Channelwise L2 normalize * sqrt(C) * gamma (bias-free). gamma
+    keeps the broadcast shape of the upstream checkpoint: (C, 1, 1) when
+    applied per-frame (``images=True``), (C, 1, 1, 1) on video."""
+
+    def __init__(self, dim, images=True):
+        super().__init__()
+        tail = (1, 1) if images else (1, 1, 1)
+        self.gamma = nn.Parameter(torch.ones(dim, *tail))
+        self._scale = dim ** 0.5
+
+    def forward(self, x):
+        return F.normalize(x, dim=1) * self._scale * self.gamma
+
+
+def _wan_cached_conv(conv, x, fc, fi):
+    """One cached causal-conv application: carry the last WAN_CACHE_T
+    input frames between chunks; a 1-frame chunk's carry is left-extended
+    with the previous carry's last frame (zeros right after 'Rep')."""
+    idx = fi[0]
+    prev = fc.get(idx)
+    tail = x[:, :, -WAN_CACHE_T:].clone()
+    if tail.shape[2] < WAN_CACHE_T and prev is not None:
+        pad = (torch.zeros_like(tail[:, :, :1]) if isinstance(prev, str)
+               else prev[:, :, -1:])
+        tail = torch.cat([pad, tail], dim=2)
+    y = conv(x, None if (prev is None or isinstance(prev, str)) else prev)
+    fc[idx] = tail
+    fi[0] += 1
+    return y
+
+
+class WanResBlock(nn.Module):
+    def __init__(self, cin, cout):
+        super().__init__()
+        self.residual = nn.Sequential(
+            WanRMSNorm(cin, images=False), nn.SiLU(),
+            WanCausalConv3d(cin, cout, 3, padding=1),
+            WanRMSNorm(cout, images=False), nn.SiLU(), nn.Dropout(0.0),
+            WanCausalConv3d(cout, cout, 3, padding=1),
+        )
+        self.shortcut = (WanCausalConv3d(cin, cout, 1)
+                         if cin != cout else nn.Identity())
+
+    def forward(self, x, fc=None, fi=None):
+        h = self.shortcut(x)
+        for layer in self.residual:
+            if isinstance(layer, WanCausalConv3d) and fc is not None:
+                x = _wan_cached_conv(layer, x, fc, fi)
+            else:
+                x = layer(x)
+        return x + h
+
+
+class WanAttention(nn.Module):
+    """Per-frame spatial self-attention with a fused to_qkv 1x1 conv."""
+
+    def __init__(self, dim):
+        super().__init__()
+        self.norm = WanRMSNorm(dim)
+        self.to_qkv = nn.Conv2d(dim, dim * 3, 1)
+        self.proj = nn.Conv2d(dim, dim, 1)
+
+    def forward(self, x):
+        b, c, t, h, w = x.shape
+        flat = x.permute(0, 2, 1, 3, 4).reshape(b * t, c, h, w)
+        y = self.norm(flat)
+        qkv = self.to_qkv(y).reshape(b * t, 3, c, h * w)
+        q, k, v = qkv[:, 0], qkv[:, 1], qkv[:, 2]  # [BT, C, HW]
+        attn = torch.softmax(
+            q.transpose(1, 2) @ k * (c ** -0.5), dim=-1)  # [BT, HW, HW]
+        o = (attn @ v.transpose(1, 2)).transpose(1, 2).reshape(b * t, c, h, w)
+        o = self.proj(o)
+        return x + o.reshape(b, t, c, h, w).permute(0, 2, 1, 3, 4)
+
+
+class WanResample(nn.Module):
+    """Spatial 2x resample (decoder convs HALVE channels), optionally
+    fused with the temporal resample time_conv and its cache protocol:
+
+    - upsample3d: time first. Chunk 0 only sets the 'Rep' marker (frame
+      1 is temporally identity); later chunks run the C->2C time_conv
+      causally over the carried tail, each output splitting into two
+      interleaved frames.
+    - downsample3d: space first. Chunk 0 caches its (single) frame
+      untouched; later chunks run the UNPADDED stride-2 time_conv over
+      [carry | chunk] — windows (f1,f2,f3), (f3,f4,f5), ...
+    """
+
+    def __init__(self, dim, mode):
+        super().__init__()
+        self.mode = mode
+        if mode.startswith("upsample"):
+            self.resample = nn.Sequential(
+                nn.Upsample(scale_factor=(2.0, 2.0), mode="nearest-exact"),
+                nn.Conv2d(dim, dim // 2, 3, padding=1),
+            )
+            if mode == "upsample3d":
+                self.time_conv = WanCausalConv3d(
+                    dim, dim * 2, (3, 1, 1), padding=(1, 0, 0))
+        else:
+            self.resample = nn.Sequential(
+                nn.ZeroPad2d((0, 1, 0, 1)),
+                nn.Conv2d(dim, dim, 3, stride=(2, 2)),
+            )
+            if mode == "downsample3d":
+                self.time_conv = WanCausalConv3d(
+                    dim, dim, (3, 1, 1), stride=(2, 1, 1))
+
+    def forward(self, x, fc=None, fi=None):
+        b, c = x.shape[:2]
+        if self.mode == "upsample3d" and fc is not None:
+            idx = fi[0]
+            prev = fc.get(idx)
+            if prev is None:
+                fc[idx] = "Rep"
+                fi[0] += 1
+            else:
+                t = x.shape[2]
+                tail = x[:, :, -WAN_CACHE_T:].clone()
+                if tail.shape[2] < WAN_CACHE_T:
+                    pad = (torch.zeros_like(tail[:, :, :1])
+                           if isinstance(prev, str) else prev[:, :, -1:])
+                    tail = torch.cat([pad, tail], dim=2)
+                y = self.time_conv(
+                    x, None if isinstance(prev, str) else prev)
+                fc[idx] = tail
+                fi[0] += 1
+                y = y.reshape(b, 2, c, t, *x.shape[3:])
+                x = torch.stack((y[:, 0], y[:, 1]), dim=3)
+                x = x.reshape(b, c, 2 * t, *x.shape[4:])
+        t = x.shape[2]
+        flat = x.permute(0, 2, 1, 3, 4).reshape(b * t, *x.shape[1:2],
+                                                *x.shape[3:])
+        flat = self.resample(flat)
+        x = flat.reshape(b, t, *flat.shape[1:]).permute(0, 2, 1, 3, 4)
+        if self.mode == "downsample3d" and fc is not None:
+            idx = fi[0]
+            prev = fc.get(idx)
+            if prev is None:
+                fc[idx] = x.clone()
+                fi[0] += 1
+            else:
+                tail = x[:, :, -1:].clone()
+                x = self.time_conv(torch.cat([prev[:, :, -1:], x], dim=2))
+                fc[idx] = tail
+                fi[0] += 1
+        return x
+
+
+class WanEncoder3d(nn.Module):
+    def __init__(self, cfg):
+        super().__init__()
+        dims = [cfg.base_dim * m for m in cfg.dim_mults]
+        self.conv1 = WanCausalConv3d(3, dims[0], 3, padding=1)
+        downs = []
+        for i in range(len(dims)):
+            cin = dims[i - 1] if i > 0 else dims[0]
+            for j in range(cfg.num_res_blocks):
+                downs.append(WanResBlock(cin if j == 0 else dims[i], dims[i]))
+            if i < len(dims) - 1:
+                mode = ("downsample3d" if cfg.temporal_downsample[i]
+                        else "downsample2d")
+                downs.append(WanResample(dims[i], mode))
+        self.downsamples = nn.ModuleList(downs)
+        self.middle = nn.ModuleList([
+            WanResBlock(dims[-1], dims[-1]),
+            WanAttention(dims[-1]),
+            WanResBlock(dims[-1], dims[-1]),
+        ])
+        self.head = nn.Sequential(
+            WanRMSNorm(dims[-1], images=False), nn.SiLU(),
+            WanCausalConv3d(dims[-1], 2 * cfg.z_dim, 3, padding=1),
+        )
+
+    def forward(self, x, fc, fi):
+        x = _wan_cached_conv(self.conv1, x, fc, fi)
+        for layer in self.downsamples:
+            x = layer(x, fc, fi)
+        for layer in self.middle:
+            x = layer(x, fc, fi) if isinstance(layer, WanResBlock) else layer(x)
+        for layer in self.head:
+            if isinstance(layer, WanCausalConv3d):
+                x = _wan_cached_conv(layer, x, fc, fi)
+            else:
+                x = layer(x)
+        return x
+
+
+class WanDecoder3d(nn.Module):
+    def __init__(self, cfg):
+        super().__init__()
+        dims = [cfg.base_dim * m for m in cfg.dim_mults]
+        dims_dec = [dims[-1]] + dims[::-1]
+        ups_flag = tuple(cfg.temporal_downsample)[::-1]
+        n = len(dims)
+        self.conv1 = WanCausalConv3d(cfg.z_dim, dims_dec[0], 3, padding=1)
+        self.middle = nn.ModuleList([
+            WanResBlock(dims_dec[0], dims_dec[0]),
+            WanAttention(dims_dec[0]),
+            WanResBlock(dims_dec[0], dims_dec[0]),
+        ])
+        ups = []
+        for i in range(n):
+            # every Resample's spatial conv halved the channels, so each
+            # scale after the first starts at half the recorded width
+            cin = dims_dec[i] if i == 0 else dims_dec[i] // 2
+            cout = dims_dec[i + 1]
+            for j in range(cfg.num_res_blocks + 1):
+                ups.append(WanResBlock(cin if j == 0 else cout, cout))
+            if i < n - 1:
+                mode = "upsample3d" if ups_flag[i] else "upsample2d"
+                ups.append(WanResample(cout, mode))
+        self.upsamples = nn.ModuleList(ups)
+        self.head = nn.Sequential(
+            WanRMSNorm(dims[0], images=False), nn.SiLU(),
+            WanCausalConv3d(dims[0], 3, 3, padding=1),
+        )
+
+    def forward(self, x, fc, fi):
+        x = _wan_cached_conv(self.conv1, x, fc, fi)
+        for layer in self.middle:
+            x = layer(x, fc, fi) if isinstance(layer, WanResBlock) else layer(x)
+        for layer in self.upsamples:
+            x = layer(x, fc, fi)
+        for layer in self.head:
+            if isinstance(layer, WanCausalConv3d):
+                x = _wan_cached_conv(layer, x, fc, fi)
+            else:
+                x = layer(x)
+        return x
+
+
+class WanVAEOracle(nn.Module):
+    """Full Wan2.1 VAE with the upstream chunked cache protocol.
+
+    ``encode`` chunks pixels as [1, 4, 4, ...] frames and returns the
+    (mu, logvar) moments after the model-level quant conv (``conv1``);
+    ``decode`` applies the post-quant conv (``conv2``) then runs the
+    decoder one latent frame at a time. State-dict names match the
+    upstream checkpoint layout consumed by convert_torch_vae_state.
+    """
+
+    def __init__(self, cfg):
+        super().__init__()
+        assert cfg.temporal_factor == 4, "Wan chunk protocol is 4x temporal"
+        self.cfg = cfg
+        self.encoder = WanEncoder3d(cfg)
+        self.conv1 = WanCausalConv3d(2 * cfg.z_dim, 2 * cfg.z_dim, 1)
+        self.conv2 = WanCausalConv3d(cfg.z_dim, cfg.z_dim, 1)
+        self.decoder = WanDecoder3d(cfg)
+
+    def encode(self, x):
+        fc = {}
+        t = x.shape[2]
+        outs = []
+        for i in range(1 + (t - 1) // 4):
+            fi = [0]
+            chunk = (x[:, :, :1] if i == 0
+                     else x[:, :, 1 + 4 * (i - 1):1 + 4 * i])
+            outs.append(self.encoder(chunk, fc, fi))
+        moments = self.conv1(torch.cat(outs, dim=2))
+        mu, logvar = moments.chunk(2, dim=1)
+        return mu, logvar
+
+    def decode(self, z):
+        fc = {}
+        x = self.conv2(z)
+        outs = []
+        for i in range(z.shape[2]):
+            fi = [0]
+            outs.append(self.decoder(x[:, :, i:i + 1], fc, fi))
+        return torch.cat(outs, dim=2)
