@@ -109,10 +109,19 @@ def optimize_noise(
     *, num_opt_steps: int = 20, sampler_steps: int = 4, lr: float = 0.01,
     interp_p: float = 0.9, interp_every: int = 5,
     attn_impl: Optional[str] = None,
+    step_and_tx: Optional[Tuple[Any, optax.GradientTransformation]] = None,
 ) -> Tuple[jnp.ndarray, Dict[str, Any]]:
-    """Full DNO loop. Returns (optimized noise, info)."""
-    tx = optax.adam(lr)
-    step = make_dno_step(dit_cfg, sched_cfg, tx, sampler_steps, attn_impl)
+    """Full DNO loop. Returns (optimized noise, info).
+
+    ``step_and_tx``: optional prebuilt ``(make_dno_step(...), tx)`` pair —
+    pass it when looping over many videos so the jitted step (and its
+    XLA executable) is shared instead of re-traced per video."""
+    if step_and_tx is not None:
+        step, tx = step_and_tx
+    else:
+        tx = optax.adam(lr)
+        step = make_dno_step(dit_cfg, sched_cfg, tx, sampler_steps,
+                             attn_impl)
     k0, rng = jax.random.split(rng)
     noise = jax.random.normal(k0, target_latents.shape, jnp.float32)
     opt_state = tx.init(noise)

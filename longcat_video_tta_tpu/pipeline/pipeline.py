@@ -265,6 +265,7 @@ def generate_vc(
     gen_segment_steps: int = 0,
     pab_cfg=None,
     cfgr_cfg=None,
+    init_noise: Optional[jnp.ndarray] = None,
 ) -> np.ndarray:
     """Video continuation. Returns generated frames [N, H, W, 3] in [0, 1]
     (N = num_frames rounded to 4k+1), matching the contract of
@@ -286,7 +287,14 @@ def generate_vc(
     seed the bucketed and exact paths produce *different* (equally
     valid) samples — toggling bucket_gen changes sample identity, not
     just compile count. Metrics comparisons across the flag must
-    compare distributions, not per-video values."""
+    compare distributions, not per-video values.
+
+    ``init_noise``: optional unit-variance carried noise
+    [1, C, L*, lat_h, lat_w] (SAVi-DNO, --method dno). Latent frames
+    beyond L* are topped up with the fresh seeded draw; extra frames
+    are cropped — the paper's eps_optimized persists across prediction
+    windows of possibly different horizons (savi_dno.py:139-152).
+    LongCat decode path only."""
     cfg = bundle.cfg
     nf = round_frames_4k1(num_frames)
     n_gen_latents = (nf - 1) // 4 + 1
@@ -309,7 +317,8 @@ def generate_vc(
         # padding changes the conditioning channel layout. Segmented
         # dispatch (gen_segment_steps) IS supported on all three archs.
         for flag, name in ((bsa_cfg, "bsa_cfg"), (bucket_gen, "bucket_gen"),
-                           (cp_mesh, "cp_mesh")):
+                           (cp_mesh, "cp_mesh"),
+                           (init_noise is not None, "init_noise")):
             if flag:
                 raise NotImplementedError(
                     f"{name} is not supported on the {cfg.arch} decode "
@@ -430,6 +439,19 @@ def generate_vc(
     if pab_cfg is not None and not use_kv_cache:
         raise NotImplementedError(
             "pab_cfg requires the KV-cache decode path (use_kv_cache)")
+    fit_noise = None
+    if init_noise is not None:
+        # carry the optimized noise into this window's horizon: overwrite
+        # the seeded draw's leading latent frames, keep fresh noise for
+        # any frames beyond the carried length (same seed as the plain
+        # path, so dno with a zero-step optimization == the baseline
+        # sample apart from the carried region)
+        fit_noise = jax.random.normal(
+            jax.random.PRNGKey(seed),
+            (1, cfg.dit.in_channels, gen_bucket, lat_h, lat_w), jnp.float32)
+        L = min(init_noise.shape[2], gen_bucket)
+        fit_noise = fit_noise.at[:, :, :L].set(
+            init_noise[:, :, :L].astype(jnp.float32))
     sample_kwargs = dict(
         num_gen_latents=gen_bucket,
         num_steps=num_inference_steps,
@@ -443,6 +465,7 @@ def generate_vc(
         num_valid_gen_latents=num_valid,
         pab_cfg=pab_cfg,
         cfgr_cfg=cfgr_cfg,
+        init_noise=fit_noise,
     )
     if gen_segment_steps > 0:
         # bounded per-dispatch execution time (long-horizon decode on

@@ -219,6 +219,7 @@ def sample_latents(
     num_valid_gen_latents: Optional[jnp.ndarray] = None,
     pab_cfg=None,
     cfgr_cfg=None,
+    init_noise: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Returns denoised latents for the generated region
     [B, C, num_gen_latents, lat_h, lat_w] (normalized latent space).
@@ -232,6 +233,10 @@ def sample_latents(
     size, latents beyond the valid count are masked out of attention
     (dense flash and BSA) and the caller slices the output. One compile
     serves every horizon in the bucket.
+
+    ``init_noise``: optional unit-variance [B, C, num_gen_latents, H, W]
+    initial noise replacing the ``rng`` draw (SAVi-DNO carried noise —
+    comparisons/noise_opt.py); scaled by sigma_max like the fresh draw.
     """
     B = text_emb.shape[0]
     C = dit_cfg.in_channels
@@ -239,7 +244,8 @@ def sample_latents(
     n_cond = 0 if cond_latents is None else cond_latents.shape[2]
 
     sigmas = sched.build_sigmas(num_steps, sched_cfg)
-    x = jax.random.normal(rng, (B, C, Lg, lat_h, lat_w), jnp.float32)
+    x = (init_noise.astype(jnp.float32) if init_noise is not None else
+         jax.random.normal(rng, (B, C, Lg, lat_h, lat_w), jnp.float32))
     x = x * sigmas[0]
 
     # CFG batch: [uncond; cond]
@@ -285,7 +291,7 @@ def sample_latents_segmented(
     num_gen_latents, num_steps, lat_h, lat_w, segment_steps,
     cond_latents=None, adapters=None, use_kv_cache=True, attn_impl=None,
     cp_mesh=None, bsa_cfg=None, num_valid_gen_latents=None, pab_cfg=None,
-    cfgr_cfg=None,
+    cfgr_cfg=None, init_noise=None,
 ):
     """``sample_latents`` split into ceil(num_steps/segment_steps)
     device dispatches with the denoised carry fetched between segments.
@@ -302,8 +308,9 @@ def sample_latents_segmented(
     n_cond = 0 if cond_latents is None else cond_latents.shape[2]
 
     sigmas = sched.build_sigmas(num_steps, sched_cfg)
-    x = jax.random.normal(rng, (B, C, num_gen_latents, lat_h, lat_w),
-                          jnp.float32)
+    x = (init_noise.astype(jnp.float32) if init_noise is not None else
+         jax.random.normal(rng, (B, C, num_gen_latents, lat_h, lat_w),
+                           jnp.float32))
     x = x * sigmas[0]
     emb2 = jnp.concatenate([neg_text_emb, text_emb], axis=0)
     mask2 = jnp.concatenate([neg_text_mask, text_mask], axis=0)

@@ -34,7 +34,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="TPU-native LongCat video TTA")
     p.add_argument("--method", default="delta_a",
                    choices=["none", "full", "lora", "delta_a", "delta_b",
-                            "delta_c", "norm_tune", "film"])
+                            "delta_c", "norm_tune", "film", "dno"])
     p.add_argument("--checkpoint-dir", default=None,
                    help="Converted weight dir (orbax); random init if unset")
     p.add_argument("--data-dir", default=None)
@@ -136,6 +136,15 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="split the denoise loop into N-step dispatches "
                         "(bounds single-execution time for long-horizon "
                         "decode; 0 = one dispatch)")
+    p.add_argument("--fast-decode-verify", type=int, default=0,
+                   help="fidelity self-check: for the first K videos, "
+                        "ALSO generate with every decode lever off "
+                        "(dense, same seed/adapters) and record "
+                        "fast-vs-dense PSNR + per-metric-vs-GT deltas "
+                        "into each result and the summary — so a real-"
+                        "weight campaign proves the lever stack is "
+                        "metric-neutral instead of extrapolating from "
+                        "synthetic-weight correlations (0 = off)")
     p.add_argument("--save-adapters", action="store_true",
                    help="persist each video's trained adapter state "
                         "(orbax) for post-hoc re-evaluation "
@@ -164,6 +173,20 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "(asserted in tests), costs a weight copy")
     p.add_argument("--film-mode", default="full",
                    choices=["full", "shift_scale", "scale_only"])
+    # SAVi-DNO noise optimization (--method dno; comparisons/noise_opt.py
+    # — the reference ran this on PVDM, savi_dno.py:1-399; here the
+    # differentiable lax.scan sampler runs it on the same backbone).
+    # --steps is the per-video noise-opt step count and --lr the Adam lr
+    # (paper: 0.01), shared with the adapter methods.
+    p.add_argument("--dno-sampler-steps", type=int, default=4,
+                   help="K of the differentiable K-step Euler sampler "
+                        "backpropped through per DNO step (paper: 10 "
+                        "DDIM steps on PVDM; lower K = linearly cheaper)")
+    p.add_argument("--dno-interp-p", type=float, default=0.9,
+                   help="noise-interpolation regularization p "
+                        "(savi_dno.py:119-124); 1.0 disables")
+    p.add_argument("--dno-interp-every", type=int, default=5,
+                   help="apply the noise interpolation every N opt steps")
     # early stopping (reference: add_early_stopping_args)
     p.add_argument("--es-disable", action="store_true")
     p.add_argument("--es-check-every", type=int, default=5)
@@ -295,6 +318,25 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "window decode (overlaps host IO with device "
                         "compute; .npy datasets)")
     return p
+
+
+def _summarize_fast_decode_verify(ok_results):
+    """Aggregate the per-video --fast-decode-verify records: mean
+    fast-vs-dense PSNR and mean per-metric-vs-GT delta over the verified
+    sample. None when the check never ran."""
+    recs = [r["fast_decode_verify"] for r in ok_results
+            if "fast_decode_verify" in r]
+    if not recs:
+        return None
+    out = {"num_verified": len(recs),
+           "same_noise": all(r.get("same_noise") for r in recs)}
+    for key in ("psnr_fast_vs_dense", "psnr_delta", "ssim_delta",
+                "lpips_delta", "dense_gen_time"):
+        vals = [r[key] for r in recs
+                if key in r and np.isfinite(r[key])]
+        if vals:
+            out[f"{key}_mean"] = float(np.mean(vals))
+    return out
 
 
 def step_keys(seed: int, vid_idx: int, lo: int, hi: int):
@@ -484,8 +526,13 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
         height=args.height, width=args.width,
     ))
     is_tta = args.method != "none"
+    is_dno = args.method == "dno"
+    # adapter methods train weights; dno trains the init noise — the
+    # ES machinery (adapter snapshots, anchor evals on adapted params)
+    # and the adapter scheme only exist for the former
+    is_adapter = is_tta and not is_dno
     escfg = EarlyStoppingConfig(
-        enabled=(not args.es_disable) and is_tta,
+        enabled=(not args.es_disable) and is_adapter,
         check_every=args.es_check_every,
         patience=args.es_patience,
         anchor_sigmas=tuple(float(x) for x in args.es_anchor_sigmas.split(",")),
@@ -512,7 +559,7 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
         speed_factors=tuple(parse_speed_factors(args.aug_speed_factors)),
     )
     acfg = AdapterConfig(
-        method=args.method if args.method != "none" else "delta_a",
+        method=args.method if is_adapter else "delta_a",
         lora_rank=args.lora_rank, lora_alpha=args.lora_alpha,
         lora_target_modules=tuple(args.lora_target_modules.split(",")),
         lora_target_ffn=args.lora_target_ffn,
@@ -576,6 +623,17 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
     if bundle.cfg.arch != "longcat" and args.bucket_shapes:
         raise SystemExit("--bucket-shapes is only wired for the LongCat "
                          "backbone")
+
+    if args.fast_decode_verify > 0:
+        if args.skip_generation:
+            raise SystemExit("--fast-decode-verify needs generation "
+                             "(drop --skip-generation)")
+        if not (args.quantize_decode != "none" or args.bsa_keep_ratio > 0
+                or args.pab_every > 0 or args.cfg_reuse_every > 0
+                or args.bucket_gen):
+            raise SystemExit("--fast-decode-verify: no decode lever is "
+                             "active — nothing to verify (enable "
+                             "--fast-decode or individual levers)")
 
     # Fail-loud at STARTUP on decode-lever combos generate_vc rejects
     # (or would silently drop) at generation time — catching them
@@ -680,23 +738,51 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
             bundle.dit_params = shard_params(mesh, bundle.dit_params,
                                              bundle.cfg.arch)
 
-    scheme = build_scheme(dit_cfg, acfg) if is_tta else None
+    scheme = build_scheme(dit_cfg, acfg) if is_adapter else None
     tx = build_optimizer(OptimConfig(
         optimizer=args.optimizer, lr=args.lr, steps=args.steps,
         warmup_steps=args.warmup_steps, weight_decay=args.weight_decay,
         grad_clip_norm=args.max_grad_norm))
     step_fn = (make_train_step(scheme, dit_cfg, tx, attn_impl=args.attn_impl,
                                loss_fn=arch_loss, cp_mesh=ctx_mesh)
-               if is_tta else None)
+               if is_adapter else None)
     chunk_fn = (make_train_chunk(
         scheme, dit_cfg, tx, attn_impl=args.attn_impl,
         anchor_sigmas=tuple(float(x)
                             for x in args.es_anchor_sigmas.split(",")),
         loss_fn=arch_loss, anchor_fn=arch_anchor, cp_mesh=ctx_mesh)
-        if is_tta else None)
+        if is_adapter else None)
     stopper = (build_early_stopper(escfg, scheme, dit_cfg, args.attn_impl,
                                    anchor_fn=arch_anchor, cp_mesh=ctx_mesh)
-               if is_tta else None)
+               if is_adapter else None)
+
+    dno_step_and_tx = None
+    if is_dno:
+        # fail-loud composition gates (like the decode-lever preflight):
+        # DNO backprops through the plain single-device sampler
+        if bundle.cfg.arch != "longcat":
+            raise SystemExit("--method dno is wired for the LongCat "
+                             "backbone only (carried init_noise rides "
+                             "the cond-KV/noise-split sampler)")
+        bad = [n for on, n in ((args.aug_enabled, "augmentation"),
+                               (args.batch_videos > 1, "--batch-videos"),
+                               (ctx_mesh is not None, "--context-mesh"),
+                               (args.tensor_mesh > 1, "--tensor-mesh"),
+                               (args.bucket_shapes, "--bucket-shapes"),
+                               (args.save_adapters, "--save-adapters"))
+               if on]
+        if bad:
+            raise SystemExit(f"--method dno does not compose with "
+                             f"{', '.join(bad)}")
+        import optax as _optax
+
+        from ..comparisons.noise_opt import make_dno_step
+
+        _dno_tx = _optax.adam(args.lr)
+        dno_step_and_tx = (make_dno_step(
+            dit_cfg, bundle.cfg.scheduler, _dno_tx,
+            num_steps=args.dno_sampler_steps, attn_impl=args.attn_impl),
+            _dno_tx)
 
     gate_scorer = None
     if gatecfg.enabled and args.clip_gate_model_path:
@@ -828,9 +914,10 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
     pretrained: Dict[int, Dict[str, Any]] = {}
     batched_chunk = None
     # fail-loud convention: these flags must not silently no-op
-    if vp > 1 and not is_tta:
+    if vp > 1 and not is_adapter:
         raise SystemExit(
-            f"--video-parallel requires a TTA method, not {args.method!r}")
+            f"--video-parallel requires an adapter TTA method, not "
+            f"{args.method!r}")
     if args.data_mesh > 1 and vp <= 1:
         raise SystemExit("--data-mesh requires --video-parallel > 1")
     if args.batch_videos > 1 and augcfg.enabled:
@@ -839,7 +926,7 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
         raise SystemExit("--batch-videos does not compose with "
                          "augmentation (the round-robin stack would "
                          "drop the augmented variants)")
-    if vp > 1 and is_tta:
+    if vp > 1 and is_adapter:
         for bad, name in ((augcfg.enabled, "augmentation"),
                           (args.batch_videos > 1, "--batch-videos"),
                           (args.bucket_shapes, "--bucket-shapes")):
@@ -1041,6 +1128,9 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
             save_adapter_state(ap, tp)
             res["adapter_path"] = ap
 
+    # resume-safe: verified count carries over from the checkpoint
+    fd_verified = sum(1 for r in results if "fast_decode_verify" in r)
+
     # ---- per-video loop ------------------------------------------------
     for idx in range(start_idx, len(videos)):
         entry = videos[idx]
@@ -1101,10 +1191,34 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
                         res["early_stopping_info"] = pre["es_info"]
                     record_adapter_result(res, tp, losses, idx, vid_id)
             else:
+                # dno reconstructs the WHOLE post-context window (no
+                # adapter snapshots, so no ES holdout to carve out)
                 cond_l, train_l, val_l = split_tta_latents(
-                    window_lat, n_ctx_lat, escfg.holdout_fraction)
+                    window_lat, n_ctx_lat,
+                    0.0 if is_dno else escfg.holdout_fraction)
                 emb, mask = bundle.encode_prompt(entry["caption"])
-            if pre is None and is_tta and not gate.get("skip_tta"):
+
+            dno_noise = None
+            if is_dno and not gate.get("skip_tta"):
+                from ..comparisons.noise_opt import optimize_noise
+
+                t_train = time.time()
+                dno_noise, dinfo = optimize_noise(
+                    bundle.dit_params, dit_cfg, bundle.cfg.scheduler,
+                    cond_l, train_l, emb, mask,
+                    jax.random.PRNGKey(args.seed + idx),
+                    num_opt_steps=args.steps,
+                    sampler_steps=args.dno_sampler_steps,
+                    interp_p=args.dno_interp_p,
+                    interp_every=args.dno_interp_every,
+                    attn_impl=args.attn_impl,
+                    step_and_tx=dno_step_and_tx)
+                train_time = time.time() - t_train
+                losses = dinfo["losses"]
+                res["losses"] = losses
+                res["trainable_params"] = int(np.prod(dno_noise.shape))
+                res["noise_norm"] = float(jnp.linalg.norm(dno_noise))
+            if pre is None and is_adapter and not gate.get("skip_tta"):
                 variants = [{"cond": cond_l, "train": train_l, "val": val_l,
                              "name": "orig"}]
                 if augcfg.enabled:
@@ -1289,6 +1403,7 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
                                       every=args.cfg_reuse_every,
                                       start_frac=args.cfg_reuse_start_frac,
                                       end_frac=args.cfg_reuse_end_frac)),
+                        init_noise=dno_noise,
                     )
                 gen_time = time.time() - t0
 
@@ -1297,6 +1412,47 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
                                     target_fps=args.load_fps)
                 res.update(evaluate_generation_metrics(
                     gen, gt, lpips_feature_fn=lpips_fn))
+                if fd_verified < args.fast_decode_verify:
+                    # fidelity self-check: same seed/adapters, every
+                    # decode lever off. Per-pixel comparison is exact
+                    # only when the fast path kept the plain noise draw
+                    # (bucket_gen pads the draw shape -> different
+                    # sample identity; the vs-GT deltas stay valid).
+                    t0 = time.time()
+                    with gen_ctx:
+                        dense = generate_vc(
+                            bundle, jnp.asarray(cond_px), entry["caption"],
+                            num_frames=frames.num_frames,
+                            num_inference_steps=args.num_inference_steps,
+                            guidance_scale=args.guidance_scale,
+                            seed=args.seed + idx,
+                            use_kv_cache=not args.no_kv_cache,
+                            adapters=adapters,
+                            dit_params=(dit_params_override
+                                        if dit_params_override
+                                        is not bundle.dit_params
+                                        else None),
+                            attn_impl=args.attn_impl,
+                            cp_mesh=ctx_mesh,
+                            gen_segment_steps=args.gen_segment_steps,
+                            init_noise=dno_noise,
+                        )
+                    dm = evaluate_generation_metrics(
+                        dense, gt, lpips_feature_fn=lpips_fn)
+                    mse = float(np.mean((np.asarray(gen, np.float64)
+                                         - np.asarray(dense)) ** 2))
+                    res["fast_decode_verify"] = {
+                        "psnr_fast_vs_dense": (float("inf") if mse == 0
+                                               else -10.0 * np.log10(mse)),
+                        "same_noise": not args.bucket_gen,
+                        "dense_gen_time": time.time() - t0,
+                        **{f"{k}_dense": v for k, v in dm.items()
+                           if k != "num_frames_scored"},
+                        **{f"{k}_delta": res[k] - v for k, v in dm.items()
+                           if k in ("psnr", "ssim", "lpips")
+                           and np.isfinite(v)},
+                    }
+                    fd_verified += 1
                 if fvd.enabled:
                     fvd.update(gen, gt)
                 if not args.no_save_videos:
@@ -1372,6 +1528,7 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
         "avg_clip_gate_eval_time": float(np.mean(
             [r.get("clip_gate_eval_time", 0) for r in ok])) if ok else None,
         "clip_gate_stats": summarize_clip_gate_stats(results),
+        "fast_decode_verify": _summarize_fast_decode_verify(ok),
         "caption_stats": caption_stats,
         "online_eval": fvd.compute(),
         "wall_time": time.time() - t_start,

@@ -234,13 +234,17 @@ def estimate_minutes(method: str, params: Dict[str, Any]) -> float:
     # canonical 32-frame window (reference extended_factor, :303)
     wf = max(1.0, tta_total / 32.0)
 
+    # dno backprops through a K-step sampler scan, so a step costs
+    # roughly K adapter steps (K = dno_sampler_steps, default 4)
     per_step_s = {"full": 2.5, "lora": 1.0, "norm_tune": 1.5,
-                  "film": 0.7, "delta_b": 0.5, "delta_c": 0.45}.get(
-                      method, 0.5) * wf
+                  "film": 0.7, "delta_b": 0.5, "delta_c": 0.45,
+                  "dno": 0.5 * int(params.get("dno_sampler_steps", 4)),
+                  }.get(method, 0.5) * wf
     train_s = steps * per_step_s
 
     es_s = 0.0
-    if not params.get("es_disable", False):
+    # dno has no adapter snapshots -> the driver force-disables ES
+    if method != "dno" and not params.get("es_disable", False):
         check_every = int(params.get("es_check_every", 5))
         sig = str(params.get("es_anchor_sigmas", "0.25,0.5,0.75"))
         draws = int(params.get("es_noise_draws", 2))

@@ -195,6 +195,69 @@ def test_baseline_end_to_end(tmp_path):
     assert os.path.exists(os.path.join(out, "per_video_metrics.csv"))
 
 
+def test_dno_method_end_to_end(tmp_path):
+    """--method dno (VERDICT r3 Missing #3): the SAVi-DNO comparison as a
+    results-producing run through the unified driver — per-video noise
+    optimization, generation from the carried noise, the standard
+    checkpoint/summary contract (so compare_all and the exporter consume
+    it like any other method). Reference: savi_dno.py:1-399."""
+    out, summary = _run(tmp_path, "dno",
+                        extra=("--dno-sampler-steps", "2",
+                               "--dno-interp-p", "0.9",
+                               "--dno-interp-every", "1"))
+    assert summary["method"] == "dno"
+    assert summary["num_success"] == 2
+    assert summary["metrics"]["psnr"]["mean"] > 0
+    assert os.path.exists(os.path.join(out, "summary.json"))
+    assert os.path.exists(os.path.join(out, "checkpoint.json"))
+    r0 = summary["results"][0]
+    assert len(r0["losses"]) == 2
+    assert all(np.isfinite(r0["losses"]))
+    # the trainable object is the init noise, not adapter weights
+    assert r0["trainable_params"] > 0 and np.isfinite(r0["noise_norm"])
+    assert "adapter_norm" not in r0
+    # noise-opt must actually move the objective
+    assert r0["losses"][1] != r0["losses"][0]
+
+
+def test_dno_rejects_unsupported_combos(tmp_path):
+    with pytest.raises(SystemExit, match="video-parallel"):
+        _run(tmp_path, "dno", extra=("--video-parallel", "2"))
+    with pytest.raises(SystemExit, match="compose"):
+        _run(tmp_path, "dno", extra=("--aug-enabled",))
+
+
+def test_fast_decode_verify_records_fidelity(tmp_path):
+    """--fast-decode-verify K (VERDICT r3 #7): the first K videos also
+    generate dense (same seed) and the summary carries fast-vs-dense
+    PSNR + per-metric deltas, so real-weight campaigns prove the lever
+    stack metric-neutral in the product path."""
+    out, summary = _run(tmp_path, "none",
+                        extra=("--quantize-decode", "int8",
+                               "--fast-decode-verify", "1",
+                               "--es-disable"))
+    recs = [r for r in summary["results"] if "fast_decode_verify" in r]
+    assert len(recs) == 1  # K=1 of 2 videos
+    fdv = recs[0]["fast_decode_verify"]
+    assert fdv["same_noise"] is True
+    assert np.isfinite(fdv["psnr_fast_vs_dense"])
+    # int8 decode is near-exact at tiny scale: fast ~= dense
+    assert fdv["psnr_fast_vs_dense"] > 20.0
+    assert "psnr_delta" in fdv and abs(fdv["psnr_delta"]) < 3.0
+    agg = summary["fast_decode_verify"]
+    assert agg["num_verified"] == 1 and agg["same_noise"]
+    assert np.isfinite(agg["psnr_fast_vs_dense_mean"])
+
+
+def test_fast_decode_verify_preflights(tmp_path):
+    with pytest.raises(SystemExit, match="no decode lever"):
+        _run(tmp_path, "none", extra=("--fast-decode-verify", "1"))
+    with pytest.raises(SystemExit, match="generation"):
+        _run(tmp_path, "none", extra=("--fast-decode-verify", "1",
+                                      "--quantize-decode", "int8",
+                                      "--skip-generation"))
+
+
 def test_resume_skips_completed(tmp_path):
     out, summary = _run(tmp_path, "delta_c")
     # re-run: checkpoint says next_idx=2 -> no new work, same results
