@@ -29,7 +29,8 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-from .video_io import count_frames, decode_frames, resize_frames, save_video
+from .video_io import (count_frames, decode_frames, native_fps,
+                       resize_frames, save_video)
 
 TARGET_W, TARGET_H = 832, 480
 
@@ -192,6 +193,109 @@ def prepare_panda70m_subset(
     return rows
 
 
+def _center_crop_square(frames: np.ndarray) -> np.ndarray:
+    """[T, H, W, 3] -> [T, S, S, 3] with S = min(H, W) (the reference's
+    ffmpeg crop=min(iw,ih):min(iw,ih))."""
+    h, w = frames.shape[1:3]
+    s = min(h, w)
+    top, left = (h - s) // 2, (w - s) // 2
+    return frames[:, top:top + s, left:left + s]
+
+
+# expected input geometry of the external comparison repos
+# (prepare_ucf101_dfot.py:29-31, prepare_ucf101_pvdm.py:24-25)
+EXTERNAL_FORMATS = {
+    "dfot": {"size": 128, "min_frames": 17, "fps": 10.0},
+    "pvdm": {"size": 256, "min_frames": 32, "fps": None},
+}
+
+
+def prepare_external_format(
+    data_dir: str, out_dir: str, fmt: str, min_frames: int = 0,
+) -> List[Dict]:
+    """Emit a prepared dataset in an external comparison repo's input
+    layout (VERDICT r3 Missing #4; reference:
+    comparison_methods/data/prepare_ucf101_dfot.py:1-164 and
+    prepare_ucf101_pvdm.py:1-139):
+
+    - ``dfot``: center-crop -> 128x128 @ 10 fps, >=17 frames,
+      ``<out>/test/*.mp4`` + ``<out>/metadata/test.pt`` (torch list of
+      per-video dicts) + ``video_mapping.csv``.
+    - ``pvdm``: center-crop -> 256x256, >=32 frames,
+      ``<out>/UCF-101/<class>/*.mp4`` + ``video_mapping.csv`` whose
+      ``pvdm_path``/``original_filename`` columns are what the
+      reference's SAVi-DNO runner consumes (savi_dno.py:320-336).
+
+    Scoring their predictions back happens in
+    ``comparisons/eval_external.py``; this closes the other half of the
+    round trip (producing their inputs from our datasets).
+    """
+    spec = EXTERNAL_FORMATS[fmt]
+    size = spec["size"]
+    need = min_frames or spec["min_frames"]
+    meta_path = os.path.join(data_dir, "metadata.csv")
+    with open(meta_path, newline="") as f:
+        rows = list(csv.DictReader(f))
+
+    vdir = os.path.join(out_dir, "test" if fmt == "dfot" else "UCF-101")
+    os.makedirs(vdir, exist_ok=True)
+    entries = []
+    for row in rows:
+        src = os.path.join(data_dir, row["filename"])
+        try:
+            # exact subsampled count (decode_frames pads the tail to the
+            # requested count, so ask for precisely what exists)
+            n = count_frames(src)
+            stride = (max(1, round(native_fps(src) / spec["fps"]))
+                      if spec["fps"] else 1)
+            frames = decode_frames(src, max(1, (n + stride - 1) // stride),
+                                   target_fps=spec["fps"])
+        except Exception as e:
+            print(f"[prep] skip (undecodable) {src}: {e}")
+            continue
+        if len(frames) < need:
+            print(f"[prep] skip ({len(frames)} < {need} frames) {src}")
+            continue
+        frames = resize_frames(_center_crop_square(frames), size, size)
+        stem = Path(row["filename"]).stem
+        if fmt == "pvdm":
+            cls_dir = os.path.join(vdir, row.get("category") or "unknown")
+            os.makedirs(cls_dir, exist_ok=True)
+            dst = os.path.join(cls_dir, stem + ".mp4")
+        else:
+            dst = os.path.join(vdir, stem + ".mp4")
+        save_video(frames.astype(np.float32) / 255.0, dst,
+                   fps=int(spec["fps"] or 24))
+        entries.append({
+            "path": dst,
+            "relative_path": os.path.relpath(dst, vdir),
+            "num_frames": int(len(frames)),
+            "category": row.get("category", ""),
+            "original_filename": row["filename"],
+        })
+
+    with open(os.path.join(out_dir, "video_mapping.csv"), "w",
+              newline="") as f:
+        w = csv.writer(f)
+        key = "dfot_filename" if fmt == "dfot" else "pvdm_path"
+        w.writerow([key, "original_filename", "category", "num_frames"])
+        for e in entries:
+            w.writerow([e["relative_path"], e["original_filename"],
+                        e["category"], e["num_frames"]])
+    if fmt == "dfot":
+        meta_dir = os.path.join(out_dir, "metadata")
+        os.makedirs(meta_dir, exist_ok=True)
+        try:
+            import torch
+
+            torch.save(entries, os.path.join(meta_dir, "test.pt"))
+        except ImportError:
+            print("[prep] torch unavailable — skipped metadata/test.pt")
+    print(f"[prep] {fmt}: emitted {len(entries)}/{len(rows)} videos "
+          f"to {out_dir}")
+    return entries
+
+
 def replace_corrupt_videos(data_dir: str, drop: bool = True) -> List[str]:
     """Re-validate a prepared dataset; drop (or just report) undecodable
     entries (datasets/replace_corrupt_videos.py — the re-download step is
@@ -254,7 +358,20 @@ def main(argv=None):
     c.add_argument("--data-dir", required=True)
     c.add_argument("--report-only", action="store_true")
 
+    x = sub.add_parser("external",
+                       help="emit a prepared dataset in an external "
+                            "comparison repo's input layout (dfot/pvdm)")
+    x.add_argument("--data-dir", required=True)
+    x.add_argument("--out-dir", required=True)
+    x.add_argument("--format", required=True, choices=sorted(
+        EXTERNAL_FORMATS))
+    x.add_argument("--min-frames", type=int, default=0,
+                   help="override the format's default frame floor")
+
     args = p.parse_args(argv)
+    if args.cmd == "external":
+        return prepare_external_format(args.data_dir, args.out_dir,
+                                       args.format, args.min_frames)
     if args.cmd == "ucf101":
         return prepare_ucf101_subset(args.src_dir, args.out_dir,
                                      args.videos_per_category,

@@ -50,6 +50,9 @@ class RetrievalPool:
 
     def __init__(self, entries: List[Dict], embed_fn=None):
         self.entries = entries
+        # which embedder actually runs — runs stamp this into their
+        # config.json so fallback-quality batches are distinguishable
+        self.embedder = "sbert" if embed_fn is not None else "hashed_bow"
         self.embed = embed_fn or hashed_bow_embed
         self.vectors = self.embed([e["caption"] for e in entries])
         self._by_path = {os.path.abspath(e["path"]): i

@@ -134,6 +134,19 @@ def count_frames(video_path: str) -> int:
     return n
 
 
+def native_fps(video_path: str) -> float:
+    """Container fps; 24.0 for .npy clips (no fps metadata) and 30.0
+    when the container doesn't report one — the same conventions
+    ``decode_frames`` uses for its target_fps stride."""
+    if video_path.endswith(".npy"):
+        return 24.0
+    cv2 = _cv2()
+    cap = cv2.VideoCapture(video_path)
+    fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
+    cap.release()
+    return float(fps)
+
+
 def validate_decodable(video_path: str) -> bool:
     """Cheap decodability probe (reference drops undecodable files,
     common.py:868-898)."""

@@ -273,6 +273,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch-method", default="similarity",
                    choices=["similarity"])
     p.add_argument("--retrieval-pool-dir", default=None)
+    p.add_argument("--retrieval-sbert-path", default=None,
+                   help="local all-MiniLM-L6-v2 dir (fetch once with "
+                        "scripts/fetch_and_convert_towers.py); absent = "
+                        "deterministic hashed-BoW fallback, stamped as "
+                        "retrieval_embedder in config.json — fallback "
+                        "neighbor quality is NOT semantic-equivalent")
     # online eval
     p.add_argument("--fvd-enabled", action="store_true")
     p.add_argument("--compute-vbench", action="store_true",
@@ -803,7 +809,18 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
             raise SystemExit("--retrieval-pool-dir required for batch TTA")
         pool_entries = load_video_list(args.retrieval_pool_dir,
                                        max_videos=10 ** 9, seed=args.seed)
-        pool = build_retrieval_pool(pool_entries)
+        pool = build_retrieval_pool(pool_entries,
+                                    sbert_model_path=args.retrieval_sbert_path)
+        # stamp which embedder actually ran into the run's provenance:
+        # hashed-BoW preserves the contract but NOT all-MiniLM-L6-v2's
+        # semantic neighbor quality — batch-TTA conclusions drawn with
+        # the fallback do not transfer to SBERT runs
+        args.retrieval_embedder = pool.embedder
+        if pool.embedder != "sbert":
+            print("[retrieval] WARNING: no SBERT weights "
+                  "(--retrieval-sbert-path) — using the deterministic "
+                  "hashed-BoW fallback; neighbor quality is NOT "
+                  "semantic-equivalent")
 
     i3d_fn = None
     if args.fvd_enabled and args.i3d_model_path:

@@ -290,6 +290,96 @@ def xclip_threshold_rows(
     return rows
 
 
+def check_expected_matrix(config_paths: List[str], output_base: str,
+                          baseline_dir: Optional[str] = None,
+                          report_path: Optional[str] = None
+                          ) -> Dict[str, Any]:
+    """Phase-completeness check: diff the results tree against the
+    EXPECTED run matrix derived from the sweep YAML(s) themselves —
+    the analogue of the reference's hand-maintained EXPECTED_RUNS table
+    (check_phase2.py:1-120), except the expectation comes from the same
+    configs the dispatcher executes, so it can never drift.
+
+    Classifies every expected (series, run_id) as ok / in_progress /
+    missing, prints the reference's status table (PSNR, dPSNR vs the
+    optional no-TTA baseline, SSIM, LPIPS, avg train, avg executed
+    steps, ES early-stop %), and returns the classification.
+    """
+    from .run_sweep import load_config
+
+    base = _load_summary(baseline_dir) if baseline_dir else None
+    base_psnr = (base["metrics"]["psnr"]["mean"]
+                 if base and base.get("metrics", {}).get("psnr") else None)
+
+    lines: List[str] = []
+
+    def pr(msg: str = ""):
+        print(msg)
+        lines.append(msg)
+
+    if baseline_dir:
+        if base is None:
+            pr(f"baseline: NOT FOUND at {baseline_dir}")
+        else:
+            pr(f"baseline (no-TTA): PSNR={base_psnr:.4f} "
+               f"n={base.get('num_success')}")
+        pr()
+    pr(f"{'run_id':<24s} {'status':<12s} {'n_ok':>5s} {'PSNR':>8s} "
+       f"{'dPSNR':>8s} {'SSIM':>7s} {'LPIPS':>7s} {'train':>7s} "
+       f"{'steps':>6s} {'ES%':>5s}")
+    pr("-" * 100)
+
+    out: Dict[str, Any] = {"ok": [], "in_progress": [], "missing": []}
+    for cfg_path in config_paths:
+        cfg = load_config(cfg_path)
+        series = cfg.get("series", os.path.splitext(
+            os.path.basename(cfg_path))[0])
+        for row in cfg["sweep"]:
+            run_id = str(row["run_id"])
+            run_dir = os.path.join(output_base, series, run_id)
+            s = _load_summary(run_dir)
+            if s is None:
+                ck = os.path.join(run_dir, "checkpoint.json")
+                if os.path.exists(ck):
+                    with open(ck) as f:
+                        n_done = json.load(f).get("next_idx", 0)
+                    out["in_progress"].append(run_dir)
+                    pr(f"{run_id:<24s} {'IN_PROGRESS':<12s} {n_done:>5d}")
+                else:
+                    out["missing"].append(run_dir)
+                    pr(f"{run_id:<24s} {'MISSING':<12s}")
+                continue
+            out["ok"].append(run_dir)
+            m = s.get("metrics", {})
+
+            def _mean(key):
+                v = m.get(key)
+                return v["mean"] if v else float("nan")
+
+            okr = [r for r in s.get("results", []) if r.get("success")]
+            es_n = sum(1 for r in okr
+                       if (r.get("early_stopping_info") or {}
+                           ).get("stopped_early"))
+            steps = [len(r["losses"]) for r in okr if r.get("losses")]
+            psnr = _mean("psnr")
+            dpsnr = (f"{psnr - base_psnr:+8.4f}" if base_psnr is not None
+                     else f"{'?':>8s}")
+            pr(f"{run_id:<24s} {'OK':<12s} {s.get('num_success', 0):>5d} "
+               f"{psnr:>8.4f} {dpsnr} {_mean('ssim'):>7.4f} "
+               f"{_mean('lpips'):>7.4f} "
+               f"{s.get('avg_train_time') or 0:>6.1f}s "
+               f"{(np.mean(steps) if steps else float('nan')):>6.1f} "
+               f"{(100 * es_n / len(okr) if okr else 0):>4.0f}%")
+    pr()
+    pr(f"expected={sum(len(v) for v in out.values())} ok={len(out['ok'])} "
+       f"in_progress={len(out['in_progress'])} "
+       f"missing={len(out['missing'])}")
+    if report_path:
+        with open(report_path, "w") as f:
+            f.write("\n".join(lines) + "\n")
+    return out
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description="Run diagnostics")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -316,7 +406,16 @@ def main(argv=None):
     xc = sub.add_parser("xclip")
     xc.add_argument("--root", default=".")
     xc.add_argument("--patterns", nargs="*")
+    cm = sub.add_parser("check-matrix")
+    cm.add_argument("configs", nargs="+",
+                    help="sweep YAML(s) defining the expected run matrix")
+    cm.add_argument("--output-base", required=True)
+    cm.add_argument("--baseline-dir")
+    cm.add_argument("--report")
     args = p.parse_args(argv)
+    if args.cmd == "check-matrix":
+        return check_expected_matrix(args.configs, args.output_base,
+                                     args.baseline_dir, args.report)
     if args.cmd == "status":
         return check_status(args.results_roots)
     if args.cmd == "stalled":

@@ -98,6 +98,11 @@ _KEY_TO_FLAG = {
     "pab_start_frac": "--pab-start-frac",
     "pab_end_frac": "--pab-end-frac",
     "load_fps": "--load-fps",
+    "fast_decode_verify": "--fast-decode-verify",
+    "dno_sampler_steps": "--dno-sampler-steps",
+    "dno_interp_p": "--dno-interp-p",
+    "dno_interp_every": "--dno-interp-every",
+    "retrieval_sbert_path": "--retrieval-sbert-path",
     "i3d_model_path": "--i3d-model-path",
     "inception_model_path": "--inception-model-path",
     "min_fvd_videos": "--min-fvd-videos",

@@ -258,6 +258,22 @@ def test_fast_decode_verify_preflights(tmp_path):
                                       "--skip-generation"))
 
 
+def test_batch_tta_stamps_retrieval_embedder(tmp_path):
+    """VERDICT r3 Weak #7: without SBERT weights the hashed-BoW fallback
+    runs, and the run's config.json must record that (batch-TTA
+    conclusions drawn with the fallback don't transfer)."""
+    out, first = _run(tmp_path, "delta_a")  # creates synthetic_data
+    pool_dir = os.path.join(out, "synthetic_data")
+    out2, summary = _run(tmp_path, "delta_a",
+                         extra=("--batch-videos", "2",
+                                "--retrieval-pool-dir", pool_dir,
+                                "--output-dir", str(tmp_path / "batch")))
+    assert summary["num_success"] == 2
+    cfg = json.load(open(os.path.join(str(tmp_path / "batch"),
+                                      "config.json")))
+    assert cfg["retrieval_embedder"] == "hashed_bow"
+
+
 def test_resume_skips_completed(tmp_path):
     out, summary = _run(tmp_path, "delta_c")
     # re-run: checkpoint says next_idx=2 -> no new work, same results

@@ -70,6 +70,49 @@ def test_sweep_resume_skips(sweep_out):
     assert "skipped" in again[0]["status"]
 
 
+def test_check_expected_matrix(sweep_out, tmp_path, capsys):
+    """check-matrix (VERDICT r3 Missing #5, check_phase2.py analogue):
+    the expected run matrix is derived from the sweep YAMLs, completed
+    runs get a metrics row with dPSNR vs the baseline, absent ones are
+    classified missing/in_progress."""
+    import copy
+
+    from longcat_video_tta_tpu.sweep.diagnostics import (
+        check_expected_matrix)
+
+    out, results_base, _ = sweep_out
+    cfg = yaml.safe_load(open(os.path.join(out, "tta.yaml")))
+    extra = copy.deepcopy(cfg["sweep"][0])
+    extra["run_id"] = "never_launched"
+    cfg["sweep"].append(extra)
+    p = str(tmp_path / "expect.yaml")
+    yaml.safe_dump(cfg, open(p, "w"))
+
+    # an in-progress dir: checkpoint.json but no summary.json
+    prog = copy.deepcopy(cfg["sweep"][0])
+    prog["run_id"] = "halfway"
+    cfg["sweep"].append(prog)
+    yaml.safe_dump(cfg, open(p, "w"))
+    d = os.path.join(results_base, cfg["series"], "halfway")
+    os.makedirs(d, exist_ok=True)
+    json.dump({"next_idx": 1, "results": []},
+              open(os.path.join(d, "checkpoint.json"), "w"))
+
+    base_dir = os.path.join(results_base, "smoke_baseline",
+                            yaml.safe_load(open(os.path.join(
+                                out, "base.yaml")))["sweep"][0]["run_id"])
+    report = str(tmp_path / "report.txt")
+    res = check_expected_matrix([p], results_base,
+                                baseline_dir=base_dir, report_path=report)
+    assert len(res["ok"]) == 1
+    assert len(res["missing"]) == 1 and "never_launched" in res["missing"][0]
+    assert len(res["in_progress"]) == 1
+    txt = open(report).read()
+    assert "dPSNR" in txt and "MISSING" in txt and "IN_PROGRESS" in txt
+    # the dPSNR column is populated from the baseline summary
+    assert "+" in txt or "-" in txt
+
+
 def test_dry_run(sweep_out):
     out, results_base, _ = sweep_out
     rows = run_sweep(os.path.join(out, "tta.yaml"),
