@@ -68,7 +68,28 @@ jax.config.update("jax_enable_x64", False)
 
 # Persistent compilation cache: the suite's wall time is dominated by
 # CPU-backend XLA compiles, which repeat identically across runs (and
-# across xdist workers). Safe to share — keyed by HLO + backend.
-_cache_dir = os.environ.get("JAX_TEST_CACHE_DIR", "/tmp/jax_test_compile_cache")
+# across xdist workers). Safe to share — keyed by HLO + backend. The
+# dir is additionally keyed by the host's CPU flags: XLA:CPU AOT
+# artifacts bake in machine features, and a cache written on a
+# different microarchitecture floods every load with feature-mismatch
+# errors (observed across round boundaries on this fleet).
+import hashlib  # noqa: E402
+
+
+def _cpu_key() -> str:
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.md5(line.encode()).hexdigest()[:8]
+    except OSError:
+        pass
+    import platform
+
+    return hashlib.md5(platform.processor().encode()).hexdigest()[:8]
+
+
+_cache_dir = os.environ.get(
+    "JAX_TEST_CACHE_DIR", f"/tmp/jax_test_compile_cache_{_cpu_key()}")
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
