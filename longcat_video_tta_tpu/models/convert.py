@@ -801,6 +801,27 @@ def convert_torch_clip_text_state(sd: Dict[str, Any], cfg) -> Dict[str, Any]:
     return params
 
 
+def read_hf_clip_dir(model_path: str):
+    """Read a local HF CLIP/X-CLIP snapshot dir -> (state_dict as numpy,
+    parsed config dict). Shared by the gate scorer (tta/clip_gate.py)
+    and the native VBench aesthetic tower (eval/vbench_native.py) so
+    the safetensors/bin fallback logic cannot drift."""
+    with open(os.path.join(model_path, "config.json")) as f:
+        hf = json.load(f)
+    st_path = os.path.join(model_path, "model.safetensors")
+    if os.path.exists(st_path):
+        from safetensors.numpy import load_file
+
+        sd = load_file(st_path)
+    else:
+        import torch
+
+        sd = {k: v.numpy() for k, v in torch.load(
+            os.path.join(model_path, "pytorch_model.bin"),
+            map_location="cpu", weights_only=True).items()}
+    return sd, hf
+
+
 def convert_torch_clip_model_state(sd: Dict[str, Any], vcfg,
                                    tcfg) -> Dict[str, Any]:
     """Map a full HF ``CLIPModel`` state_dict (vision_model.* +

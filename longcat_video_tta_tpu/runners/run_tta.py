@@ -284,8 +284,15 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--compute-vbench", action="store_true",
                    help="run VBench++ over the saved mp4s at "
                         "finalization (reference finalize_online_eval, "
-                        "common.py:2453-2522; reports a skip marker "
-                        "when the external vbench package is absent)")
+                        "common.py:2453-2522; uses the external vbench "
+                        "package when installed, else the JAX-native "
+                        "dimensions in eval/vbench_native.py)")
+    p.add_argument("--vbench-towers-dir", default=None,
+                   help="dir with dino_vits16.pth / aesthetic_l14.pth + "
+                        "clip_l14/ for the native subject_consistency "
+                        "and aesthetic_quality dimensions "
+                        "(fetch_and_convert_towers.py --only "
+                        "dino,aesthetic)")
     p.add_argument("--min-fvd-videos", type=int, default=256,
                    help="small-sample warning threshold for the online "
                         "Frechet accumulator (reference min_videos=256, "
@@ -1558,7 +1565,8 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
         # first, then amend with the VBench scores
         save_results(os.path.join(args.output_dir, "summary.json"), summary)
         try:
-            summary["online_eval"]["vbench"] = run_vbench(videos_dir)
+            summary["online_eval"]["vbench"] = run_vbench(
+                videos_dir, towers_dir=args.vbench_towers_dir)
         except Exception as e:
             summary["online_eval"]["vbench"] = {
                 "error": f"{type(e).__name__}: {e}"}

@@ -63,6 +63,9 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     p.add_argument("--output")
     p.add_argument("--i3d-model-path")
     p.add_argument("--inception-model-path")
+    p.add_argument("--vbench-towers-dir",
+                   help="native-dimension towers (dino_vits16.pth, "
+                        "aesthetic_l14.pth + clip_l14/)")
     p.add_argument("--results-roots", nargs="+", default=["results"])
     p.add_argument("--metric", default="psnr")
     a = p.parse_args(argv)
@@ -78,7 +81,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         if not a.gen_dir:
             p.error("--gen-dir required for vbench")
         from ..eval.vbench import run_vbench
-        out = run_vbench(a.gen_dir)
+        out = run_vbench(a.gen_dir, towers_dir=a.vbench_towers_dir)
         dest = a.output or os.path.join(a.gen_dir, "vbench_score.json")
     else:
         out = find_best_configs(a.results_roots, a.metric)

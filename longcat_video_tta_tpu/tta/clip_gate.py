@@ -98,14 +98,13 @@ def make_tpu_clip_scorer(model_path: str, backend: str = "clip",
     once. This is the TPU-native replacement for
     make_hf_clip_scorer/make_hf_xclip_scorer (reference scores with
     runtime HF torch models, common.py:1806-2012)."""
-    import json
     import os
 
     from ..config import CLIPTextConfig, CLIPVisionConfig, XCLIPConfig
     from ..models.clip import clip_hash_tokenize
+    from ..models.convert import read_hf_clip_dir
 
-    with open(os.path.join(model_path, "config.json")) as f:
-        hf = json.load(f)
+    sd, hf = read_hf_clip_dir(model_path)
     tc, vc = hf["text_config"], hf["vision_config"]
     tcfg = CLIPTextConfig(
         vocab_size=tc.get("vocab_size", 49408),
@@ -122,18 +121,6 @@ def make_tpu_clip_scorer(model_path: str, backend: str = "clip",
         image_size=vc.get("image_size", 224),
         projection_dim=hf.get("projection_dim", 512),
     )
-
-    st_path = os.path.join(model_path, "model.safetensors")
-    if os.path.exists(st_path):
-        from safetensors.numpy import load_file
-
-        sd = load_file(st_path)
-    else:
-        import torch
-
-        sd = {k: v.numpy() for k, v in torch.load(
-            os.path.join(model_path, "pytorch_model.bin"),
-            map_location="cpu", weights_only=True).items()}
 
     # The hash fallback is only legitimate when the checkpoint dir
     # carries no tokenizer at all (synthetic-weight tests). If tokenizer

@@ -44,10 +44,17 @@ TOWERS = {
                   "--inception-model-path {d}/inception_v3.pth"),
     "sbert": ("sentence-transformers/all-MiniLM-L6-v2",
               "--retrieval-sbert-path {d}/sbert"),
+    "dino": ("torch.hub facebookresearch/dino dino_vits16",
+             "--vbench-towers-dir {d}"),
+    "aesthetic": ("LAION aesthetic v2 head + openai/clip-vit-large-patch14",
+                  "--vbench-towers-dir {d}"),
 }
 
 I3D_URL = ("https://www.dropbox.com/s/ge9eh0sx394mc6b/"
            "i3d_torchscript.pt?dl=1")
+AESTHETIC_URL = ("https://github.com/christophschuhmann/"
+                 "improved-aesthetic-predictor/raw/main/"
+                 "sac%2Blogos%2Bava1-l14-linearMSE.pth")
 
 
 def fetch_lpips(out):
@@ -90,6 +97,28 @@ def fetch_inception(out):
     return path
 
 
+def fetch_dino(out):
+    """DINO ViT-S/16 backbone for the native VBench subject_consistency
+    (eval/vbench_native.py); saved as a plain state_dict."""
+    import torch
+
+    m = torch.hub.load("facebookresearch/dino:main", "dino_vits16")
+    path = os.path.join(out, "dino_vits16.pth")
+    torch.save(m.state_dict(), path)
+    return path
+
+
+def fetch_aesthetic(out):
+    """LAION aesthetic v2 MLP head + the CLIP ViT-L/14 snapshot it
+    scores on (native VBench aesthetic_quality)."""
+    import urllib.request
+
+    path = os.path.join(out, "aesthetic_l14.pth")
+    urllib.request.urlretrieve(AESTHETIC_URL, path)
+    fetch_hf("openai/clip-vit-large-patch14", os.path.join(out, "clip_l14"))
+    return path
+
+
 def fetch_sbert(out):
     dst = os.path.join(out, "sbert")
     from sentence_transformers import SentenceTransformer
@@ -122,6 +151,17 @@ def verify(name, path):
         from longcat_video_tta_tpu.data.retrieval import sbert_embed_fn
 
         sbert_embed_fn(path)(["smoke"])
+    elif name == "dino":
+        from longcat_video_tta_tpu.eval.vbench_native import load_dino_params
+
+        load_dino_params(path)
+    elif name == "aesthetic":
+        from longcat_video_tta_tpu.eval.vbench_native import (
+            load_native_towers)
+
+        towers = load_native_towers(os.path.dirname(path))
+        if "aesthetic" not in towers:
+            raise RuntimeError("aesthetic tower incomplete after fetch")
 
 
 def main(argv=None):
@@ -147,6 +187,8 @@ def main(argv=None):
         "i3d": lambda: fetch_i3d(args.out_dir),
         "inception": lambda: fetch_inception(args.out_dir),
         "sbert": lambda: fetch_sbert(args.out_dir),
+        "dino": lambda: fetch_dino(args.out_dir),
+        "aesthetic": lambda: fetch_aesthetic(args.out_dir),
     }
     flags, failed = [], []
     for name in sorted(only):
