@@ -39,6 +39,22 @@ from ..ops.attention import NEG_INF
 TOKEN_SPEC = P(None, "context", None, None)  # [B, S, H, D]
 
 
+def _token_spec(mesh: Mesh, n_heads: int) -> P:
+    """Token spec for [B, S, H, D] q/k/v at the shard_map boundary.
+
+    Under TP x CP the qkv projections produce HEAD-sharded activations
+    (parallel/sharding.py: qkv kernels split their output dim over
+    "tensor"). Demanding head-replicated inputs here forces GSPMD into
+    an involuntary full rematerialization (replicate + reslice) at every
+    attention, fwd and bwd; instead the ring keeps heads sharded over
+    "tensor" — attention is per-head independent, so each device ring-
+    rotates only its local heads' K/V (ICI traffic / tp as a bonus)."""
+    tp = int(mesh.shape.get("tensor", 1)) if "tensor" in mesh.shape else 1
+    if tp > 1 and n_heads % tp == 0:
+        return P(None, "context", "tensor", None)
+    return TOKEN_SPEC
+
+
 def _shard_map_fn():
     """jax.shard_map (0.8+) with the experimental fallback; disables
     replication checking under either API (axis_index makes outputs
@@ -99,10 +115,11 @@ def cp_self_attention(
         q_offset = jax.lax.axis_index("context") * ql.shape[1]
         return _local_attention(ql, kg, vg, q_offset, num_cond_tokens, scale)
 
+    spec = _token_spec(mesh, q.shape[2])
     f = shard_map(
         local, mesh=mesh,
-        in_specs=(TOKEN_SPEC, TOKEN_SPEC, TOKEN_SPEC),
-        out_specs=TOKEN_SPEC,
+        in_specs=(spec, spec, spec),
+        out_specs=spec,
     )
     return f(q, k, v)
 
@@ -368,6 +385,7 @@ def ring_self_attention(
     if q.shape[1] != k.shape[1]:
         num_cond_tokens = 0
 
+    spec = _token_spec(mesh, q.shape[2])
     if kv_valid is None:
         def local(ql, kl, vl):
             return _ring_core(ql, kl, vl, "context", n, int(num_cond_tokens),
@@ -375,8 +393,8 @@ def ring_self_attention(
 
         f = shard_map(
             local, mesh=mesh,
-            in_specs=(TOKEN_SPEC, TOKEN_SPEC, TOKEN_SPEC),
-            out_specs=TOKEN_SPEC,
+            in_specs=(spec, spec, spec),
+            out_specs=spec,
         )
         return f(q, k, v)
 
@@ -389,7 +407,7 @@ def ring_self_attention(
 
     f = shard_map(
         local_kv, mesh=mesh,
-        in_specs=(TOKEN_SPEC, TOKEN_SPEC, TOKEN_SPEC, P()),
-        out_specs=TOKEN_SPEC,
+        in_specs=(spec, spec, spec, P()),
+        out_specs=spec,
     )
     return f(q, k, v, kvf)
