@@ -122,32 +122,34 @@ class ModelBundle:
         k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(seed), 4)
         # jitted inits: eager per-leaf dispatch is pathologically slow
         # through the TPU tunnel (see .claude/skills/verify/SKILL.md)
+        # jit_for (utils/memo.py) shares one wrapper per init fn across
+        # bundles, so repeat in-process runs re-use the trace instead of
+        # re-tracing a fresh jit(lambda) every time
+        from ..utils.memo import jit_for
+
         if cfg.arch == "mmdit":
             from ..models.mmdit import init_mmdit
 
-            dit_params = jax.jit(
-                lambda k: init_mmdit(k, cfg.dit, zero_init=zero_init_dit)
-            )(k1)
+            dit_params = jit_for(init_mmdit, ("cfg", "zero_init"))(
+                k1, cfg=cfg.dit, zero_init=zero_init_dit)
         elif cfg.arch == "cogvideox":
             from ..models.cogvideox import init_cogvideox
 
-            dit_params = jax.jit(
-                lambda k: init_cogvideox(k, cfg.dit,
-                                         zero_init=zero_init_dit)
-            )(k1)
+            dit_params = jit_for(init_cogvideox, ("cfg", "zero_init"))(
+                k1, cfg=cfg.dit, zero_init=zero_init_dit)
         else:
             from ..models.dit import init_dit
 
-            dit_params = jax.jit(
-                lambda k: init_dit(k, cfg.dit, zero_init=zero_init_dit)
-            )(k1)
-        vae_params = jax.jit(lambda k: init_vae(k, cfg.vae))(k2)
-        text_params = jax.jit(lambda k: init_umt5(k, cfg.text))(k3)
+            dit_params = jit_for(init_dit, ("cfg", "zero_init"))(
+                k1, cfg=cfg.dit, zero_init=zero_init_dit)
+        vae_params = jit_for(init_vae, ("cfg",))(k2, cfg=cfg.vae)
+        text_params = jit_for(init_umt5, ("cfg",))(k3, cfg=cfg.text)
         clip_params = None
         if cfg.clip is not None:
             from ..models.clip_text import init_clip_text
 
-            clip_params = jax.jit(lambda k: init_clip_text(k, cfg.clip))(k4)
+            clip_params = jit_for(init_clip_text, ("cfg",))(
+                k4, cfg=cfg.clip)
         return cls(
             cfg=cfg,
             dit_params=dit_params,

@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import AdapterConfig, DiTConfig
+from ..utils.memo import memoize_factory
 
 
 # ---------------------------------------------------------------------------
@@ -565,10 +566,16 @@ COGVIDEOX_SCHEMES = {
 }
 
 
+@memoize_factory
 def build_scheme(dit_cfg, acfg: AdapterConfig) -> AdapterScheme:
     """Dispatch on architecture config: LongCat DiTConfig gets all seven
     methods; the MMDiT / CogVideoX backbones get the three the reference
-    ports (SURVEY.md §2.7)."""
+    ports (SURVEY.md §2.7).
+
+    Memoized (utils/memo.py): the returned scheme is the canonical
+    instance for its config, so the engine's memoized jit factories —
+    keyed partly on scheme identity — hit across repeat driver runs in
+    one process."""
     from ..config import CogVideoXConfig, MMDiTConfig
 
     if isinstance(dit_cfg, MMDiTConfig):

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import optax
 
 from ..config import DiTConfig, OptimConfig
+from ..utils.memo import memoize_factory
 from ..utils.tree import global_norm
 from .adapters import AdapterScheme
 from .losses import (
@@ -29,7 +30,16 @@ from .losses import (
     flow_matching_loss_conditioned_fixed,
 )
 
+# The three make_* factories and build_optimizer are memoized on their
+# arguments (utils/memo.py): repeat driver runs with equal configs in
+# one process (in-process sweeps, the test suite) reuse one jit wrapper
+# — and therefore its traces — instead of re-tracing per run. The
+# factories are pure; cache hits require callers to pass the CANONICAL
+# scheme/tx objects, which run_tta does by building them through the
+# (also memoized) build_scheme/build_optimizer.
 
+
+@memoize_factory
 def build_optimizer(ocfg: OptimConfig) -> optax.GradientTransformation:
     """AdamW (betas, eps 1e-15 — run_delta_a.py:245) or momentum-free SGD
     (the full-TTA default, run_full_tta.py — Adam state doesn't fit)."""
@@ -50,6 +60,7 @@ def build_optimizer(ocfg: OptimConfig) -> optax.GradientTransformation:
     return optax.chain(optax.clip_by_global_norm(ocfg.grad_clip_norm), opt)
 
 
+@memoize_factory
 def make_train_step(
     scheme: AdapterScheme,
     cfg,
@@ -92,6 +103,7 @@ def make_train_step(
     return step
 
 
+@memoize_factory
 def make_train_chunk(
     scheme: AdapterScheme,
     cfg,
@@ -181,6 +193,7 @@ def adapter_norm(train_params) -> float:
     return float(global_norm(train_params))
 
 
+@memoize_factory
 def make_batched_train_chunk(
     scheme: AdapterScheme,
     cfg,
