@@ -103,7 +103,7 @@ def main(argv=None):
     mesh = build_mesh(MeshConfig(
         data=args.devices // (args.context * args.tensor),
         context=args.context, tensor=args.tensor))
-    print(f"[aot] preset={args.preset} mesh={dict(mesh.shape)}")
+    print(f"[aot] preset={args.preset} mesh={dict(mesh.shape)}", flush=True)
 
     pdt = jnp.bfloat16 if dcfg.param_dtype == "bfloat16" else jnp.float32
     param_shapes = jax.eval_shape(
@@ -113,7 +113,7 @@ def main(argv=None):
     print(f"[aot] {n_params / 1e9:.2f}B params "
           f"({fmt_bytes(n_params * 2)} bf16 total, "
           f"{fmt_bytes(n_params * 2 // args.tensor)}/chip at TP"
-          f"{args.tensor})")
+          f"{args.tensor})", flush=True)
 
     p_shard = param_shardings(mesh, param_shapes)
     B, C = 1, dcfg.in_channels
@@ -147,7 +147,8 @@ def main(argv=None):
               f"args {fmt_bytes(info['argument_bytes'])} + temps "
               f"{fmt_bytes(info['temp_bytes'])} + out "
               f"{fmt_bytes(info['output_bytes'])} = "
-              f"{fmt_bytes(info['per_chip_total_bytes'])}/chip")
+              f"{fmt_bytes(info['per_chip_total_bytes'])}/chip",
+              flush=True)
         return compiled
 
     with mesh:
@@ -227,7 +228,7 @@ def main(argv=None):
             pbytes = sum(x.nbytes for x in
                          jax.tree_util.tree_leaves(params))
             print(f"[exec] materialized {fmt_bytes(pbytes)} params "
-                  f"in {init_s:.1f}s")
+                  f"in {init_s:.1f}s", flush=True)
 
             rs = np.random.RandomState(0)
 
@@ -261,7 +262,8 @@ def main(argv=None):
             }
             print(f"[exec] forward: {fwd_s:.1f}s finite="
                   f"{results['execute_forward']['finite']} "
-                  f"std={results['execute_forward']['out_std']:.4f}")
+                  f"std={results['execute_forward']['out_std']:.4f}",
+                  flush=True)
 
             # ---- one real delta_a train step ---------------------------
             tp = jax.device_put(
@@ -290,7 +292,7 @@ def main(argv=None):
                 "adapter_moved_l1": moved,
             }
             print(f"[exec] train step: {step_s:.1f}s loss={loss:.4f} "
-                  f"adapter_moved_l1={moved:.3e}")
+                  f"adapter_moved_l1={moved:.3e}", flush=True)
 
     out = {"preset": args.preset, "n_params": n_params,
            "mesh": dict(mesh.shape),
