@@ -29,7 +29,7 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-from .video_io import (count_frames, decode_frames, native_fps,
+from .video_io import (count_frames, decode_all_frames, decode_frames,
                        resize_frames, save_video)
 
 TARGET_W, TARGET_H = 832, 480
@@ -65,9 +65,11 @@ def transcode_to_bucket(src: str, dst: str, max_frames: int = 0) -> bool:
     """Decode -> resize to 832x480 -> rewrite (the reference's ffmpeg
     scale/crf18 step)."""
     try:
-        n = count_frames(src)
-        n = min(n, max_frames) if max_frames else n
-        frames = decode_frames(src, max(n, 1))
+        # decode to EOF (metadata counts can overcount; a padded tail
+        # would write duplicate frames into the transcoded clip)
+        frames = decode_all_frames(src)
+        if max_frames:
+            frames = frames[:max_frames]
         frames = resize_frames(frames, TARGET_H, TARGET_W)
         save_video(frames.astype(np.float32) / 255.0, dst)
         return True
@@ -243,13 +245,11 @@ def prepare_external_format(
     for row in rows:
         src = os.path.join(data_dir, row["filename"])
         try:
-            # exact subsampled count (decode_frames pads the tail to the
-            # requested count, so ask for precisely what exists)
-            n = count_frames(src)
-            stride = (max(1, round(native_fps(src) / spec["fps"]))
-                      if spec["fps"] else 1)
-            frames = decode_frames(src, max(1, (n + stride - 1) // stride),
-                                   target_fps=spec["fps"])
+            # decode to EOF: container frame-count metadata can
+            # overcount (truncated/VFR files) and the pad-last tail of
+            # decode_frames would stamp duplicate frames into the
+            # emitted dataset
+            frames = decode_all_frames(src, target_fps=spec["fps"])
         except Exception as e:
             print(f"[prep] skip (undecodable) {src}: {e}")
             continue

@@ -124,6 +124,51 @@ def load_gt_frames(
     return frames.astype(np.float32) / 255.0
 
 
+def decode_all_frames(
+    video_path: str,
+    target_fps: Optional[float] = None,
+) -> np.ndarray:
+    """Decode every frame to EOF (optional target_fps stride), WITHOUT
+    the pad-last-frame tail of ``decode_frames``. Returns [T, H, W, 3]
+    uint8 with T = the count actually decodable.
+
+    Use this wherever the frame count must be ground truth rather than
+    the requested window: container CAP_PROP_FRAME_COUNT metadata can
+    overcount (truncated/VFR files), and count_frames()-then-pad would
+    append duplicate trailing frames — which biases temporal metrics
+    (VBench temporal_flickering / motion_smoothness score a duplicated
+    pair as perfectly smooth) and mis-stamps num_frames in exported
+    datasets."""
+    if video_path.endswith(".npy"):
+        arr = np.load(video_path)
+        if arr.dtype != np.uint8:
+            arr = (np.clip(arr, 0, 1) * 255).astype(np.uint8)
+        stride = 1
+        if target_fps:
+            stride = max(1, round(24.0 / target_fps))
+        frames = list(arr[::stride])
+    else:
+        cv2 = _cv2()
+        cap = cv2.VideoCapture(video_path)
+        stride = 1
+        if target_fps:
+            native = cap.get(cv2.CAP_PROP_FPS) or 30.0
+            stride = max(1, round(native / target_fps))
+        frames = []
+        decoded = 0
+        while True:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            if decoded % stride == 0:
+                frames.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+            decoded += 1
+        cap.release()
+    if not frames:
+        raise ValueError(f"No frames decoded from {video_path}")
+    return np.stack(frames, axis=0)
+
+
 def count_frames(video_path: str) -> int:
     if video_path.endswith(".npy"):
         return int(np.load(video_path, mmap_mode="r").shape[0])

@@ -75,12 +75,18 @@ def run_vbench_native(
     if not mp4s:
         return {"skipped": True, "reason": f"no mp4s in {video_dir}",
                 "dimensions": dims}
-    from ..data.video_io import count_frames, decode_frames
+    from ..data.video_io import decode_all_frames
 
-    frames = {}
-    for p in mp4s:
-        n = count_frames(str(p))
-        frames[p.name] = decode_frames(str(p), n).astype(np.float32) / 255.0
+    # lazy loaders: native_vbench_scores decodes/scores/frees one video
+    # at a time (100 campaign clips at once would be ~13 GB), and
+    # decode_all_frames counts frames by decoding to EOF — container
+    # frame-count metadata can overcount, and padding duplicate tail
+    # frames would bias the temporal dimensions upward
+    frames = {
+        p.name: (lambda p=p: decode_all_frames(str(p))
+                 .astype(np.float32) / 255.0)
+        for p in mp4s
+    }
     towers = load_native_towers(towers_dir) if towers_dir else {}
     out = native_vbench_scores(frames, towers, dims)
     return {"skipped": False, "backend": "jax-native",

@@ -408,53 +408,86 @@ def load_native_towers(towers_dir: str) -> Dict[str, Any]:
     return towers
 
 
-def native_vbench_scores(
-    frames_per_video: Dict[str, np.ndarray],
-    towers: Optional[Dict[str, Any]] = None,
-    dimensions: Optional[list] = None,
-) -> Dict[str, Any]:
-    """Score decoded videos ({name: [T,H,W,3] in [0,1]}) on every
-    requested dimension the available towers can serve. Returns
-    {"results": {dim: mean score or dict}, "per_video": {...},
-    "unavailable": {dim: reason}}."""
-    towers = towers or {}
-    dims = list(dimensions or (
-        "subject_consistency", "motion_smoothness", "temporal_flickering",
-        "aesthetic_quality", "imaging_quality"))
-    per_video: Dict[str, Dict[str, float]] = {n: {} for n in frames_per_video}
+def resolve_unavailable_dimensions(
+    towers: Dict[str, Any], dims: list,
+) -> Dict[str, str]:
+    """Which of ``dims`` cannot be scored with the given towers, and
+    why — resolved ONCE up front so the per-video loop never decodes a
+    video for a dimension that can't run."""
     unavailable: Dict[str, str] = {}
-
     for dim in dims:
-        if dim == "temporal_flickering":
-            for n, f in frames_per_video.items():
-                per_video[n][dim] = temporal_flickering(f)
-        elif dim == "motion_smoothness":
-            for n, f in frames_per_video.items():
-                per_video[n][dim] = motion_smoothness(f)["value"]
-        elif dim == "subject_consistency":
+        if dim in ("temporal_flickering", "motion_smoothness"):
+            continue
+        if dim == "subject_consistency":
             if "dino" not in towers:
                 unavailable[dim] = ("dino_vits16.pth not in towers dir "
                                     "(fetch_and_convert_towers.py --only "
                                     "dino)")
-                continue
-            dp, dcfg = towers["dino"]
-            for n, f in frames_per_video.items():
-                per_video[n][dim] = subject_consistency(dp, dcfg, f)
         elif dim == "aesthetic_quality":
             if "aesthetic" not in towers:
                 unavailable[dim] = ("aesthetic_l14.pth + clip_l14/ not in "
                                     "towers dir (fetch_and_convert_towers"
                                     ".py --only aesthetic)")
-                continue
-            cp, vcfg, head = towers["aesthetic"]
-            for n, f in frames_per_video.items():
-                per_video[n][dim] = aesthetic_quality(cp, vcfg, head, f)
         elif dim == "imaging_quality":
             unavailable[dim] = ("MUSIQ-SPAQ has no native port; use the "
                                 "external vbench package for this "
                                 "dimension")
         else:
             unavailable[dim] = "unknown dimension"
+    return unavailable
+
+
+def score_video_dimensions(
+    frames: np.ndarray,
+    towers: Dict[str, Any],
+    dims: list,
+    unavailable: Dict[str, str],
+) -> Dict[str, float]:
+    """All available-dimension scores for ONE decoded video
+    ([T,H,W,3] in [0,1])."""
+    out: Dict[str, float] = {}
+    for dim in dims:
+        if dim in unavailable:
+            continue
+        if dim == "temporal_flickering":
+            out[dim] = temporal_flickering(frames)
+        elif dim == "motion_smoothness":
+            out[dim] = motion_smoothness(frames)["value"]
+        elif dim == "subject_consistency":
+            dp, dcfg = towers["dino"]
+            out[dim] = subject_consistency(dp, dcfg, frames)
+        elif dim == "aesthetic_quality":
+            cp, vcfg, head = towers["aesthetic"]
+            out[dim] = aesthetic_quality(cp, vcfg, head, frames)
+    return out
+
+
+def native_vbench_scores(
+    frames_per_video: Dict[str, Any],
+    towers: Optional[Dict[str, Any]] = None,
+    dimensions: Optional[list] = None,
+) -> Dict[str, Any]:
+    """Score decoded videos ({name: [T,H,W,3] in [0,1]}) on every
+    requested dimension the available towers can serve. Returns
+    {"results": {dim: mean score or dict}, "per_video": {...},
+    "unavailable": {dim: reason}}.
+
+    A value may also be a zero-arg callable returning the array — a
+    lazy loader. Videos are then decoded, scored on all dimensions,
+    and freed ONE AT A TIME, so a 100-video campaign directory never
+    holds more than one clip in RAM (a 28-frame 480x832 float32 clip
+    is ~130 MB; 100 at once would be ~13 GB)."""
+    towers = towers or {}
+    dims = list(dimensions or (
+        "subject_consistency", "motion_smoothness", "temporal_flickering",
+        "aesthetic_quality", "imaging_quality"))
+    unavailable = resolve_unavailable_dimensions(towers, dims)
+    per_video: Dict[str, Dict[str, float]] = {}
+    for n, f in frames_per_video.items():
+        arr = f() if callable(f) else f
+        per_video[n] = score_video_dimensions(arr, towers, dims,
+                                              unavailable)
+        del arr
 
     results: Dict[str, Any] = {}
     for dim in dims:

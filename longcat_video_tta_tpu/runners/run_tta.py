@@ -814,6 +814,15 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
     if args.batch_videos > 1:
         if not args.retrieval_pool_dir:
             raise SystemExit("--retrieval-pool-dir required for batch TTA")
+        if args.retrieval_sbert_path and not os.path.exists(
+                args.retrieval_sbert_path):
+            # fail loud, not degrade: a typo'd path silently falling
+            # back to hashed-BoW would run 100 videos on non-semantic
+            # neighbors
+            raise SystemExit(
+                f"--retrieval-sbert-path {args.retrieval_sbert_path} "
+                "does not exist; omit the flag to opt into the "
+                "hashed-BoW fallback explicitly")
         pool_entries = load_video_list(args.retrieval_pool_dir,
                                        max_videos=10 ** 9, seed=args.seed)
         pool = build_retrieval_pool(pool_entries,

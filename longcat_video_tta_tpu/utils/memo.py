@@ -24,14 +24,23 @@ from __future__ import annotations
 
 import functools
 import threading
+from collections import OrderedDict
 
 _LOCK = threading.Lock()
 
+# Bounded: an in-process sweep over N DISTINCT configs would otherwise
+# accumulate N wrappers (each pinning its compiled executables) for the
+# process lifetime — wrappers that were GC-able per-run before
+# memoization. LRU keeps the repeat-run benefit (equal-config runs are
+# adjacent in sweeps and tests) while bounding growth; an evicted
+# wrapper is freed as soon as the last run using it drops its reference.
+_MAX_ENTRIES = 32
 
-def memoize_factory(fn):
-    """Memoize a factory on its (hashable) arguments, falling back to a
-    direct call when any argument is unhashable."""
-    cache = {}
+
+def memoize_factory(fn, max_entries: int = _MAX_ENTRIES):
+    """LRU-memoize a factory on its (hashable) arguments, falling back
+    to a direct call when any argument is unhashable."""
+    cache: OrderedDict = OrderedDict()
 
     @functools.wraps(fn)
     def wrapper(*args, **kwargs):
@@ -42,10 +51,15 @@ def memoize_factory(fn):
             return fn(*args, **kwargs)
         with _LOCK:
             if key in cache:
+                cache.move_to_end(key)
                 return cache[key]
         out = fn(*args, **kwargs)
         with _LOCK:
-            return cache.setdefault(key, out)
+            hit = cache.setdefault(key, out)
+            cache.move_to_end(key)
+            while len(cache) > max_entries:
+                cache.popitem(last=False)
+            return hit
 
     wrapper.__wrapped__ = fn
     wrapper.cache = cache  # introspection/tests

@@ -239,3 +239,24 @@ def test_decode_frames_fps_subsample(tmp_path):
     assert cond[:, 0, 0, 0].max() < gt[:, 0, 0, 0].min()
     # contiguity across the anchor: cond's last + stride == gt's first
     assert cond[-1, 0, 0, 0] + 2 == gt[0, 0, 0, 0]
+
+
+def test_decode_all_frames_no_pad_and_stride(tmp_path):
+    """decode_all_frames decodes to EOF without the pad-last tail of
+    decode_frames (metadata frame counts can overcount; padded
+    duplicate frames bias the temporal VBench dimensions and exported
+    num_frames stamps)."""
+    import numpy as np
+
+    from longcat_video_tta_tpu.data.video_io import decode_all_frames
+
+    arr = np.arange(7, dtype=np.uint8)[:, None, None, None] * np.ones(
+        (1, 4, 4, 3), np.uint8)
+    p = str(tmp_path / "clip.npy")
+    np.save(p, arr)
+    out = decode_all_frames(p)
+    assert out.shape == (7, 4, 4, 3)
+    assert out[:, 0, 0, 0].tolist() == [0, 1, 2, 3, 4, 5, 6]
+    # 24 fps native -> 12 target = stride 2, still no pad
+    out = decode_all_frames(p, target_fps=12.0)
+    assert out[:, 0, 0, 0].tolist() == [0, 2, 4, 6]

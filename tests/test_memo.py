@@ -7,6 +7,8 @@ cache-hit / unhashable-fallback contract and that the product factories
 actually hit across repeat construction with equal configs.
 """
 
+import functools
+
 import jax.numpy as jnp
 
 from longcat_video_tta_tpu.utils.memo import jit_for, memoize_factory
@@ -26,6 +28,22 @@ def test_memoize_factory_hits_on_equal_hashable_args():
     assert len(calls) == 1
     assert make(1, b=3) is not x
     assert len(calls) == 2
+
+
+def test_memoize_factory_lru_bound_evicts_oldest():
+    calls = []
+
+    @functools.partial(memoize_factory, max_entries=2)
+    def make(a):
+        calls.append(a)
+        return object()
+
+    first = make(1)
+    make(2)
+    make(3)  # evicts key 1
+    assert make(1) is not first  # rebuilt after eviction
+    assert len(calls) == 4
+    assert len(make.cache) == 2
 
 
 def test_memoize_factory_falls_back_on_unhashable():

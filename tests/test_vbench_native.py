@@ -230,3 +230,32 @@ def test_run_vbench_native_over_saved_mp4s(tmp_path):
     empty.mkdir()
     out2 = run_vbench(str(empty))
     assert out2["skipped"] is True
+
+
+def test_native_vbench_scores_accepts_lazy_loaders():
+    """Values may be zero-arg callables (lazy decode): the scorer must
+    materialize one video at a time so a 100-clip campaign dir never
+    sits in RAM at once."""
+    import numpy as np
+
+    from longcat_video_tta_tpu.eval.vbench_native import (
+        native_vbench_scores,
+    )
+
+    rng = np.random.default_rng(0)
+    clip = rng.random((6, 16, 16, 3), dtype=np.float32)
+    live = {"n": 0}
+
+    def loader():
+        live["n"] += 1
+        return clip
+
+    out = native_vbench_scores(
+        {"a.mp4": loader, "b.mp4": clip},
+        towers={},
+        dimensions=["temporal_flickering", "motion_smoothness"],
+    )
+    assert live["n"] == 1  # called exactly once, scored on both dims
+    assert set(out["per_video"]) == {"a.mp4", "b.mp4"}
+    for scores in out["per_video"].values():
+        assert set(scores) == {"temporal_flickering", "motion_smoothness"}
