@@ -43,6 +43,17 @@ def sample_from_noise(
 ) -> jnp.ndarray:
     """Differentiable K-step Euler sampling (no CFG — DNO optimizes the
     conditional path, DDIM eta=0 analogue)."""
+    import dataclasses
+
+    # Backprop-through-sampler stacks every block's saved residuals
+    # across ALL K sampler steps: with the presets' dots/dots_attn
+    # remat policy (which SAVES qkv/ffn matmul outputs) the K=2 bench
+    # geometry alone wants 17.6 GB of HBM (measured OOM on v5e-16GB).
+    # Full remat saves only block inputs — the right trade here, where
+    # the whole sampler is differentiated, unlike the single-forward
+    # TTA train step the dots policies were tuned on.
+    dit_cfg = dataclasses.replace(dit_cfg, remat=True,
+                                  remat_policy="full")
     B = noise.shape[0]
     n_cond = cond_latents.shape[2]
     nt_total = n_cond + noise.shape[2]

@@ -310,7 +310,15 @@ def _execute_row(info: Dict[str, Any], argv: List[str],
                 run_main(argv)
                 info["status"] = "ok"
             except Exception as e:
+                import traceback
+
                 info["status"] = f"failed: {type(e).__name__}: {e}"
+                # fail LOUD in the sweep log: a swallowed startup error
+                # (bad frame window, missing path) otherwise reads as a
+                # silently-skipped row (round-4 campaign postmortem)
+                print(f"[sweep] {info['run_id']} FAILED: "
+                      f"{type(e).__name__}: {e}")
+                traceback.print_exc()
         if info["status"] == "ok":
             break
         if attempt < max_retries:
@@ -409,8 +417,21 @@ def run_sweep(config_path: str, output_base: str,
             list(ex.map(worker, pending))
 
     os.makedirs(output_base, exist_ok=True)
-    with open(os.path.join(output_base, f"sweep_{series}.json"), "w") as f:
-        json.dump(launched, f, indent=2)
+    # merge-by-run_id rather than overwrite: several run_sweep calls
+    # over the SAME series (scripts/run_campaign.py launches one call
+    # per method row) must not clobber each other's launch records
+    state_path = os.path.join(output_base, f"sweep_{series}.json")
+    merged: Dict[str, Any] = {}
+    if os.path.exists(state_path):
+        try:
+            with open(state_path) as f:
+                merged = {r["run_id"]: r for r in json.load(f)}
+        except (json.JSONDecodeError, KeyError, TypeError):
+            merged = {}
+    for r in launched:
+        merged[r["run_id"]] = r
+    with open(state_path, "w") as f:
+        json.dump(list(merged.values()), f, indent=2)
     return launched
 
 

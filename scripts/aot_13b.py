@@ -212,8 +212,11 @@ def main(argv=None):
                 seed = int.from_bytes(hashlib.md5(
                     (name + repr(bounds)).encode()).digest()[:4],
                     "little")
-                rs = np.random.RandomState(seed)
-                return (rs.standard_normal(shape).astype(np.float32)
+                # Generator + dtype=float32: RandomState.standard_normal
+                # emits float64 (2x the bytes, ~2x the time) — at 13.6B
+                # values the f64 detour is minutes of pure waste
+                g = np.random.Generator(np.random.PCG64(seed))
+                return (g.standard_normal(shape, dtype=np.float32)
                         * 0.02).astype(sds.dtype)
 
             def make_leaf(path, sds, sharding):
