@@ -42,9 +42,20 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 def bootstrap_cpu(n: int):
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
-        os.environ["XLA_FLAGS"] = (
-            flags + f" --xla_force_host_platform_device_count={n}"
-        ).strip()
+        flags = (flags +
+                 f" --xla_force_host_platform_device_count={n}").strip()
+    if "collective_call_terminate_timeout" not in flags:
+        # On a 1-core host the N virtual-device threads reach a
+        # collective MINUTES apart at 13.6B scale; XLA:CPU's default
+        # 40 s rendezvous termination kills the process mid-forward
+        # (observed: all-to-all, 2/4 threads arrived). Hours-long
+        # timeouts make --execute viable on any core count.
+        flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds"
+                  "=600"
+                  " --xla_cpu_collective_call_terminate_timeout_seconds"
+                  "=14400"
+                  " --xla_cpu_collective_timeout_seconds=14400")
+    os.environ["XLA_FLAGS"] = flags
     os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
 
