@@ -1519,6 +1519,20 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
                 jax.profiler.stop_trace()
                 print(f"  profiler trace -> {args.profile_dir}")
         results.append(res)
+        if os.environ.get("LONGCAT_DEBUG_LIVE_BUFFERS"):
+            # leak probe: what is still resident on device between
+            # videos (sorted by size, top 12)
+            import gc as _gc
+
+            _gc.collect()
+            live = [x for x in jax.live_arrays()
+                    if getattr(x, "nbytes", 0) > 0]
+            total = sum(x.nbytes for x in live)
+            print(f"  [live-buffers] {len(live)} arrays, "
+                  f"{total / 2**30:.2f} GiB")
+            for x in sorted(live, key=lambda a: -a.nbytes)[:12]:
+                print(f"    {x.nbytes / 2**20:9.1f} MiB {x.dtype} "
+                      f"{x.shape}")
         save_checkpoint(ckpt_path, idx + 1, results)
         if fvd.enabled:
             # persist the moments AFTER the checkpoint: a crash between
