@@ -313,6 +313,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "TTA+generation to this directory")
     p.add_argument("--debug-nans", action="store_true",
                    help="Enable jax debug_nans (CI sanitizer analogue)")
+    p.add_argument("--preflight-only", action="store_true",
+                   help="Validate the run (frame window, feature "
+                        "budget, data dir, caption guard, decode-lever "
+                        "combos) and exit 0 WITHOUT initializing the "
+                        "model — seconds instead of a fleet slot; "
+                        "run_sweep --preflight uses this per row")
     p.add_argument("--compile-cache-dir", default="auto",
                    help="Persistent XLA compile cache directory; 'auto' "
                         "= $LONGCAT_TTA_COMPILE_CACHE or "
@@ -613,17 +619,23 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
     apply_fixed_caption(videos, args.fixed_caption)
 
     # ---- model + method ----------------------------------------------
-    bundle = load_bundle(args)
-    dit_cfg = bundle.cfg.dit
+    # Config-only arch resolution: every guard below needs only the
+    # preset's ModelConfig, so --preflight-only can validate a run
+    # (frame window, feature budget, data, captions, lever combos)
+    # without paying model init — sweep rows die in seconds, not after
+    # a fleet slot is burned (round-4 campaign postmortem).
+    from ..config import get_model_config
+
+    model_cfg = get_model_config(args.preset)
 
     # per-architecture loss dispatch (SURVEY.md §2.7: the backbone ports
     # re-implement the loss layer per backbone; here it is one callable)
-    if bundle.cfg.arch == "mmdit":
+    if model_cfg.arch == "mmdit":
         from ..tta.losses import (
             mmdit_flow_matching_loss_conditioned as arch_loss,
             mmdit_flow_matching_loss_conditioned_fixed as arch_anchor,
         )
-    elif bundle.cfg.arch == "cogvideox":
+    elif model_cfg.arch == "cogvideox":
         from ..tta.losses import (
             cogvideox_flow_matching_loss_conditioned as arch_loss,
             cogvideox_flow_matching_loss_conditioned_fixed as arch_anchor,
@@ -633,7 +645,7 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
             flow_matching_loss_conditioned as arch_loss,
             flow_matching_loss_conditioned_fixed as arch_anchor,
         )
-    if bundle.cfg.arch != "longcat" and args.bucket_shapes:
+    if model_cfg.arch != "longcat" and args.bucket_shapes:
         raise SystemExit("--bucket-shapes is only wired for the LongCat "
                          "backbone")
 
@@ -653,7 +665,7 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
     # per-video would first spend the full training budget on every
     # video and mark the whole run failed (review r3c #5/#4).
     if not args.skip_generation:
-        if bundle.cfg.arch != "longcat":
+        if model_cfg.arch != "longcat":
             bad = [name for on, name in (
                 (args.bsa_keep_ratio > 0, "--bsa-keep-ratio"),
                 (args.bucket_gen, "--bucket-gen"),
@@ -663,7 +675,7 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
             if bad:
                 raise SystemExit(
                     f"{', '.join(bad)}: not supported on the "
-                    f"{bundle.cfg.arch} decode path (LongCat only — "
+                    f"{model_cfg.arch} decode path (LongCat only — "
                     "no cond-KV/noise split in the joint-volume "
                     "sampler)")
         if args.no_kv_cache:
@@ -682,6 +694,15 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
         raise SystemExit("--compute-vbench scores the saved mp4s; it "
                          "cannot run with --no-save-videos or "
                          "--skip-generation")
+
+    if args.preflight_only:
+        print(f"[preflight] OK: {len(videos)} videos, method "
+              f"{args.method}, arch {model_cfg.arch}, window "
+              f"total={frames.tta_total_frames} "
+              f"ctx={frames.tta_context_frames}")
+        return 0
+    bundle = load_bundle(args)
+    dit_cfg = bundle.cfg.dit
 
     # ---- model parallelism (--context-mesh N / --tensor-mesh M) --------
     # First-class sequence + tensor parallelism for the product CLI

@@ -383,6 +383,31 @@ def run_sweep(config_path: str, output_base: str,
         info["estimated_memory"] = estimate_memory_gb(method, params)
         pending.append((info, argv))
 
+    # Startup-guard preflight for every pending row BEFORE the first
+    # slot is spent: --preflight-only runs the runner's fail-loud gates
+    # (frame window / ES budget, data dir, caption guard, decode-lever
+    # combos) without model init. A row that would die at startup is
+    # reported and dropped here in seconds instead of surfacing as an
+    # empty output dir hours into the fleet (round-4 postmortem).
+    # Synthetic rows are exempt (preflight would regenerate the data).
+    if pending and not dry_run and not subprocess_mode:
+        from ..runners.run_tta import main as run_main
+
+        healthy = []
+        for info, argv in pending:
+            if "--synthetic" in argv:
+                healthy.append((info, argv))
+                continue
+            try:
+                run_main(argv + ["--preflight-only"])
+            except (Exception, SystemExit) as e:
+                info["status"] = (f"preflight-failed: "
+                                  f"{type(e).__name__}: {e}")
+                print(f"[sweep] {info['run_id']} PREFLIGHT FAILED: {e}")
+                continue
+            healthy.append((info, argv))
+        pending = healthy
+
     if jobs <= 1:
         for info, argv in pending:
             print(f"[sweep] RUN {info['run_id']} "

@@ -370,3 +370,59 @@ def test_reference_yaml_keys_drop_in():
         build_argv("delta_c", {"delta_mode": "weird"}, "/tmp/o", None)
     with _pytest.raises(ValueError):
         build_argv("full", {"resolution": "720p"}, "/tmp/o", None)
+
+
+def _tiny_data_dir(tmp_path, n=1):
+    from longcat_video_tta_tpu.runners.run_tta import make_synthetic_dataset
+
+    return make_synthetic_dataset(str(tmp_path / "data"), n, 16, 32, seed=3)
+
+
+def test_preflight_catches_bad_frame_window(tmp_path):
+    """The round-4 campaign failure class: ES on with the default TTA
+    window (total = cond) leaves val latents = 0; the row must die at
+    PREFLIGHT (before any model init / fleet slot), loudly."""
+    data = _tiny_data_dir(tmp_path)
+    cfg = {
+        "method": "delta_a", "series": "pf", "fixed": {
+            "preset": "longcat_bench", "max_videos": 1,
+            "height": 480, "width": 832,
+            "num_cond_frames": 14, "num_frames": 28,
+            "gen_start_frame": 32, "steps": 2,
+            "caption_guard_mode": "off",
+            # NO tta_total_frames -> defaults to cond window -> val=0
+        },
+        "sweep": [{"run_id": "BAD_WINDOW"}],
+    }
+    p = tmp_path / "pf.yaml"
+    p.write_text(yaml.dump(cfg))
+    out = run_sweep(str(p), str(tmp_path / "out"), data_dir=data)
+    assert out[0]["status"].startswith("preflight-failed"), out[0]
+    assert "val_latents=0" in out[0]["status"]
+    # nothing was executed: no config.json, no checkpoint
+    assert not os.path.exists(
+        os.path.join(str(tmp_path / "out"), "pf", "BAD_WINDOW",
+                     "config.json"))
+
+
+def test_campaign_yamls_pass_preflight(tmp_path):
+    """Every shipped campaign row must clear the runner's startup
+    guards (config-only, no model init) — pins the tta_total_frames /
+    lever-combo fixes against regression."""
+    import glob
+
+    from longcat_video_tta_tpu.runners.run_tta import main as run_main
+
+    data = _tiny_data_dir(tmp_path)
+    for path in sorted(glob.glob("configs/campaign_bench_*.yaml")):
+        cfg = load_config(path)
+        for row in cfg["sweep"]:
+            params = dict(cfg["fixed"])
+            params.update({k: v for k, v in row.items()
+                           if k != "run_id"})
+            params["max_videos"] = 1
+            argv = build_argv(cfg["method"], params,
+                              str(tmp_path / "out" / row["run_id"]),
+                              data)
+            rc = run_main(argv + ["--preflight-only"])
+            assert rc == 0 or rc is None, (path, row["run_id"])
