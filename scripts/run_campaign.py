@@ -39,29 +39,36 @@ def timing_table(results_base: str) -> str:
     lines = ["| run | n_ok | train s (mean/p50/p90) | "
              "gen s (mean/p50/p90) | total s (mean/p50/p90) | PSNR |",
              "|---|---|---|---|---|---|"]
-    for sp in sorted(glob.glob(os.path.join(
-            results_base, "campaign_bench", "*", "summary.json"))):
+    for run_dir in sorted(glob.glob(os.path.join(
+            results_base, "campaign_bench", "*"))):
+        # prefer the finalized summary; fall back to the live checkpoint
+        # so an in-flight row still reports its distribution (labeled)
+        sp = os.path.join(run_dir, "summary.json")
+        partial = not os.path.exists(sp)
+        if partial:
+            sp = os.path.join(run_dir, "checkpoint.json")
+            if not os.path.exists(sp):
+                continue
         with open(sp) as f:
             s = json.load(f)
         ok = [r for r in s["results"] if r.get("success")]
+        if not ok:
+            continue
 
         def dist(key):
             v = [r.get(key, 0.0) for r in ok]
-            if not v:
-                return "-"
             return (f"{np.mean(v):.1f}/{np.percentile(v, 50):.1f}/"
                     f"{np.percentile(v, 90):.1f}")
 
-        psnr = s["metrics"]["psnr"]
+        psnr_v = [r["psnr"] for r in ok
+                  if np.isfinite(r.get("psnr", float("nan")))]
+        psnr_cell = (f"{np.mean(psnr_v):.3f}±{np.std(psnr_v):.3f}"
+                     if psnr_v else "-")
+        label = os.path.basename(run_dir) + (" (partial)" if partial
+                                             else "")
         lines.append(
-            f"| {os.path.basename(os.path.dirname(sp))} | {len(ok)} | "
-            f"{dist('train_time')} | {dist('gen_time')} | "
-            f"{dist('total_time')} | "
-            f"{psnr['mean']:.3f}±{psnr['std']:.3f} |"
-            if psnr else
-            f"| {os.path.basename(os.path.dirname(sp))} | {len(ok)} | "
-            f"{dist('train_time')} | {dist('gen_time')} | "
-            f"{dist('total_time')} | - |")
+            f"| {label} | {len(ok)} | {dist('train_time')} | "
+            f"{dist('gen_time')} | {dist('total_time')} | {psnr_cell} |")
     return "\n".join(lines)
 
 
