@@ -151,6 +151,14 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "(run_eval_adapters)")
     p.add_argument("--skip-generation", action="store_true")
     p.add_argument("--no-save-videos", action="store_true")
+    p.add_argument("--stop-file", default=None,
+                   help="graceful drain: when this file (default "
+                        "<output-dir>/STOP, or $LONGCAT_STOP_FILE) "
+                        "exists at a video boundary, checkpoint and "
+                        "exit WITHOUT writing summary.json so the row "
+                        "resumes from checkpoint.json later — the "
+                        "preemption-drain analogue of the reference's "
+                        "scancel + SLURM requeue")
     # method knobs
     p.add_argument("--lora-rank", type=int, default=8)
     p.add_argument("--lora-alpha", type=float, default=16.0)
@@ -337,6 +345,15 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "window decode (overlaps host IO with device "
                         "compute; .npy datasets)")
     return p
+
+
+def _drain_file(args) -> Optional[str]:
+    """First existing stop-file candidate, or None (graceful drain)."""
+    for c in (args.stop_file, os.environ.get("LONGCAT_STOP_FILE"),
+              os.path.join(args.output_dir, "STOP")):
+        if c and os.path.exists(c):
+            return c
+    return None
 
 
 def _summarize_fast_decode_verify(ok_results):
@@ -1187,6 +1204,15 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
 
     # ---- per-video loop ------------------------------------------------
     for idx in range(start_idx, len(videos)):
+        stop_f = _drain_file(args)
+        if stop_f:
+            # deliberately NO summary.json: its presence marks the row
+            # complete to the sweep; a drained row must resume instead
+            print(f"\n[drain] stop file {stop_f} present — exiting at "
+                  f"{idx}/{len(videos)} videos (checkpointed; re-run "
+                  f"to resume)")
+            return {"drained": True, "next_idx": idx,
+                    "num_videos": len(results)}
         entry = videos[idx]
         vid_id = os.path.basename(entry["path"])
         print(f"\n[{idx + 1}/{len(videos)}] {vid_id}")

@@ -302,13 +302,20 @@ def _execute_row(info: Dict[str, Any], argv: List[str],
                 [sys.executable, "-m",
                  "longcat_video_tta_tpu.runners.run_tta", *argv], env=env)
             info["returncode"] = r.returncode
-            info["status"] = "ok" if r.returncode == 0 else "failed"
+            # exit 0 without a summary.json is the runner's drain
+            # signature (stop file hit; checkpoint left for resume)
+            if r.returncode == 0 and not os.path.exists(
+                    os.path.join(info["output_dir"], "summary.json")):
+                info["status"] = "drained"
+            else:
+                info["status"] = "ok" if r.returncode == 0 else "failed"
         else:
             from ..runners.run_tta import main as run_main
 
             try:
-                run_main(argv)
-                info["status"] = "ok"
+                out = run_main(argv)
+                info["status"] = ("drained" if isinstance(out, dict)
+                                  and out.get("drained") else "ok")
             except Exception as e:
                 import traceback
 
@@ -319,7 +326,7 @@ def _execute_row(info: Dict[str, Any], argv: List[str],
                 print(f"[sweep] {info['run_id']} FAILED: "
                       f"{type(e).__name__}: {e}")
                 traceback.print_exc()
-        if info["status"] == "ok":
+        if info["status"] in ("ok", "drained"):
             break
         if attempt < max_retries:
             print(f"[sweep] {info['run_id']} failed; requeue "
@@ -408,8 +415,21 @@ def run_sweep(config_path: str, output_base: str,
             healthy.append((info, argv))
         pending = healthy
 
+    def _fleet_stop_file() -> Optional[str]:
+        for c in (os.environ.get("LONGCAT_STOP_FILE"),
+                  os.path.join(output_base, "STOP")):
+            if c and os.path.exists(c):
+                return c
+        return None
+
     if jobs <= 1:
         for info, argv in pending:
+            sf = _fleet_stop_file()
+            if sf:
+                info["status"] = "drained (not launched)"
+                print(f"[sweep] {info['run_id']}: stop file {sf} "
+                      f"present, not launching")
+                continue
             print(f"[sweep] RUN {info['run_id']} "
                   f"(~{info['estimated_minutes']:.0f} min)")
             _execute_row(info, argv, subprocess_mode, max_retries)
@@ -426,6 +446,12 @@ def run_sweep(config_path: str, output_base: str,
 
         def worker(item):
             info, argv = item
+            sf = _fleet_stop_file()
+            if sf:
+                info["status"] = "drained (not launched)"
+                print(f"[sweep] {info['run_id']}: stop file {sf} "
+                      f"present, not launching")
+                return
             dev = devq.get()
             try:
                 env = {"TPU_VISIBLE_DEVICES": dev} if dev else {}

@@ -554,3 +554,51 @@ def test_compile_cache_policy(tmp_path, monkeypatch):
         assert jax.config.jax_compilation_cache_dir == p
     finally:
         jax.config.update("jax_compilation_cache_dir", before)
+
+
+def test_stop_file_drains_and_resumes(tmp_path):
+    """Graceful drain (the scancel+requeue analogue): a STOP file at a
+    video boundary checkpoints and exits WITHOUT summary.json; removing
+    it and re-running resumes from the checkpoint and completes."""
+    out = str(tmp_path / "out_drain")
+    os.makedirs(out)
+    stop = os.path.join(out, "STOP")
+    open(stop, "w").close()
+    _, drained = _run(tmp_path, "delta_a",
+                      extra=("--output-dir", out))
+    assert drained == {"drained": True, "next_idx": 0, "num_videos": 0}
+    assert not os.path.exists(os.path.join(out, "summary.json"))
+
+    os.remove(stop)
+    _, summary = _run(tmp_path, "delta_a", extra=("--output-dir", out))
+    assert summary["num_success"] == 2
+    assert os.path.exists(os.path.join(out, "summary.json"))
+
+
+def test_sweep_stop_file_skips_pending_rows(tmp_path, monkeypatch):
+    """A fleet-level stop file stops run_sweep from launching further
+    rows; the skipped rows are recorded as drained, not failed."""
+    import yaml
+
+    from longcat_video_tta_tpu.sweep.run_sweep import run_sweep
+
+    cfg = {
+        "method": "delta_a", "series": "drain_t",
+        "fixed": {"preset": "longcat_tiny", "synthetic": 1,
+                  "height": 16, "width": 32, "num_cond_frames": 5,
+                  "num_frames": 5, "gen_start_frame": 16,
+                  "tta_total_frames": 13, "tta_context_frames": 5,
+                  "steps": 1, "num_inference_steps": 1,
+                  "attn_impl": "xla", "caption_guard_mode": "off",
+                  "no_save_videos": True},
+        "sweep": [{"run_id": "A"}, {"run_id": "B"}],
+    }
+    cfg_path = str(tmp_path / "drain.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    base = str(tmp_path / "res")
+    os.makedirs(base)
+    open(os.path.join(base, "STOP"), "w").close()
+    launched = run_sweep(cfg_path, base)
+    assert [r["status"] for r in launched] == ["drained (not launched)",
+                                               "drained (not launched)"]
