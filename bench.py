@@ -336,6 +336,62 @@ def main():
         print(f"[bench] scale2 geometry failed: {type(e).__name__}: {e}",
               file=sys.stderr)
 
+    # ---- third scale point (VERDICT r4 #8): the flagship's EXACT layer
+    # geometry — hidden 4096 / ffn 11008 / heads 32 (head_dim 128) at
+    # the 480p token count — measured as a depth-1 vs depth-2 slope so
+    # the per-block marginal fwd+bwd cost excludes fixed dispatch/embed
+    # overhead. 48 x marginal + fixed = the 13.6B step estimate resting
+    # on true shapes instead of 2048/2560-wide proxies.
+    scale3 = {}
+    try:
+        import dataclasses as _dc
+
+        from longcat_video_tta_tpu.config import DiTConfig as _DC
+
+        times = {}
+        d3_text = jax.random.normal(
+            jax.random.PRNGKey(72), (text.shape[0], _DC().text_len,
+                                     _DC().text_dim), jnp.bfloat16)
+        d3_mask = jnp.ones((text.shape[0], _DC().text_len), jnp.int32)
+        for depth in (1, 2):
+            d3 = _DC(depth=depth, remat_policy="full")
+            params3 = jax.jit(
+                lambda k, d=d3: M.init_dit(k, d, zero_init=False))(
+                jax.random.PRNGKey(70 + depth))
+            jax.block_until_ready(params3)
+            scheme3 = build_scheme(d3, AdapterConfig(method="delta_a"))
+            tp3 = scheme3.init(jax.random.PRNGKey(71), base_params=params3)
+            step3 = make_train_step(scheme3, d3, tx)
+            ost3 = tx.init(tp3)
+            tp3, ost3, l3 = step3(tp3, ost3, params3, c, tr, d3_text, d3_mask,
+                                  jax.random.PRNGKey(400))
+            float(l3)
+            t0 = time.perf_counter()
+            for i in range(3):
+                tp3, ost3, l3 = step3(tp3, ost3, params3, c, tr, d3_text,
+                                      d3_mask, jax.random.PRNGKey(401 + i))
+                float(l3)
+            times[depth] = (time.perf_counter() - t0) / 3
+            del params3, tp3, ost3
+        per_block_s = times[2] - times[1]
+        fixed_s = times[1] - per_block_s
+        est48_s = 48 * per_block_s + fixed_s
+        d48 = _DC()  # flagship: depth 48, hidden 4096, ffn 11008
+        scale3 = {
+            "scale3_geometry": "flagship block: hidden 4096 ffn 11008 "
+                               "heads 32 (depth 1/2 slope, 480p tokens, "
+                               "full remat)",
+            "scale3_block_fwd_bwd_s": round(per_block_s, 4),
+            "scale3_fixed_overhead_s": round(fixed_s, 4),
+            "scale3_est_13p6B_step_s": round(est48_s, 3),
+            "scale3_est_13p6B_step_mfu": round(
+                train_mfu_of(d48, est48_s), 4),
+        }
+        del times
+    except Exception as e:
+        print(f"[bench] scale3 flagship-block failed: "
+              f"{type(e).__name__}: {e}", file=sys.stderr)
+
     baseline_step_s = 20.9 / 5.0  # Delta-A 5-step train_s on H200 (13.6B)
     per_param_ratio = (baseline_step_s / 13.6e9) / (tta_step_s / n_params)
     # hardware-efficiency comparison: the reference's step at the same
@@ -398,6 +454,7 @@ def main():
             "vp2_note": "single-chip measurement; expect ~1.0x "
                         "(data-axis lever, see detail comment)",
             **scale2,
+            **scale3,
             "wall_ratio_unnormalized": round(baseline_step_s / tta_step_s,
                                              3),
             "baseline_step_mfu_est": round(ref_mfu, 4),

@@ -488,6 +488,47 @@ def longcat_bench() -> ModelConfig:
     )
 
 
+def longcat_demo() -> ModelConfig:
+    """Pretrainable demo config (~93M DiT) for the distribution-shift
+    science campaign (VERDICT r4 #3): small enough that
+    scripts/pretrain_demo.py trains the WHOLE stack (VAE recon + DiT
+    flow matching) to competence on synthetic motion in ~30 min of
+    single-chip time, while keeping the flagship's kernel layout
+    (head_dim 128 -> merged-head flash path, qk-norm, SwiGLU, adaLN).
+    Resolution pairs with 192x320 (latents 24x40, 240 tokens/frame)."""
+    return ModelConfig(
+        dit=DiTConfig(
+            hidden_size=768,
+            depth=8,
+            num_heads=6,
+            ffn_dim=2048,
+            adaln_tembed_dim=256,
+            text_dim=256,
+            text_len=64,
+            rope_dims=(32, 48, 48),
+            remat=False,  # 93M: activations fit; remat only costs time
+        ),
+        vae=VAEConfig(
+            base_dim=32,
+            num_res_blocks=1,
+            # latents_mean/std are RE-ESTIMATED by pretrain_demo.py over
+            # the training distribution and saved into the bundle's
+            # model_config.json (load_converted_bundle restores them)
+        ),
+        text=TextEncoderConfig(
+            vocab_size=512,
+            d_model=256,
+            d_kv=32,
+            num_heads=8,
+            d_ff=512,
+            num_layers=2,
+            max_length=64,
+            param_dtype="float32",
+            compute_dtype="float32",
+        ),
+    )
+
+
 def longcat_bench_3b() -> ModelConfig:
     """Second bench geometry (VERDICT r3 Weak #3): the largest model
     that fits one v5e chip with full rematerialization (~3.2B, bf16
@@ -741,6 +782,7 @@ MODEL_PRESETS = {
     "longcat_tiny": longcat_tiny,
     "longcat_bench": longcat_bench,
     "longcat_bench_3b": longcat_bench_3b,
+    "longcat_demo": longcat_demo,
 }
 
 

@@ -26,8 +26,10 @@ published VBench protocol defines, as JAX towers running on-device:
   here, so the default interpolator is the linear frame blend and the
   result is labeled ``native_variant`` — comparable across THIS
   framework's runs, not against published VBench numbers.
-- ``imaging_quality``      — MUSIQ-SPAQ; no tractable native port, the
-  dispatcher reports a per-dimension skip reason instead.
+- ``imaging_quality``      — MUSIQ-SPAQ via the native multi-scale
+  image-quality transformer in eval/musiq.py (hash-based 2D spatial
+  embeddings, scale embeddings, masked ViT encoder); score =
+  clip(MUSIQ, 0, 100)/100 averaged over frames.
 
 CHOICE markers: VBench's DINO transform is torchvision
 ``Resize(224) -> CenterCrop(224) -> ImageNet normalize``; the resize
@@ -368,15 +370,28 @@ def aesthetic_quality(clip_params: Dict[str, Any], vcfg,
 
 def load_native_towers(towers_dir: str) -> Dict[str, Any]:
     """Best-effort load of the native VBench towers from the
-    fetch_and_convert_towers.py layout: dino_vits16.pth,
-    aesthetic_l14.pth + clip_l14/ (HF snapshot). Missing files produce
-    per-dimension skip reasons, not failures."""
+    fetch_and_convert_towers.py / make_synth_towers.py layout:
+    dino_vits16.pth (optional dino_config.json sidecar for synthetic
+    geometries), aesthetic_l14.pth + clip_l14/ (HF snapshot),
+    musiq_spaq.pth (optional musiq_config.json sidecar). Missing files
+    produce per-dimension skip reasons, not failures."""
+    import json
     import os
 
     towers: Dict[str, Any] = {}
     dino_path = os.path.join(towers_dir, "dino_vits16.pth")
     if os.path.exists(dino_path):
-        towers["dino"] = (load_dino_params(dino_path), DINOViTConfig())
+        dcfg = DINOViTConfig()
+        side = os.path.join(towers_dir, "dino_config.json")
+        if os.path.exists(side):
+            with open(side) as f:
+                dcfg = DINOViTConfig(**json.load(f))
+        towers["dino"] = (load_dino_params(dino_path, dcfg), dcfg)
+    musiq_path = os.path.join(towers_dir, "musiq_spaq.pth")
+    if os.path.exists(musiq_path):
+        from .musiq import load_musiq_params
+
+        towers["musiq"] = load_musiq_params(musiq_path)
     head_path = os.path.join(towers_dir, "aesthetic_l14.pth")
     clip_dir = os.path.join(towers_dir, "clip_l14")
     if os.path.exists(head_path) and os.path.isdir(clip_dir):
@@ -429,9 +444,10 @@ def resolve_unavailable_dimensions(
                                     "towers dir (fetch_and_convert_towers"
                                     ".py --only aesthetic)")
         elif dim == "imaging_quality":
-            unavailable[dim] = ("MUSIQ-SPAQ has no native port; use the "
-                                "external vbench package for this "
-                                "dimension")
+            if "musiq" not in towers:
+                unavailable[dim] = ("musiq_spaq.pth not in towers dir "
+                                    "(make_synth_towers.py --only musiq, "
+                                    "or a converted pyiqa checkpoint)")
         else:
             unavailable[dim] = "unknown dimension"
     return unavailable
@@ -459,6 +475,11 @@ def score_video_dimensions(
         elif dim == "aesthetic_quality":
             cp, vcfg, head = towers["aesthetic"]
             out[dim] = aesthetic_quality(cp, vcfg, head, frames)
+        elif dim == "imaging_quality":
+            from .musiq import imaging_quality
+
+            mp, mcfg = towers["musiq"]
+            out[dim] = imaging_quality(mp, mcfg, frames)
     return out
 
 

@@ -82,6 +82,18 @@ def load_converted_bundle(ckpt_dir: str, cfg: ModelConfig):
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             meta = json.load(f)
+        # the bundle's own latent statistics win over the preset's: a
+        # pretrained VAE (scripts/pretrain_demo.py) has its own
+        # per-channel latents_mean/std estimated over its training
+        # distribution, and normalize/denormalize must use THOSE
+        vmeta = meta.get("vae") or {}
+        if "latents_mean" in vmeta:
+            import dataclasses as _dc
+
+            cfg = _dc.replace(cfg, vae=_dc.replace(
+                cfg.vae,
+                latents_mean=tuple(vmeta["latents_mean"]),
+                latents_std=tuple(vmeta["latents_std"])))
         converted = set(meta.get("converted_components",
                                  ["dit", "vae", "text_encoder"]))
         missing = {"dit", "vae", "text_encoder"} - converted

@@ -25,7 +25,7 @@ import dataclasses
 import json
 import os
 import time
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -391,11 +391,20 @@ def step_keys(seed: int, vid_idx: int, lo: int, hi: int):
 
 
 def make_synthetic_dataset(out_dir: str, n: int, height: int, width: int,
-                           frames: int = 64, seed: int = 0) -> str:
+                           frames: int = 64, seed: int = 0,
+                           speed_range: Tuple[float, float] = (0.02, 0.10),
+                           freq_range: Tuple[float, float] = (2.0, 8.0),
+                           direction: float = 1.0) -> str:
     """Deterministic synthetic moving-pattern clips + metadata.csv — lets
     the whole runner execute without external datasets (this environment
     has no video corpora; the reference's test strategy has no analogue,
-    SURVEY.md §4 gap we fill)."""
+    SURVEY.md §4 gap we fill).
+
+    ``speed_range``/``freq_range``/``direction`` parameterize the motion
+    distribution: the distribution-shift A/B campaign (VERDICT r4 #3)
+    pretrains on one setting and evaluates TTA on a shifted one (the
+    reference's analogue is the Panda-70M -> UCF-101 cross-dataset
+    story, summary_printout.txt:861-885)."""
     import csv
 
     os.makedirs(out_dir, exist_ok=True)
@@ -409,9 +418,10 @@ def make_synthetic_dataset(out_dir: str, n: int, height: int, width: int,
         t = np.arange(frames, dtype=np.float32)
         yy, xx = np.meshgrid(np.linspace(0, 1, height),
                              np.linspace(0, 1, width), indexing="ij")
-        freq = 2 + rng.rand() * 6
+        freq = freq_range[0] + rng.rand() * (freq_range[1] - freq_range[0])
         phase = rng.rand() * 6.28
-        speed = 0.02 + rng.rand() * 0.08
+        speed = direction * (
+            speed_range[0] + rng.rand() * (speed_range[1] - speed_range[0]))
         clip = np.stack([
             0.5 + 0.5 * np.sin(
                 6.28 * (freq * (xx + speed * ti) + yy * freq / 2) + phase
@@ -912,6 +922,10 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
 
     # ---- resume --------------------------------------------------------
     ckpt_path = os.path.join(args.output_dir, "checkpoint.json")
+    # a fresh (re)launch clears any drain sentinel from a prior run so
+    # the sweep doesn't misread a completed resume as still-drained
+    with contextlib.suppress(OSError):
+        os.remove(os.path.join(args.output_dir, "DRAINED"))
     ckpt = load_checkpoint(ckpt_path)
     start_idx = ckpt["next_idx"] if ckpt else 0
     results: List[Dict] = ckpt["results"] if ckpt else []
@@ -1207,7 +1221,14 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
         stop_f = _drain_file(args)
         if stop_f:
             # deliberately NO summary.json: its presence marks the row
-            # complete to the sweep; a drained row must resume instead
+            # complete to the sweep; a drained row must resume instead.
+            # The checkpoint is (re)written even at idx==start_idx so
+            # "checkpointed" is always true, and an explicit DRAINED
+            # sentinel tells the sweep this was a drain rather than any
+            # other exit-0-without-summary path (e.g. --preflight-only).
+            save_checkpoint(ckpt_path, idx, results)
+            with open(os.path.join(args.output_dir, "DRAINED"), "w") as f:
+                json.dump({"next_idx": idx, "stop_file": stop_f}, f)
             print(f"\n[drain] stop file {stop_f} present — exiting at "
                   f"{idx}/{len(videos)} videos (checkpointed; re-run "
                   f"to resume)")
@@ -1243,8 +1264,15 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
                 res.update(gate)
                 res["clip_gate_eval_time"] = pre["gate_time"]
             else:
+                t_enc = time.time()
                 window_px, window_lat = encode_window(
                     entry["path"], tta_start, idx=idx)
+                # settle the async VAE-encode here so downstream timing
+                # buckets (the ES stopper's first device sync used to
+                # absorb it — round-4 es_check_time was ~1/3 encode
+                # time) each measure only their own work
+                jax.block_until_ready(window_lat)
+                res["encode_time"] = time.time() - t_enc
 
                 # CLIP gate
                 t0 = time.time()
@@ -1322,6 +1350,10 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
                                  base_params=bundle.dit_params)
                 opt_state = tx.init(tp)
                 if stopper is not None and val_l is not None:
+                    # settle upstream async work (prompt encode, latent
+                    # split) so setup's first sync measures only the
+                    # initial anchor eval
+                    jax.block_until_ready((cond_l, val_l, emb))
                     t0 = time.time()
                     stopper.setup(bundle.dit_params, cond_l, val_l, emb, mask,
                                   vid_id, tp)
@@ -1619,6 +1651,8 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, Any]:
                                        for r in ok])) if ok else None,
         "avg_es_check_time": float(np.mean([r.get("es_check_time", 0)
                                             for r in ok])) if ok else None,
+        "avg_encode_time": float(np.mean([r.get("encode_time", 0)
+                                          for r in ok])) if ok else None,
         "avg_clip_gate_eval_time": float(np.mean(
             [r.get("clip_gate_eval_time", 0) for r in ok])) if ok else None,
         "clip_gate_stats": summarize_clip_gate_stats(results),

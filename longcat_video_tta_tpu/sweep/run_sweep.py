@@ -105,6 +105,7 @@ _KEY_TO_FLAG = {
     "retrieval_sbert_path": "--retrieval-sbert-path",
     "i3d_model_path": "--i3d-model-path",
     "inception_model_path": "--inception-model-path",
+    "vbench_towers_dir": "--vbench-towers-dir",
     "min_fvd_videos": "--min-fvd-videos",
     "caption_guard_topk": "--caption-guard-topk",
     "caption_guard_min_nonempty_ratio":
@@ -302,10 +303,12 @@ def _execute_row(info: Dict[str, Any], argv: List[str],
                 [sys.executable, "-m",
                  "longcat_video_tta_tpu.runners.run_tta", *argv], env=env)
             info["returncode"] = r.returncode
-            # exit 0 without a summary.json is the runner's drain
-            # signature (stop file hit; checkpoint left for resume)
-            if r.returncode == 0 and not os.path.exists(
-                    os.path.join(info["output_dir"], "summary.json")):
+            # the runner writes an explicit DRAINED sentinel on a
+            # stop-file drain (checkpoint left for resume) — other
+            # exit-0-without-summary paths (e.g. --preflight-only)
+            # must not be misread as drained
+            if r.returncode == 0 and os.path.exists(
+                    os.path.join(info["output_dir"], "DRAINED")):
                 info["status"] = "drained"
             else:
                 info["status"] = "ok" if r.returncode == 0 else "failed"
@@ -373,6 +376,12 @@ def run_sweep(config_path: str, output_base: str,
         out_dir = os.path.join(output_base, series, run_id)
         argv = build_argv(method, params, out_dir,
                           params.get("data_dir", data_dir))
+        # fleet-level graceful drain: launched rows must also see the
+        # sweep's stop file (not just their own <out_dir>/STOP), so a
+        # STOP dropped in the results root checkpoints RUNNING rows at
+        # their next video boundary rather than only skipping pending
+        # ones (MIGRATION.md contract)
+        argv += ["--stop-file", os.path.join(output_base, "STOP")]
         est = estimate_minutes(method, params)
         info = {"run_id": run_id, "series": series, "method": method,
                 "output_dir": out_dir, "argv": argv,

@@ -29,18 +29,22 @@ sys.path.insert(0, REPO)
 ROWS = ("baseline", "delta_a", "delta_b", "lora", "dno")
 
 
-def timing_table(results_base: str) -> str:
+def timing_table(results_base: str, series: str = "campaign_bench") -> str:
     """Per-row timing distributions (mean/p50/p90 train/gen/total) in
     the BASELINE.md column style."""
     import glob
 
     import numpy as np
 
+    # gen s is the method's generation cost only; --fast-decode-verify
+    # dense re-generations (a fidelity self-check, not method cost) are
+    # reported in their own column (VERDICT r4 timing hygiene)
     lines = ["| run | n_ok | train s (mean/p50/p90) | "
-             "gen s (mean/p50/p90) | total s (mean/p50/p90) | PSNR |",
-             "|---|---|---|---|---|---|"]
+             "gen s (mean/p50/p90) | total s (mean/p50/p90) | "
+             "dense-verify s (mean x n) | PSNR |",
+             "|---|---|---|---|---|---|---|"]
     for run_dir in sorted(glob.glob(os.path.join(
-            results_base, "campaign_bench", "*"))):
+            results_base, series, "*"))):
         # prefer the finalized summary; fall back to the live checkpoint
         # so an in-flight row still reports its distribution (labeled)
         sp = os.path.join(run_dir, "summary.json")
@@ -52,7 +56,13 @@ def timing_table(results_base: str) -> str:
         with open(sp) as f:
             s = json.load(f)
         ok = [r for r in s["results"] if r.get("success")]
+        label = os.path.basename(run_dir) + (" (partial)" if partial
+                                             else "")
         if not ok:
+            # fail-loud: a row with zero successful videos still gets a
+            # line (n_ok=0, '-' cells) rather than vanishing from the
+            # matrix report
+            lines.append(f"| {label} | 0 | - | - | - | - | - |")
             continue
 
         def dist(key):
@@ -64,11 +74,14 @@ def timing_table(results_base: str) -> str:
                   if np.isfinite(r.get("psnr", float("nan")))]
         psnr_cell = (f"{np.mean(psnr_v):.3f}±{np.std(psnr_v):.3f}"
                      if psnr_v else "-")
-        label = os.path.basename(run_dir) + (" (partial)" if partial
-                                             else "")
+        dense = [r["fast_decode_verify"]["dense_gen_time"] for r in ok
+                 if "fast_decode_verify" in r]
+        dense_cell = (f"{np.mean(dense):.1f} x {len(dense)}"
+                      if dense else "-")
         lines.append(
             f"| {label} | {len(ok)} | {dist('train_time')} | "
-            f"{dist('gen_time')} | {dist('total_time')} | {psnr_cell} |")
+            f"{dist('gen_time')} | {dist('total_time')} | {dense_cell} | "
+            f"{psnr_cell} |")
     return "\n".join(lines)
 
 

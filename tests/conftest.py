@@ -66,30 +66,24 @@ def pytest_collection_modifyitems(config, items):
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
-# Persistent compilation cache: the suite's wall time is dominated by
-# CPU-backend XLA compiles, which repeat identically across runs (and
-# across xdist workers). Safe to share — keyed by HLO + backend. The
-# dir is additionally keyed by the host's CPU flags: XLA:CPU AOT
-# artifacts bake in machine features, and a cache written on a
-# different microarchitecture floods every load with feature-mismatch
-# errors (observed across round boundaries on this fleet).
-import hashlib  # noqa: E402
-
-
-def _cpu_key() -> str:
-    try:
-        with open("/proc/cpuinfo") as f:
-            for line in f:
-                if line.startswith("flags"):
-                    return hashlib.md5(line.encode()).hexdigest()[:8]
-    except OSError:
-        pass
-    import platform
-
-    return hashlib.md5(platform.processor().encode()).hexdigest()[:8]
-
-
-_cache_dir = os.environ.get(
-    "JAX_TEST_CACHE_DIR", f"/tmp/jax_test_compile_cache_{_cpu_key()}")
-jax.config.update("jax_compilation_cache_dir", _cache_dir)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# Persistent compilation cache: DISABLED by default for the suite.
+# Root cause (round 4/5 postmortem): with cache writes enabled the
+# full run reproducibly dies (fresh or populated dir) with SIGABRT inside
+# ``LoadedExecutable.serialize()`` (jax compilation_cache.py:265,
+# put_executable_and_time) while writing the cache entry for a large
+# train-step executable in test_tta.py — an XLA:CPU AOT-serialization
+# bug in this jaxlib, order/state-dependent (the same test passes in
+# isolation). The CI gate must FINISH deterministically, so the gate
+# trades re-run compile time for correctness. Local iteration can
+# opt back in with JAX_TEST_CACHE_DIR=<dir> (accepting the risk); use
+# `pytest -m quick` for a fast pre-commit loop instead.
+_cache_dir = os.environ.get("JAX_TEST_CACHE_DIR")
+if _cache_dir:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+else:
+    # also pin the RUNNER's cache policy off: in-process run_tta calls
+    # enable_compile_cache("auto"), which would otherwise enable
+    # ~/.cache/longcat_tta_xla process-wide mid-suite and resurrect the
+    # serialize() crash (utils/compile_cache.py honors this env)
+    os.environ.setdefault("LONGCAT_TTA_COMPILE_CACHE", "off")

@@ -544,11 +544,20 @@ def test_compile_cache_policy(tmp_path, monkeypatch):
     monkeypatch.delenv("LONGCAT_TTA_COMPILE_CACHE")
     assert resolve_cache_dir("auto").endswith("longcat_tta_xla")
 
+    # the suite pins the runner's cache policy off (conftest sets
+    # $LONGCAT_TTA_COMPILE_CACHE=off — the serialize() crash guard), so
+    # in-process run_tta calls must leave the cache disabled
+    monkeypatch.setenv("LONGCAT_TTA_COMPILE_CACHE", "off")
     before = jax.config.jax_compilation_cache_dir
-    assert before  # conftest configures the test cache
-    assert enable_compile_cache("auto") is None  # no silent redirect
+    assert enable_compile_cache("auto") is None
     assert jax.config.jax_compilation_cache_dir == before
     try:
+        # an outer-configured cache is never silently redirected by auto
+        jax.config.update("jax_compilation_cache_dir",
+                          str(tmp_path / "outer"))
+        assert enable_compile_cache("auto") is None
+        assert jax.config.jax_compilation_cache_dir == \
+            str(tmp_path / "outer")
         p = enable_compile_cache(str(tmp_path / "x"))
         assert p == str(tmp_path / "x") and os.path.isdir(p)
         assert jax.config.jax_compilation_cache_dir == p
@@ -568,11 +577,19 @@ def test_stop_file_drains_and_resumes(tmp_path):
                       extra=("--output-dir", out))
     assert drained == {"drained": True, "next_idx": 0, "num_videos": 0}
     assert not os.path.exists(os.path.join(out, "summary.json"))
+    # explicit drain sentinel (the sweep's classification signal) and a
+    # checkpoint even at idx 0, so "checkpointed; re-run to resume" is
+    # always true (ADVICE r4)
+    assert os.path.exists(os.path.join(out, "DRAINED"))
+    assert json.load(open(os.path.join(
+        out, "checkpoint.json")))["next_idx"] == 0
 
     os.remove(stop)
     _, summary = _run(tmp_path, "delta_a", extra=("--output-dir", out))
     assert summary["num_success"] == 2
     assert os.path.exists(os.path.join(out, "summary.json"))
+    # the resumed run clears the stale sentinel
+    assert not os.path.exists(os.path.join(out, "DRAINED"))
 
 
 def test_sweep_stop_file_skips_pending_rows(tmp_path, monkeypatch):

@@ -164,6 +164,53 @@ def test_jobs_concurrent_rows_with_device_pool(tmp_path, monkeypatch):
     assert all(l["device"] in ("0", "1") for l in launched)
 
 
+def test_fleet_stop_file_propagates_to_rows(tmp_path):
+    """Every launched row's argv carries --stop-file <output_base>/STOP
+    so RUNNING rows drain at their next video boundary when the fleet
+    stop file appears — not just pending ones (ADVICE r4 medium)."""
+    import longcat_video_tta_tpu.sweep.run_sweep as rs
+
+    cfg = yaml.safe_load(open("configs/smoke_tiny.yaml"))
+    p = os.path.join(str(tmp_path), "cfg.yaml")
+    yaml.safe_dump(cfg, open(p, "w"))
+    base = os.path.join(str(tmp_path), "res")
+    launched = rs.run_sweep(p, base, dry_run=True)
+    for row in launched:
+        i = row["argv"].index("--stop-file")
+        assert row["argv"][i + 1] == os.path.join(base, "STOP")
+
+
+def test_subprocess_drain_classified_by_sentinel(tmp_path, monkeypatch):
+    """Subprocess rows are 'drained' iff the runner wrote the DRAINED
+    sentinel; a plain exit-0-without-summary (e.g. --preflight-only) is
+    'ok', never silently misread as drained (ADVICE r4 low)."""
+    import subprocess
+
+    import longcat_video_tta_tpu.sweep.run_sweep as rs
+
+    cfg = yaml.safe_load(open("configs/smoke_tiny.yaml"))
+    cfg["sweep"] = [{"run_id": "drains"}, {"run_id": "plain"}]
+    p = os.path.join(str(tmp_path), "cfg.yaml")
+    yaml.safe_dump(cfg, open(p, "w"))
+
+    class _R:
+        returncode = 0
+
+    def fake_run(cmd, env=None):
+        out = cmd[cmd.index("--output-dir") + 1]
+        os.makedirs(out, exist_ok=True)
+        if "drains" in out:
+            with open(os.path.join(out, "DRAINED"), "w") as f:
+                f.write("{}")
+        return _R()
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    launched = rs.run_sweep(p, os.path.join(str(tmp_path), "res"),
+                            subprocess_mode=True)
+    statuses = {r["run_id"]: r["status"] for r in launched}
+    assert statuses == {"drains": "drained", "plain": "ok"}
+
+
 def test_export_and_baseline_matching(sweep_out):
     out, results_base, _ = sweep_out
     all_results = os.path.join(out, "all_results.json")
