@@ -194,6 +194,20 @@ def main(argv=None):
                   "--output-dir", os.path.join(args.output_base,
                                                "figures")])
 
+    # CLIP-gate calibration over the headline row's per-video scores
+    # (reference: analyze_clip_gate_calibration.py — threshold
+    # simulation vs the baseline-matched metric)
+    delta_dir = os.path.join(series_dir, "DELTA_A")
+    if (os.path.exists(os.path.join(delta_dir, "summary.json"))
+            and os.path.exists(os.path.join(base_dir, "summary.json"))):
+        from longcat_video_tta_tpu.sweep.diagnostics import (
+            clip_gate_calibration)
+
+        cal = clip_gate_calibration(delta_dir, base_dir)
+        with open(os.path.join(args.output_base,
+                               "clip_gate_calibration.json"), "w") as f:
+            json.dump(cal, f, indent=2)
+
     table = timing_table(args.output_base, series="campaign_demo")
     with open(os.path.join(args.output_base, "timing_table.md"), "w") as f:
         f.write(table + "\n")
