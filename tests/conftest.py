@@ -85,5 +85,23 @@ else:
     # also pin the RUNNER's cache policy off: in-process run_tta calls
     # enable_compile_cache("auto"), which would otherwise enable
     # ~/.cache/longcat_tta_xla process-wide mid-suite and resurrect the
-    # serialize() crash (utils/compile_cache.py honors this env)
-    os.environ.setdefault("LONGCAT_TTA_COMPILE_CACHE", "off")
+    # serialize() crash (utils/compile_cache.py honors this env).
+    # FORCE (not setdefault): an inherited shell export pointing at a
+    # real cache dir would silently re-arm the crash.
+    os.environ["LONGCAT_TTA_COMPILE_CACHE"] = "off"
+    # Master kill switch: even if a test (or code under test) sets
+    # jax_compilation_cache_dir process-wide, no cache entry is read or
+    # written — both the serialize() SIGABRT and the deserialize
+    # SIGSEGV (round-5 postmortem: suite died at
+    # compilation_cache.get_executable_and_time reading a stale
+    # ~/.cache entry) go through this flag.
+    jax.config.update("jax_enable_compilation_cache", False)
+
+
+@pytest.fixture(autouse=True)
+def _compile_cache_leak_guard():
+    """No test may leave the persistent compile cache enabled for the
+    tests that follow it (global jax.config is process-wide state)."""
+    yield
+    if not _cache_dir and jax.config.jax_compilation_cache_dir:
+        jax.config.update("jax_compilation_cache_dir", None)
