@@ -786,6 +786,13 @@ MODEL_PRESETS = {
 }
 
 
+# backbone presets are defined in models/backbones.py (import-cycle
+# guard); this is the full CLI-facing name list — run_tta's --preset
+# choices derive from it so new presets are never silently unlaunchable
+ALL_PRESET_NAMES = tuple(MODEL_PRESETS) + (
+    "cogvideox_5b", "cogvideox_tiny", "opensora_v2", "opensora_v2_tiny")
+
+
 def get_model_config(preset: str) -> ModelConfig:
     if preset in MODEL_PRESETS:
         return MODEL_PRESETS[preset]()

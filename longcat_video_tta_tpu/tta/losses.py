@@ -214,29 +214,39 @@ def flow_matching_loss_conditioned_fixed(
     cond32 = cond_latents.astype(jnp.float32)
 
     n_draws = fixed_noises.shape[0]
-    # scan over the |sigmas| x |draws| grid with a single forward body
-    # (unrolling would multiply compile time by the grid size)
+    # Evaluate the |sigmas| x |draws| grid as ONE batched forward of
+    # G*B rows instead of a G-iteration scan: at anchor-eval sequence
+    # lengths a single-row forward underutilizes the MXU, so batching
+    # the grid cuts the ES check's wall time ~G-fold for the same FLOPs
+    # (VERDICT r4 #7 — the reference runs the grid as separate no-grad
+    # forwards, common.py:492-559). Forward-only, so the G-fold
+    # activation growth is a few transient [G*B, tokens, hidden]
+    # buffers — small next to the train step's saved residuals.
+    G = n_draws * len(fixed_sigmas)
     sig = jnp.repeat(jnp.asarray(fixed_sigmas, jnp.float32), n_draws)
     noi = jnp.concatenate([fixed_noises] * len(fixed_sigmas), axis=0)
-
-    def body(acc, sn):
-        sigma, noise = sn
-        noisy = (1.0 - sigma) * tgt32 + sigma * noise
-        hidden = jnp.concatenate([cond32, noisy], axis=2)
-        timestep = jnp.concatenate(
-            [jnp.zeros((B, n_cond)),
-             jnp.broadcast_to(sigma * NUM_TRAIN_TIMESTEPS, (B, n_tgt))],
-            axis=1,
-        )
-        pred = dit_forward(
-            dit_params, cfg, hidden, timestep, text_emb, text_mask,
-            num_cond_latents=t_cond, adapters=adapters, attn_impl=attn_impl,
-            cp_mesh=cp_mesh,
-        )
-        return acc + jnp.mean((pred[:, :, t_cond:] - (noise - tgt32)) ** 2), None
-
-    total, _ = jax.lax.scan(body, jnp.zeros(()), (sig, noi))
-    return total / sig.shape[0]
+    # [G, B, C, T, H, W] -> [G*B, ...]
+    noi = noi.reshape((G * B,) + noi.shape[2:])
+    sig_rows = jnp.repeat(sig, B)[:, None, None, None, None]
+    tgt_g = jnp.tile(tgt32, (G, 1, 1, 1, 1))
+    noisy = (1.0 - sig_rows) * tgt_g + sig_rows * noi
+    hidden = jnp.concatenate([jnp.tile(cond32, (G, 1, 1, 1, 1)), noisy],
+                             axis=2)
+    timestep = jnp.concatenate(
+        [jnp.zeros((G * B, n_cond)),
+         jnp.broadcast_to(jnp.repeat(sig, B)[:, None]
+                          * NUM_TRAIN_TIMESTEPS, (G * B, n_tgt))],
+        axis=1,
+    )
+    emb_g = jnp.concatenate([text_emb] * G, axis=0)
+    mask_g = (None if text_mask is None
+              else jnp.concatenate([text_mask] * G, axis=0))
+    pred = dit_forward(
+        dit_params, cfg, hidden, timestep, emb_g, mask_g,
+        num_cond_latents=t_cond, adapters=adapters, attn_impl=attn_impl,
+        cp_mesh=cp_mesh,
+    )
+    return jnp.mean((pred[:, :, t_cond:] - (noi - tgt_g)) ** 2)
 
 
 # ---------------------------------------------------------------------------

@@ -78,6 +78,51 @@ def batch_clips(rng, b, frames, h, w):
     return np.stack([sample_clip(rng, frames, h, w) for _ in range(b)])
 
 
+def draw_params(rng: np.random.RandomState, b: int):
+    """Per-clip (freq, phase, speed) draws — the same RandomState
+    stream order as sample_clip, so the device generator below samples
+    the identical distribution-A parameter stream."""
+    f, p, s = [], [], []
+    lo_f, hi_f = DIST_A["freq_range"]
+    lo_s, hi_s = DIST_A["speed_range"]
+    for _ in range(b):
+        f.append(lo_f + rng.rand() * (hi_f - lo_f))
+        p.append(rng.rand() * 6.28)
+        s.append(DIST_A["direction"] * (lo_s + rng.rand() * (hi_s - lo_s)))
+    return (np.asarray(f, np.float32), np.asarray(p, np.float32),
+            np.asarray(s, np.float32))
+
+
+def make_device_clip_gen(frames: int, height: int, width: int):
+    """Jitted on-device clip synthesis from per-clip scalars.
+
+    The axon tunnel moves ~40 MB/s, so uploading host-generated pixel
+    batches (66 MB/step at the DiT window) makes pretraining
+    transfer-bound; synthesizing the sinusoid field on device turns the
+    per-step upload into 3 floats per clip. Same formula as
+    sample_clip."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def gen(freq, phase, speed):  # each [B]
+        t = jnp.arange(frames, dtype=jnp.float32)
+        yy, xx = jnp.meshgrid(jnp.linspace(0.0, 1.0, height),
+                              jnp.linspace(0.0, 1.0, width),
+                              indexing="ij")
+        f = freq[:, None, None, None]
+        arg = (6.28 * (f * (xx[None, None] + speed[:, None, None, None]
+                            * t[None, :, None, None])
+                       + yy[None, None] * f / 2.0)
+               + phase[:, None, None, None])
+        clip = 0.5 + 0.5 * jnp.sin(arg)           # [B, T, H, W]
+        clip = jnp.broadcast_to(clip[:, None],
+                                (clip.shape[0], 3) + clip.shape[1:])
+        return clip * 2.0 - 1.0
+
+    return gen
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--out-dir", default="campaign/demo_ckpt")
@@ -147,10 +192,10 @@ def main(argv=None):
 
     key = jax.random.PRNGKey(args.seed)
     vae_params = bundle.vae_params
+    vgen = make_device_clip_gen(vae_frames, args.height, args.width)
     t0 = time.time()
     for s in range(args.vae_steps):
-        x = jnp.asarray(batch_clips(rng, args.batch, vae_frames,
-                                    args.height, args.width))
+        x = vgen(*draw_params(rng, args.batch))
         key, sub = jax.random.split(key)
         vae_params, vstate, mse = vae_step(vae_params, vstate, x, sub)
         if s % 100 == 0 or s == args.vae_steps - 1:
@@ -163,10 +208,10 @@ def main(argv=None):
 
     # ---- phase 2: latent statistics over A ---------------------------
     stat_frames = 4 * tf + 1  # 5 latent frames
+    sgen = make_device_clip_gen(stat_frames, args.height, args.width)
     moments = []
     for _ in range(8 if not args.smoke else 2):
-        x = jnp.asarray(batch_clips(rng, args.batch, stat_frames,
-                                    args.height, args.width))
+        x = sgen(*draw_params(rng, args.batch))
         z = vae_encode(vae_params, cfg.vae, x, normalize=False)
         moments.append(np.asarray(z, np.float64))
     zs = np.concatenate(moments, 0)  # [N, C, T, H, W]
@@ -192,10 +237,10 @@ def main(argv=None):
     dit_params = bundle.dit_params
     dstate = tx.init(dit_params)
     emb_bank = [bundle.encode_prompt(c) for c in CAPTIONS]
+    dgen = make_device_clip_gen(win_frames, args.height, args.width)
     t0 = time.time()
     for s in range(args.dit_steps):
-        x = jnp.asarray(batch_clips(rng, args.batch, win_frames,
-                                    args.height, args.width))
+        x = dgen(*draw_params(rng, args.batch))
         z = vae_encode(vae_params, cfg.vae, x)  # normalized, new stats
         cond_l = z[:, :, :n_cond_lat]
         tgt_l = z[:, :, n_cond_lat:]

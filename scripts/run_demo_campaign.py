@@ -156,6 +156,21 @@ def main(argv=None):
         print(json.dumps(launched, indent=2, default=str))
         return 0
 
+    # fail-loud: a campaign where rows died at preflight/launch must not
+    # exit 0 with an empty aggregation (round-5 postmortem: a stale
+    # --preset choices list preflight-failed all 12 rows and the driver
+    # still reported "done in 0.0 min")
+    bad = [r for r in launched
+           if r.get("status") not in ("ok", "drained")]
+    if bad:
+        for r in bad:
+            print(f"[demo] ROW FAILED {r.get('run_id')}: "
+                  f"{r.get('status')}", file=sys.stderr)
+    if not any(r.get("status") == "ok" for r in launched):
+        print("[demo] no row completed — aborting before aggregation",
+              file=sys.stderr)
+        return 1
+
     # ---- completeness + aggregation + figures -------------------------
     from run_campaign import timing_table
 
@@ -213,8 +228,9 @@ def main(argv=None):
         f.write(table + "\n")
     print(table)
     print(f"[demo] done in {(time.time() - t0) / 60:.1f} min -> "
-          f"{args.output_base}")
-    return 0
+          f"{args.output_base}"
+          + (f" ({len(bad)} row(s) FAILED)" if bad else ""))
+    return 1 if bad else 0
 
 
 if __name__ == "__main__":
