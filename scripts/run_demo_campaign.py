@@ -160,13 +160,13 @@ def main(argv=None):
     # exit 0 with an empty aggregation (round-5 postmortem: a stale
     # --preset choices list preflight-failed all 12 rows and the driver
     # still reported "done in 0.0 min")
-    bad = [r for r in launched
-           if r.get("status") not in ("ok", "drained")]
+    ok_statuses = ("ok", "drained", "skipped (summary.json exists)")
+    bad = [r for r in launched if r.get("status") not in ok_statuses]
     if bad:
         for r in bad:
             print(f"[demo] ROW FAILED {r.get('run_id')}: "
                   f"{r.get('status')}", file=sys.stderr)
-    if not any(r.get("status") == "ok" for r in launched):
+    if not any(r.get("status") in ok_statuses for r in launched):
         print("[demo] no row completed — aborting before aggregation",
               file=sys.stderr)
         return 1
