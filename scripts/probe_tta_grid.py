@@ -35,10 +35,8 @@ BASE = [
 GRID = [
     ("full_lr1e-4_s40", "full", 1e-4, 40),
     ("full_lr3e-4_s40", "full", 3e-4, 40),
-    ("full_lr1e-5_s40", "full", 1e-5, 40),
     ("delta_a_lr1e-3_s40", "delta_a", 1e-3, 40),
     ("lora_lr1e-3_s40", "lora", 1e-3, 40),
-    ("norm_tune_lr1e-2_s40", "norm_tune", 1e-2, 40),
 ]
 
 
@@ -48,12 +46,17 @@ def main(argv=None):
     p.add_argument("--out", default="campaign/probe")
     p.add_argument("--grid", default=None,
                    help="comma list of tag filters (substring match)")
+    p.add_argument("--baseline",
+                   default="campaign/probe/NOTTA_REPRO/summary.json",
+                   help="NOTTA summary measured under the CURRENT "
+                        "weights (post-rebuild weights drift ~0.1 dB "
+                        "from the committed row, so pair against a "
+                        "fresh baseline)")
     args = p.parse_args(argv)
 
     from longcat_video_tta_tpu.runners.run_tta import main as run_main
 
-    notta = json.load(open(
-        "campaign/demo/campaign_demo/NOTTA/summary.json"))
+    notta = json.load(open(args.baseline))
     base_psnr = {r["video"]: r["psnr"] for r in notta["results"]}
 
     grid = GRID
